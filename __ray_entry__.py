@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship pipeline on sf0.001 (smoke check).
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2); each takes ``sf_dir`` and returns a Dataset.
+- ``oracle_sql()`` — equivalent DuckDB SQL per query (run at sf0.01).
 """
 
 from __future__ import annotations
@@ -18,27 +14,34 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_001 = "/root/testdata/sf0.001"
+SF_01 = "/root/testdata/sf0.01"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: synthetic CC-style pages (from sf0.001 documents) →
+    extract kernel → extracted-text table."""
+    from crawl4ai_custom_ray.pipelines.flagship import flagship_extract
+
+    return flagship_extract(
+        SF_001, columns=["text", "raw_markdown", "n_tables", "success"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawl4ai_custom_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_text": q.q_extract_text,
+        "extract_links": q.q_extract_links,
+        "link_stats": q.q_link_stats,
+        "page_metadata": q.q_page_metadata,
+        "page_tables": q.q_page_tables,
+        "regex_emails": q.q_regex_emails,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawl4ai_custom_ray.oracles import oracle_sql_for
+
+    return oracle_sql_for(SF_01)

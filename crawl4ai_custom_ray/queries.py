@@ -1,0 +1,139 @@
+"""Named query implementations for the driver contract
+(``__ray_entry__.queries``) — one per operator/pipeline from
+SURVEY.md §2, each a ``sf_dir -> Dataset`` callable with a matching
+DuckDB oracle in :mod:`oracles`.
+
+Column names here MUST match the oracle SQL exactly (the driver's
+compare hashes values under sorted column names).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .functions.regex_extract import regex_extract
+from .pipelines.flagship import flagship_extract, read_pages
+from .urls import url_host
+
+
+# ---------------------------------------------------------------- pages
+
+
+def q_extract_text(sf_dir: str):
+    """Per-url extracted article text — THE parity invariant
+    (extracted text == pages.text by construction of the synthetic
+    corpus; oracle reads the column directly)."""
+    return flagship_extract(sf_dir, columns=["text"]).select_columns(["url", "text"])
+
+
+def _explode_links_batch(batch: pa.Table) -> pa.Table:
+    src, href, internal = [], [], []
+    for i in range(batch.num_rows):
+        u = batch["url"][i].as_py()
+        for l in batch["links_internal"][i].as_py() or []:
+            src.append(u)
+            href.append(l["href"])
+            internal.append(True)
+        for l in batch["links_external"][i].as_py() or []:
+            src.append(u)
+            href.append(l["href"])
+            internal.append(False)
+    return pa.table(
+        {
+            "src_url": pa.array(src, pa.string()),
+            "href": pa.array(href, pa.string()),
+            "internal": pa.array(internal, pa.bool_()),
+        }
+    )
+
+
+def q_extract_links(sf_dir: str):
+    """Exploded link table (src_url, href, internal): normalized,
+    first-wins-deduped per page — the frontier's raw material
+    (reference ``_process_element``,
+    ``content_scraping_strategy.py:231-378``)."""
+    ds = flagship_extract(sf_dir, columns=["links_internal", "links_external"])
+    return ds.map_batches(_explode_links_batch, batch_format="pyarrow")
+
+
+def q_link_stats(sf_dir: str):
+    """Per-host page and link counts — the groupby(host) shuffle that
+    backs politeness budgeting (partial-aggregated per batch before the
+    small groupby)."""
+    links = q_extract_links(sf_dir)
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        hosts = [url_host(u) for u in batch["src_url"].to_pylist()]
+        return batch.append_column("host", pa.array(hosts, pa.string()))
+
+    with_host = links.map_batches(add_host, batch_format="pyarrow")
+
+    # partial aggregate inside each batch, then a tiny global groupby
+    def partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        pages = collections.defaultdict(set)
+        n_links: dict[str, int] = collections.defaultdict(int)
+        for h, u in zip(batch["host"].to_pylist(), batch["src_url"].to_pylist()):
+            pages[h].add(u)
+            n_links[h] += 1
+        hosts = sorted(n_links)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_pages_part": pa.array([len(pages[h]) for h in hosts], pa.int64()),
+                "n_links_part": pa.array([n_links[h] for h in hosts], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    # n_pages via distinct src_url per host can't be partially summed if a
+    # page's links span batches; extraction emits one row-group of links
+    # per page inside one batch, so per-batch distinct-count is exact.
+    parts = with_host.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby("host").aggregate(
+        Sum("n_pages_part", alias_name="n_pages"), Sum("n_links_part", alias_name="n_links")
+    )
+
+
+def q_page_metadata(sf_dir: str):
+    """(url, title, description) from the metadata extractor."""
+    import json
+
+    ds = flagship_extract(sf_dir, columns=["metadata"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        titles, descs = [], []
+        for m in batch["metadata"].to_pylist():
+            meta = json.loads(m)
+            titles.append(meta.get("title"))
+            descs.append(meta.get("description"))
+        return pa.table(
+            {
+                "url": batch["url"],
+                "title": pa.array(titles, pa.string()),
+                "description": pa.array(descs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_page_tables(sf_dir: str):
+    """(url, n_tables, n_table_rows) for pages containing data tables
+    (``DefaultTableExtraction`` parity)."""
+    ds = flagship_extract(sf_dir, columns=["n_tables", "n_table_rows"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.greater(t["n_tables"], 0)), batch_format="pyarrow"
+    )
+    return ds.select_columns(["url", "n_tables", "n_table_rows"])
+
+
+def q_regex_emails(sf_dir: str):
+    """(url, value) email matches over raw page HTML
+    (``RegexExtractionStrategy`` parity)."""
+    pages = read_pages(sf_dir)
+    matches = regex_extract(pages, ["email"], text_column="html")
+    return matches.select_columns(["url", "value"])

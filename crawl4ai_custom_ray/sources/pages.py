@@ -1,0 +1,187 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+BASELINE.json ``input_hint`` requires the input table
+``(url: string, warc_ts: timestamp, html: binary, text: string,
+lang: string)``.  This module synthesises that table deterministically
+from the driver-provided ``documents`` table of a scale-factor
+directory — no external data, no RNG: every field is an arithmetic
+function of ``doc_id`` and the document text, so the same sf_dir
+always produces byte-identical parquet content.
+
+Page anatomy (designed so every kernel operator has work to do AND the
+per-url extracted-text invariant is checkable in SQL):
+
+- boilerplate: nav / header / aside / footer (all excluded or pruned
+  by the content-pruning filter), a link-heavy "related" div (pruned
+  by score), a tracking-parameter link (exercises normalize_url);
+- the article body: ``<article><p>…</p></article>`` whose
+  whitespace-normalized text equals the page row's ``text`` column —
+  the invariant ``extract_text(html) == text`` that the DuckDB oracle
+  checks per url;
+- a deterministic link graph: page *i* links to pages
+  ``(3i+1) % N``, ``(7i+11) % N`` and ``(i+1) % N`` as absolute
+  ``href``s (so link extraction and BFS reachability have simple SQL
+  oracles), plus one external link;
+- hosts: ``site{i % n_hosts}.example.com`` (host-skew: host 0 also
+  absorbs every ``i % 11 == 0`` page, so per-host politeness budgeting
+  is observable);
+- a ``/private/`` path segment for ``i % 13 == 5`` pages —
+  robots.txt-disallowed by the synthetic robots table;
+- an embedded data table on ``i % 5 == 0`` pages, an email address on
+  ``i % 4 == 1`` pages (regex-extraction oracle).
+
+The generated parquet is cached under ``/tmp/graft_pages/<sf>/`` and
+reused; generation is idempotent (atomic rename).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+PAGES_CACHE_ROOT = "/tmp/graft_pages"
+
+_EPOCH = datetime(2025, 1, 1)
+
+
+def n_hosts_for(n_docs: int) -> int:
+    return max(4, n_docs // 50)
+
+
+def page_url(i: int, n_docs: int, variant: int = 0) -> str:
+    host = f"site{_host_index(i, n_docs)}.example.com"
+    if i % 13 == 5:
+        path = f"/private/doc-{i}" if variant == 0 else f"/private/doc-{i}-v{variant}"
+    else:
+        path = f"/articles/doc-{i}" if variant == 0 else f"/articles/doc-{i}-v{variant}"
+    return f"https://{host}{path}"
+
+
+def _host_index(i: int, n_docs: int) -> int:
+    # skew: every 11th page lands on host 0 regardless of modulus
+    if i % 11 == 0:
+        return 0
+    return i % n_hosts_for(n_docs)
+
+
+def _mk_table_html(i: int) -> str:
+    rows = "".join(
+        f"<tr><td>item-{i}-{r}</td><td>{(i * 7 + r * 3) % 100}</td></tr>" for r in range(3)
+    )
+    return (
+        "<table><caption>Metrics</caption>"
+        "<thead><tr><th>Key</th><th>Value</th></tr></thead>"
+        f"<tbody>{rows}</tbody></table>"
+    )
+
+
+def build_page_html(i: int, n_docs: int, text: str, variant: int = 0) -> str:
+    """Deterministic page HTML for document *i*.  The article body's
+    whitespace-normalized text equals ``text`` exactly."""
+    url = page_url(i, n_docs, variant)
+    n = n_docs
+    l1 = page_url((3 * i + 1) % n, n)
+    l2 = page_url((7 * i + 11) % n, n)
+    l3 = page_url((i + 1) % n, n)
+    host_idx = _host_index(i, n_docs)
+    home = f"https://site{host_idx}.example.com/"
+    tracking = f"{l3}?utm_source=feed&utm_campaign=c{i % 3}&b=2&a=1"
+    email = f"<p>Contact: editor{i}@example.com for details.</p>" if i % 4 == 1 else ""
+    table = _mk_table_html(i) if i % 5 == 0 else ""
+    return (
+        "<html><head>"
+        f"<title>Doc {i} — Synthetic Corpus</title>"
+        f'<meta name="description" content="Synthetic crawl page {i}">'
+        f'<meta property="og:title" content="Doc {i}">'
+        "</head><body>"
+        f'<nav class="nav"><a href="{home}">Home</a> <a href="{home}about">About</a> '
+        f'<a href="{home}contact">Contact</a></nav>'
+        f'<header class="header"><h1>Doc {i}</h1></header>'
+        f"<article><p>{text}</p></article>"
+        f'<aside class="extras">{email}{table}</aside>'
+        f'<div class="related"><a href="{l1}">Related A</a> <a href="{l2}">Related B</a> '
+        f'<a href="{tracking}">Related C</a></div>'
+        f'<aside class="sidebar"><a href="{home}tags">Tags</a> <a href="{home}archive">Archive</a></aside>'
+        f'<footer class="footer"><a href="https://external-site.org/partner/{i % 20}">Partner</a> '
+        f'<a href="{home}privacy">Privacy</a></footer>'
+        "</body></html>"
+    )
+
+
+def normalize_text(text: str) -> str:
+    return " ".join(text.split())
+
+
+def generate_pages_table(
+    sf_dir: str, *, variants: int = 1, paragraphs: int = 1
+) -> pa.Table:
+    """Build the pages Arrow table from ``{sf_dir}/documents.parquet``.
+
+    ``variants`` > 1 amplifies the corpus for benchmarks (each variant
+    is a distinct url with the same article text). ``paragraphs`` > 1
+    repeats the article paragraph to fatten pages toward realistic
+    crawl sizes.
+    """
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    doc_ids = docs["doc_id"].to_pylist()
+    texts = docs["text"].to_pylist()
+    langs = docs["lang"].to_pylist()
+    n = len(doc_ids)
+
+    urls: list[str] = []
+    tss: list[datetime] = []
+    htmls: list[bytes] = []
+    out_texts: list[str] = []
+    out_langs: list[str] = []
+
+    for idx in range(n):
+        i = doc_ids[idx]
+        base_text = normalize_text(texts[idx])
+        if paragraphs > 1:
+            body_text = " ".join([base_text] * paragraphs)
+        else:
+            body_text = base_text
+        for v in range(variants):
+            urls.append(page_url(i, n, v))
+            tss.append(_EPOCH + timedelta(seconds=(i * 977 + v * 131) % 31_536_000))
+            htmls.append(build_page_html(i, n, body_text, v).encode("utf-8"))
+            out_texts.append(body_text)
+            out_langs.append(langs[idx])
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+
+
+def pages_parquet_path(sf_dir: str, *, variants: int = 1, paragraphs: int = 1) -> str:
+    """Path of the cached pages parquet for ``sf_dir``; generates it on
+    first use (atomic rename, safe under concurrent callers)."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    suffix = "" if (variants == 1 and paragraphs == 1) else f"_v{variants}_p{paragraphs}"
+    out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}{suffix}")
+    out_path = os.path.join(out_dir, "pages.parquet")
+    if os.path.exists(out_path):
+        return out_path
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_pages_table(sf_dir, variants=variants, paragraphs=paragraphs)
+    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=out_dir)
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.rename(tmp, out_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return out_path

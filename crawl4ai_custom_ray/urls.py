@@ -1,0 +1,164 @@
+"""URL normalization, canonical digests and host helpers.
+
+Pure functions (no Ray).  Semantics mirror the reference's extended
+normalizer (``crawl4ai/utils.py:2223-2321``), its deep-crawl variant
+(``utils.py:2324-2380``), ``get_base_domain`` (``utils.py:2458-2506``)
+and ``is_external_url`` (``utils.py:2509-2540``) — re-implemented from
+observed behavior, not copied.
+
+``url_digest`` defines the canonical 64-bit partitioning/dedup key used
+across the frontier tables (SURVEY.md §7.3): hash-partitioning by this
+digest (never by host) controls host skew explicitly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from urllib.parse import parse_qsl, urlencode, urljoin, urlparse, urlunparse
+
+# Query keys dropped by the extended normalizer (reference utils.py:2293-2296).
+TRACKING_PARAMS = frozenset(
+    {
+        "utm_source",
+        "utm_medium",
+        "utm_campaign",
+        "utm_term",
+        "utm_content",
+        "gclid",
+        "fbclid",
+        "ref",
+        "ref_src",
+    }
+)
+
+# Tracking keys of the lighter deep-crawl normalizer (utils.py:2360-2363).
+DEEP_CRAWL_TRACKING_PARAMS = ("utm_source", "utm_medium", "utm_campaign", "ref", "fbclid")
+
+_SPECIAL_SCHEMES = ("mailto:", "tel:", "ftp:", "file:", "data:", "javascript:")
+
+# Second-level registrable suffixes recognised by the reference's
+# eTLD-ish heuristic (utils.py:2484-2500).
+_SECOND_LEVEL = frozenset(
+    {"co", "com", "org", "gov", "edu", "net", "mil", "int", "ac", "ad", "ae", "af", "ag"}
+)
+
+_WWW_RE = re.compile(r"^www\.")
+
+
+def normalize_url(
+    href: str | None,
+    base_url: str,
+    *,
+    drop_query_tracking: bool = True,
+    sort_query: bool = True,
+    keep_fragment: bool = False,
+    extra_drop_params=None,
+) -> str | None:
+    """Extended canonical URL normalizer.
+
+    Resolve relative ``href`` against ``base_url``, lowercase the
+    netloc, strip the trailing slash (except root), drop tracking query
+    params, lowercase+sort query keys, drop the fragment.
+    """
+    if not href:
+        return None
+    full_url = urljoin(base_url, href.strip())
+    parsed = urlparse(full_url)
+
+    netloc = parsed.netloc.lower()
+
+    path = parsed.path
+    if path.endswith("/") and path != "/":
+        path = path.rstrip("/")
+
+    query = parsed.query
+    if query:
+        params = [(k.lower(), v) for k, v in parse_qsl(query, keep_blank_values=True)]
+        if drop_query_tracking:
+            drop = set(TRACKING_PARAMS)
+            if extra_drop_params:
+                drop |= {p.lower() for p in extra_drop_params}
+            params = [(k, v) for k, v in params if k not in drop]
+        if sort_query:
+            params.sort(key=lambda kv: kv[0])
+        query = urlencode(params, doseq=True) if params else ""
+
+    fragment = parsed.fragment if keep_fragment else ""
+    return urlunparse((parsed.scheme, netloc, path, parsed.params, query, fragment))
+
+
+def normalize_url_for_deep_crawl(href: str | None, base_url: str) -> str | None:
+    """Lighter normalizer used on the frontier link-discovery path
+    (reference ``bfs_strategy.py:111``): resolve, lowercase netloc,
+    rstrip path ``/``, drop fragment, drop the short tracking-param
+    list, sort query keys.
+    """
+    if not href:
+        return None
+    full_url = urljoin(base_url, href.strip())
+    parsed = urlparse(full_url)
+    query = parsed.query
+    if query:
+        params = [(k, v) for k, v in parse_qsl(query, keep_blank_values=True)]
+        params = [(k, v) for k, v in params if k not in DEEP_CRAWL_TRACKING_PARAMS]
+        params.sort(key=lambda kv: kv[0])
+        query = urlencode(params, doseq=True) if params else ""
+    return urlunparse(
+        (parsed.scheme, parsed.netloc.lower(), parsed.path.rstrip("/"), parsed.params, query, "")
+    )
+
+
+def get_base_domain(url: str) -> str:
+    """Registrable base domain (handles ``co.uk``-style suffixes with a
+    small hardcoded second-level set, like the reference)."""
+    try:
+        domain = urlparse(url).netloc.lower()
+        if not domain:
+            return ""
+        domain = domain.split(":")[0]
+        domain = _WWW_RE.sub("", domain)
+        parts = domain.split(".")
+        if len(parts) > 2 and parts[-2] in _SECOND_LEVEL:
+            return ".".join(parts[-3:])
+        return ".".join(parts[-2:])
+    except Exception:
+        return ""
+
+
+def is_external_url(url: str, base_domain: str) -> bool:
+    """True when ``url`` leaves ``base_domain`` (or is a non-web scheme)."""
+    low = url.lower()
+    if any(low.startswith(p) for p in _SPECIAL_SCHEMES):
+        return True
+    try:
+        parsed = urlparse(url)
+        if not parsed.netloc:
+            return False
+        url_domain = parsed.netloc.lower().replace("www.", "")
+        base = base_domain.lower().replace("www.", "")
+        return not url_domain.endswith(base)
+    except Exception:
+        return False
+
+
+def url_host(url: str) -> str:
+    """netloc (lowercased, port kept) — the politeness-sharding key,
+    matching the reference rate limiter's ``urlparse(url).netloc``
+    (``async_dispatcher.py:42-43``)."""
+    try:
+        return urlparse(url).netloc.lower()
+    except Exception:
+        return ""
+
+
+def url_digest(url: str) -> int:
+    """Stable unsigned-64-bit canonical digest of an (already
+    normalized) URL.  blake2b(8 bytes) — deterministic across
+    processes/nodes (unlike ``hash()``), cheap, and uniform enough to
+    hash-partition a 10^10-URL frontier."""
+    return int.from_bytes(hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def url_digest_bytes(url: str) -> bytes:
+    return hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest()

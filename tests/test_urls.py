@@ -1,0 +1,79 @@
+"""Golden tests for URL normalization — cases mirror the reference's
+``tests/test_normalize_url.py`` expectations plus the extended
+normalizer semantics (utils.py:2223-2321)."""
+
+from crawl4ai_custom_ray.urls import (
+    get_base_domain,
+    is_external_url,
+    normalize_url,
+    normalize_url_for_deep_crawl,
+    url_digest,
+    url_host,
+)
+
+BASE = "https://www.example.com/dir/page.html"
+
+
+def test_relative_resolution():
+    assert normalize_url("sub/page2.html", BASE) == "https://www.example.com/dir/sub/page2.html"
+    assert normalize_url("/rooted", BASE) == "https://www.example.com/rooted"
+    assert normalize_url("../up", BASE) == "https://www.example.com/up"
+
+
+def test_absolute_passthrough_lowercases_netloc():
+    assert normalize_url("HTTPS://EXAMPLE.COM/Path", BASE) == "https://example.com/Path"
+
+
+def test_trailing_slash_stripped_except_root():
+    assert normalize_url("https://example.com/a/", BASE) == "https://example.com/a"
+    assert normalize_url("https://example.com/", BASE) == "https://example.com/"
+
+
+def test_tracking_params_dropped_and_sorted():
+    url = "https://example.com/p?utm_source=x&b=2&a=1&gclid=99&fbclid=z"
+    assert normalize_url(url, BASE) == "https://example.com/p?a=1&b=2"
+
+
+def test_query_keys_lowercased_sorted():
+    assert normalize_url("https://example.com/p?B=2&A=1", BASE) == "https://example.com/p?a=1&b=2"
+
+
+def test_fragment_dropped():
+    assert normalize_url("https://example.com/p#section", BASE) == "https://example.com/p"
+    assert (
+        normalize_url("https://example.com/p#section", BASE, keep_fragment=True)
+        == "https://example.com/p#section"
+    )
+
+
+def test_empty_href():
+    assert normalize_url("", BASE) is None
+    assert normalize_url(None, BASE) is None
+
+
+def test_deep_crawl_variant_keeps_param_case():
+    url = "https://example.com/p?ref=abc&z=1&a=2#frag"
+    assert normalize_url_for_deep_crawl(url, BASE) == "https://example.com/p?a=2&z=1"
+
+
+def test_base_domain():
+    assert get_base_domain("https://www.example.com/x") == "example.com"
+    assert get_base_domain("https://sub.example.co.uk/x") == "example.co.uk"
+    assert get_base_domain("https://example.com:8080/x") == "example.com"
+    assert get_base_domain("") == ""
+
+
+def test_is_external():
+    assert not is_external_url("https://sub.example.com/a", "example.com")
+    assert is_external_url("https://other.org/a", "example.com")
+    assert is_external_url("mailto:x@example.com", "example.com")
+    assert not is_external_url("/relative", "example.com")
+
+
+def test_host_and_digest_stable():
+    assert url_host("https://Sub.Example.com:8080/a") == "sub.example.com:8080"
+    d1 = url_digest("https://example.com/a")
+    d2 = url_digest("https://example.com/a")
+    assert d1 == d2
+    assert 0 <= d1 < 2**64
+    assert url_digest("https://example.com/b") != d1
