@@ -38,6 +38,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_metadata": q.q_page_metadata,
         "page_tables": q.q_page_tables,
         "regex_emails": q.q_regex_emails,
+        "frontier_bfs": q.q_frontier_bfs,
+        "top_k_per_host": q.q_top_k_per_host,
+        "robots_filter": q.q_robots_filter,
     }
 
 

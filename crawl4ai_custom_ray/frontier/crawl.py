@@ -1,0 +1,450 @@
+"""Round-synchronous (BSP) BFS crawl over Parquet frontier tables.
+
+Re-expresses the reference's level-synchronous BFS
+(``deep_crawling/bfs_strategy.py:148-198`` — per level: fetch all,
+discover links, normalize → visited-set dedup → filter chain → score →
+capacity sort/truncate → next level) as one Ray Data pipeline pass per
+round (SURVEY.md §2.7):
+
+round k:
+  frontier_k (Parquet)
+    → per-host politeness budget (groupby(host) rank + split;
+      deferred URLs carry over — the priority queue realized as
+      groupby/sort shuffles)
+    → global capacity: sort(score desc, url).limit(remaining budget)
+      (reference bfs_strategy.py:131-136)
+    → "fetch" = inner hash join frontier⋈pages on url (the sandbox
+      replacement for AsyncHTTPCrawlerStrategy; a live-fetch variant
+      would be an actor-pool map_batches holding HTTP sessions)
+    → link discovery map_batches (normalize, first-wins per page)
+    → candidate filter: FilterChain + robots gate (broadcast) + score
+    → within-round dedup: groupby(url) min(parent) — deterministic
+      first-wins under unordered shuffles
+    → cross-round dedup: sharded URL-seen actors (check_and_add)
+    → frontier_{k+1} = new ∪ deferred, checkpointed with metrics.
+
+Driver memory holds only per-round counters; frontier/visited/seen
+state lives in the checkpoint directory (Parquet + shard blobs), so a
+killed run resumes from the last committed round.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..html.dom import parse
+from ..urls import get_base_domain, is_external_url, normalize_url, url_digest, url_host
+from ..state import checkpoint as ckpt
+from .filters import FilterChain
+from .politeness import enforce_politeness
+from .robots import DEFAULT_SYNTHETIC_RULES, RobotsGate
+from .seen import UrlSeen
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("depth", pa.int32()),
+        ("parent", pa.string()),
+        ("score", pa.float64()),
+    ]
+)
+
+
+@dataclass
+class CrawlConfig:
+    max_depth: int = 2
+    max_pages: int | None = None
+    per_host_cap: int | None = None
+    check_robots: bool = False
+    robots_rules: str = DEFAULT_SYNTHETIC_RULES
+    filter_chain: FilterChain | None = None
+    scorer: object | None = None  # URLScorer
+    score_threshold: float | None = None
+    include_external: bool = False
+    seen_mode: str = "exact"
+    n_seen_shards: int = 4
+    seen_capacity_per_shard: int = 1_000_000
+    join_partitions: int = 8
+    # "broadcast": ray.put the round's url→depth map, filter the pages
+    # scan in map_batches (no shuffle — a politeness-bounded round is
+    # always the small side). "join": Dataset.join hash shuffle, for
+    # rounds too large to broadcast.
+    fetch_strategy: str = "broadcast"
+    max_rounds: int = 64
+    extra: dict = field(default_factory=dict)
+
+
+def _extract_links_batch(batch: pa.Table) -> pa.Table:
+    """Link discovery: ``//a[@href]`` walk with the extended
+    normalizer and first-wins per-page dedup (reference
+    ``_process_element``, ``content_scraping_strategy.py:255-307``).
+    A dedicated light parser pass — no image scoring / table
+    extraction — because the frontier only needs hrefs."""
+    src_urls, hrefs, externals = [], [], []
+    for i in range(batch.num_rows):
+        url = batch["url"][i].as_py()
+        html = batch["html"][i].as_py()
+        if isinstance(html, bytes):
+            html = html.decode("utf-8", errors="replace")
+        base_domain = get_base_domain(url)
+        root = parse(html)
+        seen_page: set[str] = set()
+        for a in root.find_all("a"):
+            href = (a.get("href") or "").strip()
+            if not href:
+                continue
+            normalized = normalize_url(href, url)
+            if not normalized or normalized in seen_page:
+                continue
+            seen_page.add(normalized)
+            src_urls.append(url)
+            hrefs.append(normalized)
+            externals.append(is_external_url(normalized, base_domain))
+    return pa.table(
+        {
+            "src_url": pa.array(src_urls, pa.string()),
+            "href": pa.array(hrefs, pa.string()),
+            "external": pa.array(externals, pa.bool_()),
+        }
+    )
+
+
+def _frontier_table(urls, hosts, depths, parents, scores) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(depths, pa.int32()),
+            "parent": pa.array(parents, pa.string()),
+            "score": pa.array(scores, pa.float64()),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def _score_many(scorer, urls: list[str]) -> list[float]:
+    if scorer is None:
+        return [0.0] * len(urls)
+    return scorer.score_many(urls)
+
+
+class BFSCrawl:
+    """Driver object for the BSP crawl.  ``run()`` returns the visited
+    Dataset ``(url, host, depth, parent, score, round)``."""
+
+    def __init__(self, pages_path: str, cfg: CrawlConfig, checkpoint_dir: str | None = None):
+        self.pages_path = pages_path
+        self.cfg = cfg
+        self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="crawl_ckpt_")
+        self.seen = UrlSeen(
+            n_shards=cfg.n_seen_shards,
+            mode=cfg.seen_mode,
+            capacity_per_shard=cfg.seen_capacity_per_shard,
+        )
+        self.pages_visited = 0
+
+    # -- helpers ------------------------------------------------------
+
+    def _candidate_gate(self, robots_ref):
+        """Build the batch fn applying filter chain + robots + scoring
+        to candidate (href, depth, parent) rows."""
+        cfg = self.cfg
+
+        def gate(batch: pa.Table) -> pa.Table:
+            urls = batch["href"].to_pylist()
+            parents = batch["src_url"].to_pylist()
+            depths = batch["depth"].to_pylist()
+            externals = batch["external"].to_pylist()
+
+            keep = [True] * len(urls)
+            if not cfg.include_external:
+                keep = [k and not e for k, e in zip(keep, externals)]
+            if cfg.filter_chain is not None:
+                mask = cfg.filter_chain.apply_many(urls)
+                keep = [k and m for k, m in zip(keep, mask)]
+            hosts = [url_host(u) for u in urls]
+            if robots_ref is not None:
+                gate_obj = ray.get(robots_ref)
+                allowed = gate_obj.allowed_many(urls, hosts)
+                keep = [k and a for k, a in zip(keep, allowed)]
+
+            urls2 = [u for u, k in zip(urls, keep) if k]
+            hosts2 = [h for h, k in zip(hosts, keep) if k]
+            parents2 = [p for p, k in zip(parents, keep) if k]
+            depths2 = [d for d, k in zip(depths, keep) if k]
+            scores2 = _score_many(cfg.scorer, urls2)
+            if cfg.score_threshold is not None:
+                sel = [s >= cfg.score_threshold for s in scores2]
+                urls2 = [u for u, k in zip(urls2, sel) if k]
+                hosts2 = [h for h, k in zip(hosts2, sel) if k]
+                parents2 = [p for p, k in zip(parents2, sel) if k]
+                depths2 = [d for d, k in zip(depths2, sel) if k]
+                scores2 = [s for s, k in zip(scores2, sel) if k]
+            return _frontier_table(urls2, hosts2, depths2, parents2, scores2)
+
+        return gate
+
+    def _seen_filter(self):
+        """Cross-round dedup: batched check_and_add against the shard
+        actors.  Exactly-once admission — a URL enters the frontier in
+        the round it is first discovered."""
+        seen = self.seen
+
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = batch["url"].to_pylist()
+            digests = [url_digest(u) for u in urls]
+            is_new = seen.check_and_add(digests)
+            return batch.filter(pa.array(is_new, pa.bool_()))
+
+        return fn
+
+    def _seed_frontier(self, seeds: list[str], robots_ref) -> pa.Table:
+        cfg = self.cfg
+        hosts = [url_host(u) for u in seeds]
+        keep = [True] * len(seeds)
+        if robots_ref is not None:
+            gate_obj = ray.get(robots_ref)
+            keep = gate_obj.allowed_many(seeds, hosts)
+        seeds2 = [s for s, k in zip(seeds, keep) if k]
+        hosts2 = [h for h, k in zip(hosts, keep) if k]
+        scores = _score_many(cfg.scorer, seeds2)
+        self.seen.check_and_add([url_digest(u) for u in seeds2])
+        return _frontier_table(seeds2, hosts2, [0] * len(seeds2), [""] * len(seeds2), scores)
+
+    # -- main loop ----------------------------------------------------
+
+    def run(self, seeds: list[str], resume: bool = False):
+        cfg = self.cfg
+        pages = rd.read_parquet(self.pages_path, columns=["url", "html"])
+
+        robots_ref = None
+        if cfg.check_robots:
+            # synthetic corpus: one rule set for every host — in a live
+            # crawl this table is fetched per host once and cached
+            gate = RobotsGate({}, user_agent="*")
+            gate._rules_by_host = _AllHostsRules(cfg.robots_rules)
+            robots_ref = ray.put(gate)
+
+        start_round = 0
+        if resume:
+            latest = ckpt.latest_committed_round(self.checkpoint_dir)
+            if latest is not None:
+                self.seen.load_all(ckpt.load_seen_shards(self.checkpoint_dir, latest))
+                self.pages_visited = sum(
+                    m.get("n_visited", 0) for m in ckpt.all_metrics(self.checkpoint_dir)
+                )
+                start_round = latest + 1
+                frontier_path = os.path.join(
+                    ckpt.round_dir(self.checkpoint_dir, latest), "frontier"
+                )
+                frontier = rd.read_parquet(frontier_path) if _has_parquet(frontier_path) else None
+            else:
+                resume = False
+        if not resume:
+            seed_table = self._seed_frontier(seeds, robots_ref)
+            frontier = rd.from_arrow(seed_table) if seed_table.num_rows else None
+
+        gate_fn = self._candidate_gate(robots_ref)
+        seen_fn = self._seen_filter()
+
+        for round_idx in range(start_round, cfg.max_rounds):
+            if frontier is None:
+                break
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+            t0 = time.time()
+            rdir = ckpt.begin_round(self.checkpoint_dir, round_idx)
+
+            # politeness budget: per-host top-k, remainder deferred
+            if cfg.per_host_cap is not None:
+                selected, deferred = enforce_politeness(
+                    frontier, per_host_cap=cfg.per_host_cap
+                )
+                selected = selected.drop_columns(["host_rank"])
+                deferred = deferred.drop_columns(["host_rank"])
+            else:
+                selected, deferred = frontier, None
+
+            # global capacity (reference bfs_strategy.py:131-136)
+            if cfg.max_pages is not None:
+                remaining = cfg.max_pages - self.pages_visited
+                if remaining <= 0:
+                    break
+                ordered = selected.sort(["score", "url"], descending=[True, False])
+                overflow = ordered.split_at_indices([remaining])
+                selected = overflow[0]
+                deferred = overflow[1] if deferred is None else deferred.union(overflow[1])
+
+            # visit + checkpoint this round's fetch set
+            selected = selected.map_batches(
+                lambda t, r=round_idx: t.append_column(
+                    "round", pa.array([r] * t.num_rows, pa.int32())
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            n_selected = selected.count()
+            if n_selected == 0:
+                break
+            selected.write_parquet(os.path.join(rdir, "visited"))
+            self.pages_visited += n_selected
+
+            # "fetch": frontier ⋈ pages on url (the simulated network)
+            if cfg.fetch_strategy == "join":
+                fetched = selected.select_columns(["url", "depth"]).join(
+                    pages,
+                    join_type="inner",
+                    num_partitions=cfg.join_partitions,
+                    on=("url",),
+                )
+            else:
+                # broadcast semi-join: put the round's url→depth map in
+                # the object store once; the pages scan filters locally
+                sel_df = selected.select_columns(["url", "depth"]).to_pandas()
+                depth_map = dict(zip(sel_df["url"], sel_df["depth"]))
+                map_ref = ray.put(depth_map)
+
+                def fetch_filter(batch: pa.Table, ref=map_ref) -> pa.Table:
+                    dm = ray.get(ref)
+                    urls = batch["url"].to_pylist()
+                    mask = [u in dm for u in urls]
+                    sub = batch.filter(pa.array(mask, pa.bool_()))
+                    depths = [dm[u] for u, m in zip(urls, mask) if m]
+                    return sub.append_column("depth", pa.array(depths, pa.int32()))
+
+                fetched = pages.map_batches(fetch_filter, batch_format="pyarrow")
+            n_fetched = fetched.count()
+
+            # discover → gate → dedup, only while depth allows
+            new_frontier = None
+            n_candidates = 0
+            if cfg.max_depth > 0:
+                links = fetched.map_batches(
+                    _with_depth(_extract_links_batch), batch_format="pyarrow"
+                )
+                links = links.map_batches(
+                    lambda t: t.filter(
+                        pa.compute.less_equal(t["depth"], cfg.max_depth)
+                    ),
+                    batch_format="pyarrow",
+                )
+                candidates = links.map_batches(gate_fn, batch_format="pyarrow")
+                # within-round dedup: deterministic first-wins
+                candidates = (
+                    candidates.groupby("url")
+                    .map_groups(_first_by_parent, batch_format="pandas")
+                    if candidates.count() > 0
+                    else candidates
+                )
+                n_candidates = candidates.count()
+                if n_candidates > 0:
+                    new_frontier = candidates.map_batches(seen_fn, batch_format="pyarrow")
+
+            # frontier_{k+1} = new ∪ deferred — checkpointed
+            parts = []
+            if new_frontier is not None:
+                parts.append(new_frontier)
+            if deferred is not None and deferred.count() > 0:
+                parts.append(deferred)
+            if parts:
+                nxt = parts[0]
+                for p in parts[1:]:
+                    nxt = nxt.union(p)
+                nxt = nxt.materialize()
+                nxt.write_parquet(os.path.join(rdir, "frontier"))
+                frontier = nxt if nxt.count() > 0 else None
+            else:
+                frontier = None
+
+            ckpt.save_seen_shards(self.checkpoint_dir, round_idx, self.seen.dump_all())
+            ckpt.commit_round(
+                self.checkpoint_dir,
+                round_idx,
+                {
+                    "n_frontier_in": n_frontier,
+                    "n_visited": n_selected,
+                    "n_fetched": n_fetched,
+                    "n_candidates": n_candidates,
+                    "n_frontier_out": frontier.count() if frontier is not None else 0,
+                    "seen_total": self.seen.total(),
+                    "wall_ms": int((time.time() - t0) * 1000),
+                },
+            )
+
+        return self.visited_dataset()
+
+    def visited_dataset(self):
+        latest = ckpt.latest_committed_round(self.checkpoint_dir)
+        if latest is None:
+            return rd.from_arrow(_frontier_table([], [], [], [], []))
+        files = []
+        for i in range(latest + 1):
+            vdir = os.path.join(ckpt.round_dir(self.checkpoint_dir, i), "visited")
+            if os.path.isdir(vdir):
+                files.extend(
+                    os.path.join(vdir, n) for n in sorted(os.listdir(vdir))
+                    if n.endswith(".parquet")
+                )
+        if not files:
+            return rd.from_arrow(_frontier_table([], [], [], [], []))
+        return rd.read_parquet(files)
+
+    def shutdown(self):
+        self.seen.shutdown()
+
+
+class _AllHostsRules(dict):
+    """Synthetic-corpus robots source: every host shares one rule set."""
+
+    def __init__(self, rules: str):
+        super().__init__()
+        self._rules = rules
+
+    def get(self, host, default=None):
+        return self._rules
+
+
+def _with_depth(link_fn):
+    """Wrap the link extractor to carry depth+1 from the fetched row."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        depth_by_url = dict(
+            zip(batch["url"].to_pylist(), batch["depth"].to_pylist())
+        )
+        links = link_fn(batch)
+        depths = [depth_by_url[u] + 1 for u in links["src_url"].to_pylist()]
+        return links.append_column("depth", pa.array(depths, pa.int32()))
+
+    return fn
+
+
+def _first_by_parent(group):
+    """Deterministic within-round first-wins: min (depth, parent)."""
+    group = group.sort_values(["depth", "parent"], kind="mergesort")
+    return group.head(1)
+
+
+def _has_parquet(path: str) -> bool:
+    return os.path.isdir(path) and any(n.endswith(".parquet") for n in os.listdir(path))
+
+
+def crawl_bfs(
+    pages_path: str,
+    seeds: list[str],
+    cfg: CrawlConfig | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+):
+    """Convenience wrapper: run a BFS crawl, return (visited Dataset,
+    BFSCrawl driver). Caller should ``driver.shutdown()`` when done."""
+    driver = BFSCrawl(pages_path, cfg or CrawlConfig(), checkpoint_dir)
+    visited = driver.run(seeds, resume=resume)
+    return visited, driver

@@ -65,4 +65,51 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    unnest(regexp_extract_all(decode(html), '[\\w.+-]+@[\\w-]+\\.[\\w.-]+')) AS value
             FROM read_parquet('{path}')
         """,
+        "frontier_bfs": f"""
+            WITH RECURSIVE
+            hrefs AS (
+                SELECT url AS src,
+                       unnest(regexp_extract_all(decode(html), 'href="([^"]+)"', 1)) AS raw
+                FROM read_parquet('{path}')
+                WHERE url NOT LIKE '%/private/%'
+            ),
+            edges AS (
+                SELECT DISTINCT src,
+                       regexp_replace(raw, '\\?utm_source=feed&utm_campaign=c[0-9]+&b=2&a=1$', '?a=1&b=2') AS dst
+                FROM hrefs
+                WHERE raw NOT LIKE '%external-site.org%'
+                  AND raw NOT LIKE '%/private/%'
+            ),
+            seeds AS (
+                SELECT url FROM read_parquet('{path}')
+                WHERE url NOT LIKE '%/private/%' ORDER BY url LIMIT 3
+            ),
+            walk(url, depth) AS (
+                SELECT url, 0 FROM seeds
+                UNION
+                SELECT e.dst, w.depth + 1
+                FROM walk w JOIN edges e ON e.src = w.url
+                WHERE w.depth < 2
+            )
+            SELECT url, CAST(MIN(depth) AS INTEGER) AS depth FROM walk GROUP BY url
+        """,
+        "top_k_per_host": f"""
+            WITH scored AS (
+                SELECT url,
+                       regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+                       ((CASE WHEN url LIKE '%articles%' THEN 1 ELSE 0 END)
+                        + (CASE WHEN url LIKE '%doc-1%' THEN 1 ELSE 0 END)) / 2.0 AS score
+                FROM read_parquet('{path}')
+            ),
+            ranked AS (
+                SELECT host, url, score,
+                       ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, url ASC) AS rn
+                FROM scored
+            )
+            SELECT host, url, score FROM ranked WHERE rn <= 3
+        """,
+        "robots_filter": f"""
+            SELECT url FROM read_parquet('{path}')
+            WHERE url NOT LIKE '%/private/%'
+        """,
     }

@@ -137,3 +137,86 @@ def q_regex_emails(sf_dir: str):
     pages = read_pages(sf_dir)
     matches = regex_extract(pages, ["email"], text_column="html")
     return matches.select_columns(["url", "value"])
+
+
+# ---------------------------------------------------------------- frontier
+
+
+def _sorted_seed_urls(sf_dir: str, n: int = 3) -> list[str]:
+    import pyarrow.parquet as pq
+
+    from .sources.pages import pages_parquet_path
+
+    urls = pq.read_table(pages_parquet_path(sf_dir), columns=["url"])["url"].to_pylist()
+    return sorted(u for u in urls if "/private/" not in u)[:n]
+
+
+def q_frontier_bfs(sf_dir: str):
+    """Full BSP BFS crawl (seeds = first 3 urls, depth ≤ 2, robots
+    gate on) → final visited set (url, depth).  Oracle: recursive CTE
+    min-depth reachability over the regexp-extracted link graph."""
+    import tempfile
+
+    from .frontier.crawl import BFSCrawl, CrawlConfig
+    from .sources.pages import pages_parquet_path
+
+    cfg = CrawlConfig(max_depth=2, check_robots=True, n_seen_shards=2)
+    driver = BFSCrawl(
+        pages_parquet_path(sf_dir), cfg, tempfile.mkdtemp(prefix="bfs_query_")
+    )
+    try:
+        visited = driver.run(_sorted_seed_urls(sf_dir))
+        return visited.select_columns(["url", "depth"]).materialize()
+    finally:
+        driver.shutdown()
+
+
+def q_top_k_per_host(sf_dir: str):
+    """Politeness round formation: per-host top-3 candidates by
+    (keyword score desc, url asc) — the groupby(host)-rank-split
+    shuffle (reference ``RateLimiter`` semantics as data movement)."""
+    from .frontier.politeness import rank_within_host, split_by_budget
+    from .frontier.scorers import KeywordRelevanceScorer
+
+    scorer = KeywordRelevanceScorer(["articles", "doc-1"])
+    pages = read_pages(sf_dir).select_columns(["url"])
+
+    def to_frontier(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "host": pa.array([url_host(u) for u in urls], pa.string()),
+                "score": pa.array(scorer.score_many(urls), pa.float64()),
+            }
+        )
+
+    frontier = pages.map_batches(to_frontier, batch_format="pyarrow")
+    ranked = rank_within_host(frontier, per_host_cap=3).materialize()
+    selected, _deferred = split_by_budget(ranked, per_host_cap=3)
+    return selected.select_columns(["host", "url", "score"])
+
+
+def q_robots_filter(sf_dir: str):
+    """URLs admitted by the robots gate (synthetic rules:
+    ``Disallow: /private/``)."""
+    import ray
+
+    from .frontier.robots import RobotsGate
+    from .frontier.crawl import _AllHostsRules
+    from .frontier.robots import DEFAULT_SYNTHETIC_RULES
+
+    gate = RobotsGate({}, user_agent="*")
+    gate._rules_by_host = _AllHostsRules(DEFAULT_SYNTHETIC_RULES)
+    gate_ref = ray.put(gate)
+
+    def allowed(batch: pa.Table) -> pa.Table:
+        g = ray.get(gate_ref)
+        urls = batch["url"].to_pylist()
+        hosts = [url_host(u) for u in urls]
+        mask = g.allowed_many(urls, hosts)
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return read_pages(sf_dir).select_columns(["url"]).map_batches(
+        allowed, batch_format="pyarrow"
+    )

@@ -77,6 +77,9 @@ QUERY_NAMES = [
     "page_metadata",
     "page_tables",
     "regex_emails",
+    "frontier_bfs",
+    "top_k_per_host",
+    "robots_filter",
 ]
 
 

@@ -1,0 +1,136 @@
+"""Unit tests for frontier filters and scorers — golden cases mirror
+the reference's ``tests/general/test_deep_crawl_filters.py`` /
+``test_deep_crawl_scorers.py`` style."""
+
+from crawl4ai_custom_ray.frontier.filters import (
+    ContentTypeFilter,
+    DomainFilter,
+    FilterChain,
+    URLPatternFilter,
+)
+from crawl4ai_custom_ray.frontier.scorers import (
+    CompositeScorer,
+    ContentTypeScorer,
+    DomainAuthorityScorer,
+    FreshnessScorer,
+    KeywordRelevanceScorer,
+    PathDepthScorer,
+)
+
+
+class TestURLPatternFilter:
+    def test_suffix(self):
+        f = URLPatternFilter("*.html")
+        assert f.apply("https://x.com/page.html")
+        assert not f.apply("https://x.com/page.pdf")
+
+    def test_prefix_path_boundary(self):
+        f = URLPatternFilter("/api/*")
+        assert f.apply("/api/v1")
+        assert f.apply("/api")
+        assert not f.apply("/apiv2/x")
+
+    def test_domain(self):
+        f = URLPatternFilter("https://*.example.com/*")
+        assert f.apply("https://sub.example.com/page")
+
+    def test_glob_star(self):
+        f = URLPatternFilter("*blog*")
+        assert f.apply("https://x.com/blog/post")
+        assert not f.apply("https://x.com/shop")
+
+
+    def test_regex_passthrough(self):
+        f = URLPatternFilter(r"^https://x\.com/\d+$")
+        assert f.apply("https://x.com/123")
+        assert not f.apply("https://x.com/abc")
+
+    def test_reverse(self):
+        f = URLPatternFilter("*.html", reverse=True)
+        assert not f.apply("https://x.com/a.html")
+        assert f.apply("https://x.com/a.pdf")
+
+
+class TestContentTypeFilter:
+    def test_html_allowed(self):
+        f = ContentTypeFilter(["text/html"])
+        assert f.apply("https://x.com/page.html")
+        assert f.apply("https://x.com/dir/")  # extensionless passes
+        assert not f.apply("https://x.com/x.png")
+
+    def test_query_ignored(self):
+        f = ContentTypeFilter(["text/html"])
+        assert f.apply("https://x.com/p.html?q=1")
+
+
+class TestDomainFilter:
+    def test_allow_with_subdomains(self):
+        f = DomainFilter(allowed_domains=["example.com"])
+        assert f.apply("https://example.com/a")
+        assert f.apply("https://sub.example.com/a")
+        assert not f.apply("https://other.org/a")
+
+    def test_block(self):
+        f = DomainFilter(blocked_domains=["bad.com"])
+        assert not f.apply("https://bad.com/a")
+        assert not f.apply("https://x.bad.com/a")
+        assert f.apply("https://good.com/a")
+
+
+class TestFilterChain:
+    def test_and_semantics(self):
+        chain = FilterChain(
+            [URLPatternFilter("*.html"), DomainFilter(allowed_domains=["example.com"])]
+        )
+        urls = [
+            "https://example.com/a.html",
+            "https://example.com/a.pdf",
+            "https://other.org/a.html",
+        ]
+        assert chain.apply_many(urls) == [True, False, False]
+
+    def test_empty_chain(self):
+        assert FilterChain().apply_many(["https://x.com"]) == [True]
+
+
+class TestScorers:
+    def test_keyword(self):
+        s = KeywordRelevanceScorer(["python", "data"])
+        assert s.score("https://x.com/python-data") == 1.0
+        assert s.score("https://x.com/python") == 0.5
+        assert s.score("https://x.com/other") == 0.0
+
+    def test_path_depth(self):
+        s = PathDepthScorer(optimal_depth=2)
+        assert s.score("https://x.com/a/b") == 1.0
+        assert s.score("https://x.com/a") == 0.5
+        assert s.score("https://x.com") == 1.0 / 3.0
+
+    def test_content_type(self):
+        s = ContentTypeScorer({".html$": 1.0, ".pdf$": 0.2})
+        assert s.score("https://x.com/a.html") == 1.0
+        assert s.score("https://x.com/a.pdf?x=1") == 0.2
+        assert s.score("https://x.com/a") == 0.0
+
+    def test_freshness(self):
+        s = FreshnessScorer(current_year=2024)
+        assert s.score("https://x.com/2024/01/post") == 1.0
+        assert s.score("https://x.com/2022-05-01/post") == 0.8
+        assert s.score("https://x.com/plain") == 0.5
+
+    def test_domain_authority(self):
+        s = DomainAuthorityScorer({"good.com": 1.0}, default_weight=0.4)
+        assert s.score("https://good.com/x") == 1.0
+        assert s.score("https://meh.com/x") == 0.4
+
+    def test_composite_normalized(self):
+        s = CompositeScorer(
+            [KeywordRelevanceScorer(["a"], weight=1.0), DomainAuthorityScorer({}, 0.5)]
+        )
+        score = s.score("https://x.com/a")
+        assert abs(score - (1.0 + 0.5) / 2) < 1e-9
+
+    def test_score_many_matches_score(self):
+        s = CompositeScorer([PathDepthScorer(2), FreshnessScorer(current_year=2024)])
+        urls = ["https://x.com/a/b", "https://x.com/2020/x", "https://x.com"]
+        assert s.score_many(urls) == [s.score(u) for u in urls]
