@@ -41,6 +41,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_bfs": q.q_frontier_bfs,
         "top_k_per_host": q.q_top_k_per_host,
         "robots_filter": q.q_robots_filter,
+        # training-data ops
+        "dedup_exact": q.q_dedup_exact,
+        "jaccard_pairs": q.q_jaccard_pairs,
+        "dedup_minhash": q.q_dedup_minhash,
+        "dedup_simhash": q.q_dedup_simhash,
+        "token_count": q.q_token_count,
+        "quality_score": q.q_quality_score,
+        "lang_id": q.q_lang_id,
+        "fingerprint": q.q_fingerprint,
+        "knn_topk": q.q_knn_topk,
+        "knn_ivf": q.q_knn_ivf,
+        "media_features": q.q_media_features,
+        "events_window": q.q_events_window,
+        "chunk_fixed": q.q_chunk_fixed,
     }
 
 

@@ -1,0 +1,115 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata;
+decode / feature-extraction stages are actor-pool ``map_batches``
+transforms (model loaded once per actor).  The actual codecs are NOT
+available in this environment, so the decode step is STUBBED:
+
+- ``decoder="stub"`` (default): a deterministic fake decode — derives
+  (width, height, n_channels, features) arithmetically from the bytes,
+  so the full Ray plumbing (schema, batch sizing, actor lifecycle,
+  output layout) is real and testable, and has a SQL oracle
+  (``octet_length`` arithmetic).
+- ``decoder="pil"`` etc.: raises ``NotImplementedError`` with a clear
+  message — the integration point for a real image library.
+
+Batch sizing note (100 TB): media rows are large; keep ``batch_size``
+small (default 16) and let blocks stay near ``target_max_block_size``
+so one batch × pool concurrency fits worker heaps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("media_type", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+        ("features", pa.list_(pa.float32(), FEATURE_DIM)),
+    ]
+)
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode (stubbed) + feature-extract media
+    binary columns.
+
+    ``__init__`` = the once-per-actor model/codec setup; ``__call__`` =
+    per-batch work.  With a real decoder this class would load the
+    image library + a feature model here."""
+
+    def __init__(self, decoder: str = "stub", binary_column: str = "payload"):
+        if decoder != "stub":
+            raise NotImplementedError(
+                f"decoder={decoder!r}: image/audio codecs are not available in "
+                "this environment; only the deterministic 'stub' decoder is "
+                "implemented. Plug a real decode here (PIL/ffmpeg) when "
+                "running with media libraries installed."
+            )
+        self.decoder = decoder
+        self.binary_column = binary_column
+
+    @staticmethod
+    def _stub_decode(payload: bytes) -> tuple[int, int, np.ndarray]:
+        """Deterministic fake decode: dims + an 8-dim feature vector
+        derived from the payload bytes (SQL-replicable: width/height
+        from octet_length; features from a stable byte hash)."""
+        n = len(payload)
+        width = 64 + (n % 577)
+        height = 64 + ((n * 7) % 419)
+        digest = hashlib.blake2b(payload, digest_size=FEATURE_DIM).digest()
+        features = (np.frombuffer(digest, dtype=np.uint8).astype(np.float32)) / 255.0
+        return width, height, features
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        payloads = batch[self.binary_column].to_pylist()
+        widths, heights, n_bytes, feats = [], [], [], []
+        for p in payloads:
+            p = p or b""
+            w, h, f = self._stub_decode(p)
+            widths.append(w)
+            heights.append(h)
+            n_bytes.append(len(p))
+            feats.append(f.tolist())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "media_type": pa.array(["image"] * len(urls), pa.string()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_bytes": pa.array(n_bytes, pa.int64()),
+                "features": pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+
+def extract_media_features(
+    ds,
+    *,
+    binary_column: str = "payload",
+    concurrency: int = 2,
+    batch_size: int = 16,
+):
+    """Media dataset → features table (actor pool; small batches for
+    large binary rows).  ``num_cpus=0.5`` so the pool never reserves
+    every core and starves the read stage (pipeline-deadlock guard on
+    small sessions)."""
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs={"binary_column": binary_column},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

@@ -1,0 +1,151 @@
+"""Text analysis stages: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All are stateless ``map_batches`` transforms; the language identifier
+is a callable class (per-actor profile setup).  Formulas that have
+DuckDB oracles (token count, quality metrics) are defined with exact
+SQL-replicable arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import struct
+
+import pyarrow as pa
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+_PUNCT_RE = re.compile(r"[.!?,;:]")
+
+
+def token_count_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Table:
+    """n_tokens = whitespace-split count; n_chars = len(text)."""
+    texts = batch[text_column].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array([len(t.split(" ")) for t in texts], pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Table:
+    """Quality signals (SQL-replicable):
+    - n_words: whitespace token count
+    - mean_word_len: n_non_space_chars / n_words
+    - stopword_ratio: tokens ∈ STOPWORDS / n_words
+    - punct_ratio: punctuation chars / n_chars
+    """
+    texts = batch[text_column].to_pylist()
+    n_words, mean_len, stop_ratio, punct_ratio = [], [], [], []
+    for t in texts:
+        words = t.split(" ")
+        nw = len(words)
+        n_words.append(nw)
+        non_space = sum(len(w) for w in words)
+        mean_len.append(non_space / nw if nw else 0.0)
+        stop_ratio.append(sum(1 for w in words if w in STOPWORDS) / nw if nw else 0.0)
+        punct_ratio.append(len(_PUNCT_RE.findall(t)) / len(t) if t else 0.0)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_len, pa.float64()),
+            "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            "punct_ratio": pa.array(punct_ratio, pa.float64()),
+        }
+    )
+
+
+# ------------------------------------------------------------- language id
+
+# Tiny per-language profiles: characteristic words + character patterns.
+# A pragmatic n-gram/function-word heuristic (no model downloads).
+_LANG_PROFILES: dict[str, tuple[set[str], str]] = {
+    "en": ({"the", "and", "of", "to", "is", "in", "that", "it", "with", "for"}, ""),
+    "de": ({"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"}, "äöüß"),
+    "fr": ({"le", "la", "les", "et", "est", "une", "des", "que", "dans", "pour"}, "éèêàçô"),
+    "es": ({"el", "la", "los", "las", "y", "es", "una", "que", "en", "por"}, "ñ¿¡áíó"),
+    "it": ({"il", "la", "di", "che", "e", "un", "per", "con", "del", "sono"}, "àèì"),
+}
+
+
+class LanguageId:
+    """Actor-pool language identifier: profiles compiled once per
+    actor (``__init__``), scored per batch (``__call__``) — the
+    canonical stateful ``map_batches`` stage shape."""
+
+    def __init__(self):
+        self.profiles = {
+            lang: (words, set(chars)) for lang, (words, chars) in _LANG_PROFILES.items()
+        }
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def predict(self, text: str) -> tuple[str, float]:
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "und", 0.0
+        best_lang, best_score = "und", 0.0
+        charset = set(text)
+        for lang, (stop, chars) in self.profiles.items():
+            hits = sum(1 for w in words if w in stop)
+            score = hits / len(words)
+            if chars & charset:
+                score += 0.2
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return (best_lang if best_score > 0.02 else "und", round(best_score, 4))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        preds = [self.predict(t) for t in texts]
+        out = batch.select([c for c in ("doc_id", "url") if c in batch.column_names])
+        out = out.append_column("pred_lang", pa.array([p[0] for p in preds], pa.string()))
+        return out.append_column(
+            "lang_score", pa.array([p[1] for p in preds], pa.float64())
+        )
+
+
+def language_id(ds, *, concurrency: int = 2, batch_size: int = 1024):
+    # num_cpus=0.5: never let the pool reserve every core (deadlock guard)
+    return ds.map_batches(
+        LanguageId,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=0.5,
+    )
+
+
+# ----------------------------------------------------------- fingerprint
+
+
+def rolling_fingerprint(text: str, *, window: int = 8, keep: int = 4) -> list[int]:
+    """Winnowing-style document fingerprint: 64-bit hashes of
+    ``window``-token windows, keep the ``keep`` smallest (published
+    scheme: Schleimer et al., SIGMOD'03 winnowing)."""
+    tokens = text.split()
+    if not tokens:
+        return []
+    if len(tokens) <= window:
+        windows = [" ".join(tokens)]
+    else:
+        windows = [" ".join(tokens[i : i + window]) for i in range(len(tokens) - window + 1)]
+    hashes = sorted(
+        struct.unpack("<Q", hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest())[0]
+        for w in windows
+    )
+    return hashes[:keep]
+
+
+def fingerprint_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Table:
+    texts = batch[text_column].to_pylist()
+    fps = [rolling_fingerprint(t) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(fps, pa.list_(pa.uint64())),
+        }
+    )

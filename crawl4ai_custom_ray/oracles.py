@@ -112,4 +112,103 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT url FROM read_parquet('{path}')
             WHERE url NOT LIKE '%/private/%'
         """,
+        # ------------------------------------------- training-data ops
+        # (documents / embeddings / events are pre-registered views)
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        """,
+        "jaccard_pairs": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+            zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+            w AS (
+                SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz
+            ),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM w a
+                JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT inter.a, inter.b,
+                   CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = inter.a
+            JOIN counts cb ON cb.doc_id = inter.b
+            WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= 0.5
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "quality_score": """
+            WITH t AS (
+                SELECT doc_id, text, len(string_split(text, ' ')) AS nw FROM documents
+            )
+            SELECT doc_id,
+                   CAST(nw AS BIGINT) AS n_words,
+                   CAST(length(text) - (nw - 1) AS DOUBLE) / nw AS mean_word_len,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains(['the','a','of','and','to','in','is'], w))) AS DOUBLE) / nw
+                       AS stopword_ratio,
+                   CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) / length(text)
+                       AS punct_ratio
+            FROM t
+        """,
+        "knn_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                ORDER BY vec_id LIMIT 5
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS sim
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id != q.query_id
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+                ) AS rn
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, ROUND(sim, 4) AS sim
+            FROM ranked WHERE rn <= 10
+        """,
+        "media_features": f"""
+            SELECT url,
+                   CAST(64 + octet_length(html) % 577 AS INTEGER) AS width,
+                   CAST(64 + (octet_length(html) * 7) % 419 AS INTEGER) AS height,
+                   CAST(octet_length(html) AS BIGINT) AS n_bytes
+            FROM read_parquet('{path}')
+        """,
+        "events_window": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "chunk_fixed": """
+            WITH t AS (
+                SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents
+            ),
+            e AS (
+                SELECT doc_id, nw,
+                       unnest(generate_series(0, CAST(ceil(nw / 50.0) AS INTEGER) - 1)) AS i
+                FROM t
+            )
+            SELECT doc_id, CAST(i AS INTEGER) AS chunk_index,
+                   CAST(LEAST(50, nw - 50 * i) AS BIGINT) AS n_chunk_words
+            FROM e
+        """,
     }

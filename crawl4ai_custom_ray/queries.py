@@ -220,3 +220,187 @@ def q_robots_filter(sf_dir: str):
     return read_pages(sf_dir).select_columns(["url"]).map_batches(
         allowed, batch_format="pyarrow"
     )
+
+
+# ----------------------------------------------------- training-data ops
+
+
+def _documents(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: min doc_id per distinct text (hash-partitioned)."""
+    from .functions.dedup import exact_dedup
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact n-gram-Jaccard near-dup pairs (3-word shingles, ≥ 0.5)
+    via inverted-index join — the verification baseline for LSH."""
+    from .functions.dedup import jaccard_pairs
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return jaccard_pairs(ds, threshold=0.5, shingle_n=3)
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup candidates verified by exact Jaccard
+    (shingle→minhash→band→bucket groupby). Approximate recall —
+    rows-only driver check; exactness covered by pytest vs brute
+    force on planted duplicates."""
+    from .functions.dedup import minhash_lsh_pairs
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, shingle_n=3)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole segment
+    banding. Rows-only driver check; pytest covers planted dups."""
+    from .functions.dedup import simhash_pairs
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_token_count(sf_dir: str):
+    from .functions.textstats import token_count_batch
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def q_quality_score(sf_dir: str):
+    from .functions.textstats import quality_batch
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_batch, batch_format="pyarrow"
+    )
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language ID (actor-pool stage). Rows-only check —
+    accuracy asserted in pytest on crafted multilingual fixtures."""
+    from .functions.textstats import language_id
+
+    return language_id(_documents(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "pred_lang", "lang_score"]
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    """Winnowing document fingerprints (rolling window hashes).
+    Rows-only; determinism asserted in pytest."""
+    from .functions.textstats import fingerprint_batch
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def _query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+    import numpy as np
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    ids = df["vec_id"].tolist()
+    vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+    return ids, vecs
+
+
+def q_knn_topk(sf_dir: str):
+    """Exact cosine top-10 neighbors for the first 5 vectors
+    (brute force: broadcast query matrix, per-batch matmul)."""
+    import ray.data as rd
+
+    from .functions.similarity import knn_brute_force
+
+    ids, vecs = _query_vectors(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_brute_force(ds, vecs, ids, k=10)
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate cosine top-10 (scale path).
+    Rows-only; recall vs brute force asserted in pytest."""
+    import ray.data as rd
+
+    from .functions.similarity import knn_ivf
+
+    ids, vecs = _query_vectors(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, vecs, ids, k=10, n_clusters=8, n_probe=8)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: pages html bytes as opaque media payloads
+    → actor-pool stub decode → (url, width, height, n_bytes)."""
+    from .functions.multimodal import extract_media_features
+
+    pages = read_pages(sf_dir).select_columns(["url", "html"])
+    feats = extract_media_features(pages, binary_column="html")
+    return feats.select_columns(["url", "width", "height", "n_bytes"])
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per event_type: partial
+    aggregation inside map_batches, then a small groupby — the
+    pre-aggregate-before-shuffle pattern."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        import pandas as pd
+
+        window = _pc.floor_temporal(batch["ts"], unit="hour")
+        # sum in integer cents: order-independent exact aggregation
+        cents = [int(round(v * 100)) for v in batch["value"].to_pylist()]
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pylist(),
+                "window_start": window.to_pandas(),
+                "cents": cents,
+            }
+        )
+        agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_part=("cents", "size"), cents_part=("cents", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_part", alias_name="n_events"),
+        Sum("cents_part", alias_name="sum_value_cents"),
+    )
+
+
+def q_chunk_fixed(sf_dir: str):
+    """Fixed-length word chunking exploded to
+    (doc_id, chunk_index, n_chunk_words)."""
+    from .functions.chunkers import FixedLengthWordChunking, chunk_dataset
+
+    chunked = chunk_dataset(
+        _documents(sf_dir, ["doc_id", "text"]), FixedLengthWordChunking(50)
+    )
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        n = [len(c.split(" ")) for c in batch["chunk"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "chunk_index": batch["chunk_index"],
+                "n_chunk_words": pa.array(n, pa.int64()),
+            }
+        )
+
+    return chunked.map_batches(sizes, batch_format="pyarrow")

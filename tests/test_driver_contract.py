@@ -80,7 +80,27 @@ QUERY_NAMES = [
     "frontier_bfs",
     "top_k_per_host",
     "robots_filter",
+    "dedup_exact",
+    "jaccard_pairs",
+    "token_count",
+    "quality_score",
+    "knn_topk",
+    "media_features",
+    "events_window",
+    "chunk_fixed",
 ]
+
+ROWS_ONLY_QUERIES = ["dedup_minhash", "dedup_simhash", "lang_id", "fingerprint", "knn_ivf"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(name, ray_session):
+    """Queries without SQL oracles must still run and return a stable
+    schema (driver records a weaker rows-only check)."""
+    qs, _ = _entries()
+    result = qs[name](SF_DIR)
+    df = result.to_pandas() if hasattr(result, "to_pandas") else result
+    assert df is not None and len(df.columns) > 0
 
 
 @pytest.mark.parametrize("name", QUERY_NAMES)

@@ -1,0 +1,200 @@
+"""Training-data ops: dedup family on planted near-duplicates, ANN
+recall, language-ID accuracy on crafted fixtures, chunkers,
+multimodal stub plumbing."""
+
+import numpy as np
+import pytest
+
+from crawl4ai_custom_ray.functions.chunkers import (
+    FixedLengthWordChunking,
+    OverlappingWindowChunking,
+    RegexChunking,
+    RegexSentenceChunking,
+    SlidingWindowChunking,
+)
+from crawl4ai_custom_ray.functions.dedup import (
+    hamming64,
+    simhash64,
+    word_shingles,
+)
+from crawl4ai_custom_ray.functions.textstats import LanguageId, rolling_fingerprint
+
+
+def _corpus_with_dups():
+    """60 distinct docs + 5 near-duplicate pairs (one word changed)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"word{i}" for i in range(400)]
+    docs = []
+    for i in range(60):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(80)]
+        docs.append({"doc_id": i, "text": " ".join(words)})
+    # plant near-dups: copy doc j with one word replaced
+    for j in range(5):
+        base = docs[j]["text"].split()
+        base[40] = "CHANGED"
+        docs.append({"doc_id": 100 + j, "text": " ".join(base)})
+    return docs
+
+
+@pytest.fixture(scope="module")
+def dup_corpus():
+    return _corpus_with_dups()
+
+
+def _brute_force_pairs(docs, threshold, n=3):
+    sh = {d["doc_id"]: word_shingles(d["text"], n) for d in docs}
+    ids = sorted(sh)
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            union = sh[a] | sh[b]
+            if union and len(sh[a] & sh[b]) / len(union) >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session, dup_corpus):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import minhash_lsh_pairs
+
+    ds = rd.from_items(dup_corpus)
+    got = minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, shingle_n=3)
+    got_pairs = {(r["a"], r["b"]) for r in got.to_pandas().to_dict("records")}
+    expected = _brute_force_pairs(dup_corpus, 0.5)
+    assert expected, "fixture must contain near-dup pairs"
+    recall = len(got_pairs & expected) / len(expected)
+    assert recall >= 0.99, f"LSH recall {recall}: missing {expected - got_pairs}"
+    # verification step guarantees precision = 1
+    assert got_pairs <= expected
+
+
+def test_simhash_finds_planted_dups(ray_session, dup_corpus):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import simhash_pairs
+
+    ds = rd.from_items(dup_corpus)
+    got = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got_pairs = {(r["a"], r["b"]) for r in got.to_dict("records")}
+    # expected: pairs whose simhash distance is actually ≤ 3 (exact check)
+    fps = {d["doc_id"]: simhash64(d["text"].split()) for d in dup_corpus}
+    ids = sorted(fps)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if hamming64(fps[a], fps[b]) <= 3
+    }
+    assert got_pairs == expected
+    # planted dups within the Hamming radius must all be found
+    planted = {(j, 100 + j) for j in range(5) if hamming64(fps[j], fps[100 + j]) <= 3}
+    assert planted and planted <= got_pairs
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import exact_dedup
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 5, "text": "same text"},
+            {"doc_id": 2, "text": "same text"},
+            {"doc_id": 9, "text": "other text"},
+        ]
+    )
+    kept = sorted(exact_dedup(ds).to_pandas()["doc_id"])
+    assert kept == [2, 9]
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.similarity import knn_brute_force, knn_ivf
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    ds = rd.from_items(items)
+    qids = [0, 1, 2]
+    qv = vecs[:3].astype(np.float64)
+
+    exact = knn_brute_force(ds, qv, qids, k=10).to_pandas()
+    approx = knn_ivf(ds, qv, qids, k=10, n_clusters=8, n_probe=4).to_pandas()
+
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls  # probing half the space
+
+
+def test_language_id_fixtures():
+    lid = LanguageId()
+    cases = {
+        "en": "the quick brown fox jumps over the lazy dog and it is very fast",
+        "de": "der schnelle braune fuchs springt über den faulen hund und das ist gut",
+        "fr": "le renard brun rapide saute par dessus le chien paresseux dans la forêt et pour les autres",
+        "es": "el zorro marrón rápido salta sobre el perro perezoso y es una buena cosa que en la casa",
+    }
+    for lang, text in cases.items():
+        pred, score = lid.predict(text)
+        assert pred == lang, f"{lang}: got {pred} ({score})"
+    assert lid.predict("")[0] == "und"
+    assert lid.predict("xyzzy qwerty 12345")[0] == "und"
+
+
+def test_fingerprint_deterministic_and_robust():
+    text = " ".join(f"w{i}" for i in range(100))
+    fp1 = rolling_fingerprint(text)
+    fp2 = rolling_fingerprint(text)
+    assert fp1 == fp2 and len(fp1) == 4
+    # identical docs share fingerprints; a one-word prefix change keeps overlap
+    changed = "X " + text
+    fp3 = rolling_fingerprint(changed)
+    assert len(set(fp1) & set(fp3)) >= 2
+
+
+class TestChunkers:
+    def test_regex(self):
+        assert RegexChunking().chunk("a b\n\nc d") == ["a b", "c d"]
+
+    def test_sentences(self):
+        out = RegexSentenceChunking().chunk("One. Two! Three?")
+        assert out == ["One.", "Two!", "Three?"]
+
+    def test_fixed(self):
+        chunks = FixedLengthWordChunking(3).chunk("a b c d e f g")
+        assert chunks == ["a b c", "d e f", "g"]
+
+    def test_sliding(self):
+        chunks = SlidingWindowChunking(window_size=3, step=2).chunk("a b c d e")
+        assert chunks == ["a b c", "c d e"]
+
+    def test_overlapping(self):
+        chunks = OverlappingWindowChunking(window_size=4, overlap=1).chunk("a b c d e f")
+        assert chunks == ["a b c d", "d e f"]
+
+
+def test_multimodal_stub(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.multimodal import (
+        ImageFeatureExtractor,
+        extract_media_features,
+    )
+
+    items = [{"url": f"https://x.com/{i}", "payload": bytes([i]) * (100 + i)} for i in range(20)]
+    ds = rd.from_items(items)
+    out = extract_media_features(ds).to_pandas()
+    assert len(out) == 20
+    assert (out["n_bytes"] == [100 + i for i in range(20)]).all()
+    assert out["features"].map(len).eq(8).all()
+    # real decoders are gated, not silently faked
+    with pytest.raises(NotImplementedError):
+        ImageFeatureExtractor(decoder="pil")
