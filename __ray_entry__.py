@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "events_window": q.q_events_window,
         "chunk_fixed": q.q_chunk_fixed,
+        # structured extraction
+        "structured_extract": q.q_structured_extract,
+        "semantic_cluster": q.q_semantic_cluster,
     }
 
 

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "pages": N,
+     "pages_per_sec": N}
+
+Headline = frontier-to-extracted-text throughput: the full extraction
+kernel (scrape → markdown+citations → pruning → text) over an
+amplified synthetic Common-Crawl-style pages table (variants×paragraph
+fattening of the sf documents), consumed by write_parquet.
+
+``--scaling``: runs the plain bench twice in fresh subprocesses at 8
+and 32 CPUs on the same input and reports both plus scaling
+efficiency (the in-sandbox evidence for the N vs 4N cluster-size
+criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+VARIANTS = int(os.environ.get("GRAFT_BENCH_VARIANTS", "4"))
+PARAGRAPHS = int(os.environ.get("GRAFT_BENCH_PARAGRAPHS", "8"))
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from crawl4ai_custom_ray.sources.pages import pages_parquet_path
+    from crawl4ai_custom_ray.stages.extract import extract_pages
+
+    # generate + warm the page cache (untimed)
+    pages_path = pages_parquet_path(SF_DIR, variants=VARIANTS, paragraphs=PARAGRAPHS)
+    n_pages = rd.read_parquet(pages_path).count()
+
+    queries: dict[str, float] = {}
+
+    # headline: full extract kernel → parquet sink
+    out_dir = "/tmp/bench_out/extracted"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def headline():
+        ds = rd.read_parquet(pages_path)
+        extracted = extract_pages(
+            ds, columns=["text", "raw_markdown", "markdown_with_citations", "n_tables"]
+        )
+        extracted.write_parquet(out_dir)
+
+    queries["extract"] = _timed(headline)
+
+    # frontier: one BFS crawl (depth 2, politeness cap) on the base pages
+    from crawl4ai_custom_ray.frontier.crawl import BFSCrawl, CrawlConfig
+    import pyarrow.parquet as pq
+    import tempfile
+
+    base_pages = pages_parquet_path(SF_DIR)
+    seeds = sorted(
+        u
+        for u in pq.read_table(base_pages, columns=["url"])["url"].to_pylist()
+        if "/private/" not in u
+    )[:50]
+
+    def frontier():
+        driver = BFSCrawl(
+            base_pages,
+            CrawlConfig(max_depth=2, check_robots=True, per_host_cap=200, n_seen_shards=4),
+            tempfile.mkdtemp(prefix="bench_bfs_"),
+        )
+        try:
+            driver.run(seeds).count()
+        finally:
+            driver.shutdown()
+
+    queries["frontier_bfs"] = _timed(frontier)
+
+    # dedup: minhash-LSH over documents
+    from crawl4ai_custom_ray.functions.dedup import minhash_lsh_pairs
+
+    def dedup():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        minhash_lsh_pairs(docs, threshold=0.5, num_perm=64, bands=16, shingle_n=3).count()
+
+    queries["dedup_minhash"] = _timed(dedup)
+
+    # similarity: brute-force cosine top-10 for 20 queries
+    from crawl4ai_custom_ray.functions.similarity import knn_brute_force
+    import numpy as np
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    qids = emb["vec_id"].head(20).tolist()
+    qvecs = np.asarray([np.asarray(v, dtype=np.float64) for v in emb["embedding"].head(20)])
+
+    def knn():
+        ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+        knn_brute_force(ds, qvecs, qids, k=10)
+
+    queries["knn_topk"] = _timed(knn)
+
+    # link stats: extraction-light link explosion + host aggregate
+    from crawl4ai_custom_ray.frontier.crawl import _extract_links_batch
+    from ray.data.aggregate import Count
+
+    def links():
+        ds = rd.read_parquet(base_pages, columns=["url", "html"])
+        links_ds = ds.map_batches(_extract_links_batch, batch_format="pyarrow")
+        links_ds.groupby("src_url").aggregate(Count(alias_name="n")).count()
+
+    queries["link_stats"] = _timed(links)
+
+    ray.shutdown()
+
+    headline_sec = queries["extract"]
+    return {
+        "metric": "frontier-to-extracted-text throughput (pages/sec), full extraction kernel over synthetic CC-style pages",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(os.path.normpath(SF_DIR)),
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_sec": round(n_pages / headline_sec, 1) if headline_sec else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same input, fresh processes at 8 and 32 CPUs → scaling efficiency."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    t_lo, t_hi = lo["value"], hi["value"]
+    eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling efficiency (extract headline), fresh sessions",
+        "num_cpus_lo": lo_cpus,
+        "num_cpus_hi": hi_cpus,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "pages_per_sec_lo": lo["pages_per_sec"],
+        "pages_per_sec_hi": hi["pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "queries_lo": lo["queries"],
+        "queries_hi": hi["queries"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -321,38 +321,37 @@ class BFSCrawl:
                     return sub.append_column("depth", pa.array(depths, pa.int32()))
 
                 fetched = pages.map_batches(fetch_filter, batch_format="pyarrow")
-            n_fetched = fetched.count()
 
-            # discover → gate → dedup, only while depth allows
+            # discover → gate → dedup → seen, ONE execution of the
+            # pages scan (materialize once, then cheap derived counts)
             new_frontier = None
-            n_candidates = 0
+            n_links = 0
             if cfg.max_depth > 0:
                 links = fetched.map_batches(
                     _with_depth(_extract_links_batch), batch_format="pyarrow"
-                )
-                links = links.map_batches(
+                ).map_batches(
                     lambda t: t.filter(
                         pa.compute.less_equal(t["depth"], cfg.max_depth)
                     ),
                     batch_format="pyarrow",
-                )
-                candidates = links.map_batches(gate_fn, batch_format="pyarrow")
-                # within-round dedup: deterministic first-wins
-                candidates = (
-                    candidates.groupby("url")
-                    .map_groups(_first_by_parent, batch_format="pandas")
-                    if candidates.count() > 0
-                    else candidates
-                )
-                n_candidates = candidates.count()
-                if n_candidates > 0:
-                    new_frontier = candidates.map_batches(seen_fn, batch_format="pyarrow")
+                ).materialize()
+                n_links = links.count()
+                if n_links > 0:
+                    # gate → within-round dedup (deterministic
+                    # first-wins) → cross-round seen filter: one chain
+                    new_frontier = (
+                        links.map_batches(gate_fn, batch_format="pyarrow")
+                        .groupby("url")
+                        .map_groups(_first_by_parent, batch_format="pandas")
+                        .map_batches(seen_fn, batch_format="pyarrow")
+                    )
 
             # frontier_{k+1} = new ∪ deferred — checkpointed
+            n_deferred = deferred.count() if deferred is not None else 0
             parts = []
             if new_frontier is not None:
                 parts.append(new_frontier)
-            if deferred is not None and deferred.count() > 0:
+            if deferred is not None and n_deferred > 0:
                 parts.append(deferred)
             if parts:
                 nxt = parts[0]
@@ -371,8 +370,8 @@ class BFSCrawl:
                 {
                     "n_frontier_in": n_frontier,
                     "n_visited": n_selected,
-                    "n_fetched": n_fetched,
-                    "n_candidates": n_candidates,
+                    "n_links": n_links,
+                    "n_deferred": n_deferred,
                     "n_frontier_out": frontier.count() if frontier is not None else 0,
                     "seen_total": self.seen.total(),
                     "wall_ms": int((time.time() - t0) * 1000),

@@ -31,6 +31,44 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# ------------------------------------------------------------------ util
+
+
+def _collect_ids_agg(id_col: str = "id"):
+    """AggregateFn collecting the group's ids into a list — the
+    vectorized replacement for ``map_groups`` when groups are tiny and
+    numerous (per-group pandas overhead dominates otherwise)."""
+    from ray.data.aggregate import AggregateFn
+
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=lambda acc, block: acc
+        + (
+            block[id_col].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block[id_col])
+        ),
+        merge=lambda a, b: a + b,
+        name="ids",
+    )
+
+
+def _explode_pairs_batch(batch: pa.Table, extra_cols: dict | None = None) -> pa.Table:
+    """(…, ids: list) rows → all within-group (a < b) pairs."""
+    a_out, b_out = [], []
+    for ids in batch["ids"].to_pylist():
+        if ids is None or len(ids) < 2:
+            continue
+        ids = sorted(set(ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+    return pa.table(
+        {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+    )
+
+
 # ------------------------------------------------------------------ exact
 
 
@@ -104,23 +142,26 @@ def jaccard_pairs(
     sizes_df = tokens.groupby("id").aggregate(Count(alias_name="n")).to_pandas()
     sizes_ref = ray.put(dict(zip(sizes_df["id"], sizes_df["n"])))
 
-    # groupby token → pairs (skew guard: drop tokens with df > max_df)
-    import pandas as pd
-
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["id"].tolist())
-        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+    # groupby token → id-list aggregate → explode within-token pairs
+    # (skew guard: drop tokens with df > max_df)
+    def explode(batch: pa.Table) -> pa.Table:
         a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pd.DataFrame({"a": a_out, "b": b_out})
+        for ids in batch["ids"].to_pylist():
+            if ids is None or len(ids) < 2 or (max_df is not None and len(ids) > max_df):
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.table(
+            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
+        )
 
     pair_counts = (
         tokens.groupby("token")
-        .map_groups(pairs_of_group, batch_format="pandas")
+        .aggregate(_collect_ids_agg("id"))
+        .map_batches(explode, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_common"))
     )
@@ -143,17 +184,18 @@ def jaccard_pairs(
 
 
 class MinHasher:
-    """k-permutation minhash via universal hashing
-    ``h_i(x) = (a_i·x + b_i) mod p`` over 64-bit shingle hashes.
-    Deterministic: coefficients derive from a fixed seed."""
-
-    P = (1 << 61) - 1  # Mersenne prime
+    """k-permutation minhash: ``h_i(x) = a_i*x + b_i (mod 2^64)`` with
+    odd multipliers over 64-bit shingle hashes -- the multiply-shift
+    universal family, fully vectorized in numpy (uint64 wraparound is
+    the modulus).  Deterministic: coefficients derive from a fixed
+    seed."""
 
     def __init__(self, num_perm: int = 64, seed: int = 42):
         rng = np.random.RandomState(seed)
         self.num_perm = num_perm
-        self.a = rng.randint(1, self.P, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, self.P, size=num_perm, dtype=np.uint64)
+        a = rng.randint(0, 2**63, size=num_perm).astype(np.uint64)
+        self.a = (a << np.uint64(1)) | np.uint64(1)  # odd multipliers
+        self.b = rng.randint(0, 2**63, size=num_perm).astype(np.uint64)
 
     @staticmethod
     def _shingle_hashes(shingles: set[str]) -> np.ndarray:
@@ -171,40 +213,11 @@ class MinHasher:
     def signature(self, shingles: set[str]) -> np.ndarray:
         if not shingles:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = self._shingle_hashes(shingles).astype(object)  # avoid 64-bit overflow
-        a = self.a.astype(object)
-        b = self.b.astype(object)
-        # (num_perm, n_shingles) matrix of permuted hashes → row-min
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for i in range(self.num_perm):
-            sig[i] = int(min((int(a[i]) * int(v) + int(b[i])) % self.P for v in x))
-        return sig
-
-
-class _FastMinHasher(MinHasher):
-    """Vectorized signature using float-free 128-bit-safe numpy path."""
-
-    def signature(self, shingles: set[str]) -> np.ndarray:
-        if not shingles:
-            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         x = self._shingle_hashes(shingles)
-        # split multiply to avoid overflow: use python ints via object is slow;
-        # instead compute in two 32-bit halves mod P
-        x = x % self.P
-        lo = x & 0xFFFFFFFF
-        hi = x >> 32
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for i in range(self.num_perm):
-            a = int(self.a[i]) % self.P
-            b = int(self.b[i])
-            # a*x = a*hi*2^32 + a*lo (mod P), computed with python-int
-            # scalars but numpy vector ops
-            ahi = (a * hi.astype(np.uint64)) % self.P
-            # 2^32 mod P fits; (ahi * 2^32) mod P needs care: do in object
-            # only for the reduced vector (cheap: already mod P < 2^61)
-            term = (ahi.astype(object) * (1 << 32) + a * lo.astype(object) + b) % self.P
-            sig[i] = int(min(term))
-        return sig
+        # (num_perm, n_shingles) permuted hashes -> row-min, vectorized
+        with np.errstate(over="ignore"):
+            perms = self.a[:, None] * x[None, :] + self.b[:, None]
+        return perms.min(axis=1)
 
 
 def minhash_signatures(
@@ -221,7 +234,7 @@ def minhash_signatures(
 
     class SigFn:
         def __init__(self):
-            self.hasher = _FastMinHasher(num_perm=num_perm, seed=seed)
+            self.hasher = MinHasher(num_perm=num_perm, seed=seed)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_column].to_pylist()
@@ -290,20 +303,10 @@ def minhash_lsh_pairs(
 
     buckets = sigs.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["id"].tolist()))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return pd.DataFrame({"a": a_out, "b": b_out})
-
     candidates = (
         buckets.groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .aggregate(_collect_ids_agg("id"))
+        .map_batches(_explode_pairs_batch, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
@@ -408,24 +411,40 @@ def simhash_pairs(
             }
         )
 
-    def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(g["id"].tolist(), g["fp"].tolist())))
+    # broadcast id→fp (8 bytes per doc; at 100 TB scale this becomes a
+    # join of the pair table back onto fps)
+    import ray
+
+    fp_df = fps.to_pandas()
+    fp_ref = ray.put(dict(zip(fp_df["id"], fp_df["fp"])))
+
+    def explode_and_verify(batch: pa.Table) -> pa.Table:
+        fpm = ray.get(fp_ref)
         a_out, b_out, d_out = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                d = hamming64(int(rows[i][1]), int(rows[j][1]))
-                if d <= max_hamming:
-                    a_out.append(rows[i][0])
-                    b_out.append(rows[j][0])
-                    d_out.append(d)
-        return pd.DataFrame({"a": a_out, "b": b_out, "hamming": d_out}).astype(
-            {"a": "int64", "b": "int64", "hamming": "int64"}
+        for ids in batch["ids"].to_pylist():
+            if ids is None or len(ids) < 2:
+                continue
+            ids = sorted(set(ids))
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = hamming64(int(fpm[ids[i]]), int(fpm[ids[j]]))
+                    if d <= max_hamming:
+                        a_out.append(ids[i])
+                        b_out.append(ids[j])
+                        d_out.append(d)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "hamming": pa.array(d_out, pa.int64()),
+            }
         )
 
     pairs = (
         fps.map_batches(explode_segments, batch_format="pyarrow")
         .groupby(["seg", "val"])
-        .map_groups(seg_pairs, batch_format="pandas")
+        .aggregate(_collect_ids_agg("id"))
+        .map_batches(explode_and_verify, batch_format="pyarrow")
     )
     # distinct (a pair can collide in several segments)
     from ray.data.aggregate import Min

@@ -172,6 +172,22 @@ class Element:
     def clear_children(self) -> None:
         self.children = []
 
+    def copy_tree(self) -> "Element":
+        """Deep copy of this subtree (much cheaper than re-parsing the
+        serialized HTML — used to give the pruning filter its own
+        mutable tree after the scrape kernel ran)."""
+        clone = Element(self.tag, dict(self.attrs))
+        for child in self.children:
+            if isinstance(child, Element):
+                sub = child.copy_tree()
+                sub.parent = clone
+                clone.children.append(sub)
+            elif isinstance(child, TextNode):
+                clone.children.append(TextNode(child.text, clone))
+            else:
+                clone.children.append(CommentNode(child.text, clone))
+        return clone
+
     # -- serialization ------------------------------------------------
     def serialize(self) -> str:
         out: list[str] = []

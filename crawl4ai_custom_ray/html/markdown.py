@@ -231,13 +231,9 @@ def _table_to_markdown(table: Element) -> str:
     return "\n".join(lines)
 
 
-def html_to_markdown(html: str) -> str:
-    """Convert HTML to markdown (raw_markdown). Blocks separated by
-    single blank lines; trailing newline appended (html2text emits a
-    final newline)."""
-    if not html:
-        return ""
-    root = parse(html)
+def markdown_from_tree(root: Element) -> str:
+    """Markdown straight from an already-parsed DOM (no re-parse —
+    the kernel's single-parse fast path)."""
     ctx = _Ctx()
     _walk(root, ctx)
     ctx.flush()
@@ -245,6 +241,15 @@ def html_to_markdown(html: str) -> str:
     # mirror the reference's fence-dedent post-fix (:214)
     out = out.replace("    ```", "```")
     return out + "\n" if out else ""
+
+
+def html_to_markdown(html: str) -> str:
+    """Convert HTML to markdown (raw_markdown). Blocks separated by
+    single blank lines; trailing newline appended (html2text emits a
+    final newline)."""
+    if not html:
+        return ""
+    return markdown_from_tree(parse(html))
 
 
 def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:

@@ -93,19 +93,23 @@ class PruningContentFilter:
     def filter_content(self, html: str, min_word_threshold: int | None = None) -> list[str]:
         if not html or not isinstance(html, str):
             return []
-        root = parse(html)
-        body = body_of(root)
+        return [el.serialize() for el in self.filter_tree(parse(html))]
 
+    def filter_tree(self, root: Element) -> list[Element]:
+        """Prune an already-parsed tree IN PLACE and return the
+        surviving top-level block elements (the kernel's single-parse
+        fast path — pass a ``copy_tree()`` if the tree is shared)."""
+        body = body_of(root)
         self._remove_comments(body)
         self._remove_unwanted_tags(body)
         self._prune_tree(body)
 
-        blocks: list[str] = []
+        blocks: list[Element] = []
         for child in body.children:
             if not isinstance(child, Element):
                 continue
             if len(child.get_text(strip=True)) > 0:
-                blocks.append(child.serialize())
+                blocks.append(child)
         return blocks
 
     # -- internals ----------------------------------------------------

@@ -290,6 +290,17 @@ def remove_unwanted_attributes(root: Element, keep_data_attributes: bool = False
 def scrape(
     url: str,
     html: str,
+    **kwargs,
+) -> dict | None:
+    """Parse + run the scrape kernel (see :func:`scrape_tree`)."""
+    if not html:
+        return None
+    return scrape_tree(url, parse(html), **kwargs)
+
+
+def scrape_tree(
+    url: str,
+    root,
     *,
     excluded_tags: list[str] | None = None,
     remove_comments: bool = False,
@@ -302,13 +313,12 @@ def scrape(
     extract_tables_flag: bool = True,
     table_score_threshold: float = 7,
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
+    serialize_cleaned: bool = True,
 ) -> dict | None:
-    """Run the full scrape kernel. Returns
-    ``{cleaned_html, success, media, links, metadata}``."""
-    if not html:
-        return None
-
-    root = parse(html)
+    """Run the full scrape kernel over an already-parsed tree
+    (MUTATES it). Returns ``{cleaned_html, success, media, links,
+    metadata, tree}``; ``serialize_cleaned=False`` skips building the
+    cleaned_html string when the caller only needs the tree."""
     body = root  # reference uses the whole document, not just <body> (:608)
     base_domain = get_base_domain(url)
 
@@ -359,9 +369,17 @@ def scrape(
     remove_empty_elements(body, 1)
     remove_unwanted_attributes(body, keep_data_attributes)
 
-    cleaned_html = body.serialize_contents().strip() if body.tag == "[document]" else body.serialize().strip()
+    if serialize_cleaned:
+        cleaned_html = (
+            body.serialize_contents().strip()
+            if body.tag == "[document]"
+            else body.serialize().strip()
+        )
+    else:
+        cleaned_html = ""
 
     return {
+        "tree": root,
         "cleaned_html": cleaned_html,
         "success": True,
         "media": media,

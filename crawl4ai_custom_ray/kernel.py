@@ -9,11 +9,18 @@ the kernel modules in the same order as the reference pipeline
    ``LXMLWebScrapingStrategy.scrap``;
 2. ``fit_html = preprocess_html_for_schema(html, text_threshold=500,
    max_size=300_000)`` (``async_webcrawler.py:515``);
-3. markdown generation from cleaned_html with citations and the
+3. markdown generation from the cleaned tree with citations and the
    content-pruning filter → fit_markdown
    (``DefaultMarkdownGenerator``);
 4. plain-text extraction: whitespace-normalized text of the pruned
    content blocks — the byte-identical per-url invariant column.
+
+Performance: ONE ``html.parser`` pass per page.  The raw tree is
+copied (cheap node-copy, no tokenizing) for the pruning filter before
+the scrape kernel mutates it; markdown walks the mutated (cleaned)
+tree directly; pruned-block text is read off the pruned elements.
+``fields`` lets callers skip whole stages (e.g. text-only extraction
+never builds markdown or cleaned_html strings).
 
 Deterministic and pure: same (url, html) bytes → same output bytes.
 """
@@ -23,17 +30,51 @@ from __future__ import annotations
 import json
 
 from .html.dom import parse
-from .html.markdown import generate_markdown, html_to_markdown
+from .html.markdown import convert_links_to_citations, markdown_from_tree
 from .html.pruning import PruningContentFilter
 from .html.schema_html import preprocess_html_for_schema
-from .html.scrape import scrape
+from .html.scrape import scrape_tree
 
 _WS_BLOCK_SEP = "\n\n"
 
+ALL_FIELDS = frozenset(
+    {
+        "cleaned_html",
+        "raw_markdown",
+        "markdown_with_citations",
+        "references_markdown",
+        "fit_markdown",
+        "fit_html",
+        "text",
+        "metadata",
+        "links",
+        "media",
+        "tables",
+    }
+)
+
+_EMPTY = {
+    "url": "",
+    "success": False,
+    "status_code": 0,
+    "cleaned_html": "",
+    "raw_markdown": "",
+    "markdown_with_citations": "",
+    "references_markdown": "",
+    "fit_markdown": "",
+    "fit_html": "",
+    "text": "",
+    "metadata": "{}",
+    "links_internal": [],
+    "links_external": [],
+    "images": [],
+    "tables": [],
+    "error_message": "",
+}
+
 
 def extract_text_from_blocks(blocks: list[str]) -> str:
-    """Pruned HTML blocks → plain text: per-block whitespace
-    normalization, blocks joined by blank lines."""
+    """Pruned HTML block strings → plain text (compat API)."""
     parts = []
     for block in blocks:
         root = parse(block)
@@ -51,33 +92,65 @@ def extract_page(
     pruning_threshold: float = 0.48,
     compute_fit_html: bool = False,
     excluded_tags: list[str] | None = None,
+    fields: frozenset | set | None = None,
 ) -> dict:
-    """Full extraction record for one page.
+    """Full extraction record for one page; ``fields`` restricts which
+    outputs are computed (None = everything)."""
+    need = ALL_FIELDS if fields is None else set(fields)
+    need_markdown = bool(
+        need & {"raw_markdown", "markdown_with_citations", "references_markdown"}
+    )
+    need_prune = bool(need & {"fit_markdown", "text"})
 
-    Returns a flat dict matching the *extracted* table schema
-    (SURVEY.md §1.2): url, success, cleaned_html, raw_markdown,
-    markdown_with_citations, references_markdown, fit_markdown,
-    fit_html, text, metadata (JSON string), links_internal /
-    links_external (lists of dicts), images / tables (lists of dicts),
-    error_message.
-    """
     try:
-        scraped = scrape(url, html, excluded_tags=excluded_tags)
-        if scraped is None:
+        root = parse(html)
+        if not html:
             raise ValueError("empty html")
 
-        cleaned_html = scraped["cleaned_html"]
-        content_filter = PruningContentFilter(threshold=pruning_threshold)
-        pruned_blocks = content_filter.filter_content(html)
-        fit_html_blocks = "\n".join("<div>{}</div>".format(s) for s in pruned_blocks)
+        # pruning needs the pre-scrape tree; cheap node copy, no re-parse
+        prune_root = root.copy_tree() if need_prune else None
 
-        md = generate_markdown(cleaned_html, base_url=url, citations=citations)
-        fit_markdown = html_to_markdown(fit_html_blocks)
-        text = extract_text_from_blocks(pruned_blocks)
+        scraped = scrape_tree(
+            url,
+            root,
+            excluded_tags=excluded_tags,
+            extract_tables_flag="tables" in need,
+            serialize_cleaned="cleaned_html" in need,
+        )
+
+        raw_markdown = ""
+        markdown_with_citations = ""
+        references_markdown = ""
+        if need_markdown:
+            raw_markdown = markdown_from_tree(root)
+            if citations:
+                markdown_with_citations, references_markdown = (
+                    convert_links_to_citations(raw_markdown, url)
+                )
+            else:
+                markdown_with_citations = raw_markdown
+
+        fit_markdown = ""
+        text = ""
+        if need_prune:
+            content_filter = PruningContentFilter(threshold=pruning_threshold)
+            pruned_blocks = content_filter.filter_tree(prune_root)
+            if "fit_markdown" in need:
+                md_parts = [markdown_from_tree(b) for b in pruned_blocks]
+                fit_markdown = "\n".join(p.rstrip("\n") for p in md_parts if p)
+                if fit_markdown:
+                    fit_markdown += "\n"
+            if "text" in need:
+                parts = []
+                for b in pruned_blocks:
+                    t = " ".join(b.get_text().split())
+                    if t:
+                        parts.append(t)
+                text = _WS_BLOCK_SEP.join(parts)
 
         schema_html = (
             preprocess_html_for_schema(html, text_threshold=500, max_size=300_000)
-            if compute_fit_html
+            if compute_fit_html and "fit_html" in need
             else ""
         )
 
@@ -85,14 +158,16 @@ def extract_page(
             "url": url,
             "success": True,
             "status_code": 200,
-            "cleaned_html": cleaned_html,
-            "raw_markdown": md["raw_markdown"],
-            "markdown_with_citations": md["markdown_with_citations"],
-            "references_markdown": md["references_markdown"],
+            "cleaned_html": scraped["cleaned_html"],
+            "raw_markdown": raw_markdown,
+            "markdown_with_citations": markdown_with_citations,
+            "references_markdown": references_markdown,
             "fit_markdown": fit_markdown,
             "fit_html": schema_html,
             "text": text,
-            "metadata": json.dumps(scraped["metadata"], ensure_ascii=False, sort_keys=True),
+            "metadata": json.dumps(scraped["metadata"], ensure_ascii=False, sort_keys=True)
+            if "metadata" in need
+            else "{}",
             "links_internal": scraped["links"]["internal"],
             "links_external": scraped["links"]["external"],
             "images": scraped["media"]["images"],
@@ -100,21 +175,7 @@ def extract_page(
             "error_message": "",
         }
     except Exception as exc:  # defensive: a bad page must not kill a batch
-        return {
-            "url": url,
-            "success": False,
-            "status_code": 0,
-            "cleaned_html": "",
-            "raw_markdown": "",
-            "markdown_with_citations": "",
-            "references_markdown": "",
-            "fit_markdown": "",
-            "fit_html": "",
-            "text": "",
-            "metadata": "{}",
-            "links_internal": [],
-            "links_external": [],
-            "images": [],
-            "tables": [],
-            "error_message": f"{type(exc).__name__}: {exc}",
-        }
+        rec = dict(_EMPTY)
+        rec["url"] = url
+        rec["error_message"] = f"{type(exc).__name__}: {exc}"
+        return rec

@@ -198,6 +198,17 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "structured_extract": f"""
+            WITH rows AS (
+                SELECT url,
+                       unnest(regexp_extract_all(decode(html),
+                           '<tr><td>([^<]*)</td><td>[^<]*</td></tr>', 1)) AS item_key,
+                       unnest(regexp_extract_all(decode(html),
+                           '<tr><td>[^<]*</td><td>([^<]*)</td></tr>', 1)) AS item_value
+                FROM read_parquet('{path}')
+            )
+            SELECT url, item_key, item_value FROM rows
+        """,
         "chunk_fixed": """
             WITH t AS (
                 SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents

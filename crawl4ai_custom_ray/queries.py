@@ -404,3 +404,57 @@ def q_chunk_fixed(sf_dir: str):
         )
 
     return chunked.map_batches(sizes, batch_format="pyarrow")
+
+
+def q_structured_extract(sf_dir: str):
+    """JSON-CSS schema extraction over the synthetic pages' embedded
+    data tables → exploded (url, item_key, item_value) rows."""
+    import json
+
+    from .functions.structured import extract_structured
+
+    schema = {
+        "name": "metrics",
+        "baseSelector": "tbody tr",
+        "fields": [
+            {"name": "key", "type": "text", "selector": "td:nth-of-type(1)"},
+            {"name": "value", "type": "text", "selector": "td:nth-of-type(2)"},
+        ],
+    }
+    pages = read_pages(sf_dir).select_columns(["url", "html"])
+    extracted = extract_structured(pages, schema)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        urls, keys, vals = [], [], []
+        for url, content in zip(
+            batch["url"].to_pylist(), batch["extracted_content"].to_pylist()
+        ):
+            for item in json.loads(content):
+                urls.append(url)
+                keys.append(item.get("key"))
+                vals.append(item.get("value"))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "item_key": pa.array(keys, pa.string()),
+                "item_value": pa.array(vals, pa.string()),
+            }
+        )
+
+    return extracted.map_batches(explode, batch_format="pyarrow")
+
+
+def q_semantic_cluster(sf_dir: str):
+    """CosineStrategy-shaped semantic clustering (hashing embedder,
+    actor pool). Rows-only; determinism/cluster behavior in pytest."""
+    from .functions.cosine import semantic_cluster
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def with_url(batch: pa.Table) -> pa.Table:
+        urls = [f"doc://{i}" for i in batch["doc_id"].to_pylist()]
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "text": batch["text"]}
+        )
+
+    return semantic_cluster(docs.map_batches(with_url, batch_format="pyarrow"))

@@ -87,6 +87,21 @@ def make_extract_batch_fn(
     out_schema = pa.schema(out_fields)
     wanted = {f.name for f in out_fields}
 
+    # map output columns → kernel compute fields so unneeded stages
+    # (markdown, pruning, serialization) are skipped entirely
+    kernel_fields = set()
+    for name in wanted:
+        if name in ("links_internal", "links_external"):
+            kernel_fields.add("links")
+        elif name in ("n_images",):
+            kernel_fields.add("media")
+        elif name in ("n_tables", "n_table_rows"):
+            kernel_fields.add("tables")
+        elif name in ("url", "success", "status_code", "error_message"):
+            pass
+        else:
+            kernel_fields.add(name)
+
     def extract_batch(batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
@@ -100,6 +115,7 @@ def make_extract_batch_fn(
                 citations=citations,
                 compute_fit_html=compute_fit_html,
                 excluded_tags=excluded_tags,
+                fields=kernel_fields,
             )
             for name in wanted:
                 if name in ("links_internal", "links_external"):

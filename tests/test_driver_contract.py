@@ -88,9 +88,17 @@ QUERY_NAMES = [
     "media_features",
     "events_window",
     "chunk_fixed",
+    "structured_extract",
 ]
 
-ROWS_ONLY_QUERIES = ["dedup_minhash", "dedup_simhash", "lang_id", "fingerprint", "knn_ivf"]
+ROWS_ONLY_QUERIES = [
+    "dedup_minhash",
+    "dedup_simhash",
+    "lang_id",
+    "fingerprint",
+    "knn_ivf",
+    "semantic_cluster",
+]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
