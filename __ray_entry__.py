@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,
+        # seeding
+        "seed_urls": q.q_seed_urls,
     }
 
 

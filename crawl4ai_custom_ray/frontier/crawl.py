@@ -60,6 +60,16 @@ FRONTIER_SCHEMA = pa.schema(
 
 @dataclass
 class CrawlConfig:
+    # "bfs": level-synchronous (reference BFSDeepCrawlStrategy).
+    # "best_first": per round, fetch the global top-`batch_size` of the
+    #   frontier by (score desc, depth asc, url) — the reference's
+    #   asyncio.PriorityQueue (bff_strategy.py:142-173) realized as a
+    #   sort+limit shuffle over the frontier table; the rest carries
+    #   over with its priority intact.
+    # "dfs": degenerate batch=1 LIFO mode (depth desc) mirroring
+    #   DFSDeepCrawlStrategy — sequential by nature, not the scale path.
+    strategy: str = "bfs"
+    best_first_batch_size: int = 10
     max_depth: int = 2
     max_pages: int | None = None
     per_host_cap: int | None = None
@@ -273,6 +283,20 @@ class BFSCrawl:
                 deferred = deferred.drop_columns(["host_rank"])
             else:
                 selected, deferred = frontier, None
+
+            # strategy selection: priority queue as sort+limit shuffles
+            if cfg.strategy in ("best_first", "dfs"):
+                if cfg.strategy == "best_first":
+                    ordered = selected.sort(
+                        ["score", "depth", "url"], descending=[True, False, False]
+                    )
+                    take = cfg.best_first_batch_size
+                else:  # dfs: LIFO ≈ deepest-first, batch of 1
+                    ordered = selected.sort(["depth", "url"], descending=[True, False])
+                    take = 1
+                split = ordered.split_at_indices([take])
+                selected = split[0]
+                deferred = split[1] if deferred is None else deferred.union(split[1])
 
             # global capacity (reference bfs_strategy.py:131-136)
             if cfg.max_pages is not None:

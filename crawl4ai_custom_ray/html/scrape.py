@@ -195,6 +195,7 @@ def _process_links_and_media(
     exclude_external_links: bool = False,
     exclude_domains: set | None = None,
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
+    page_context: dict | None = None,
 ) -> None:
     exclude_domains = exclude_domains or set()
 
@@ -224,6 +225,17 @@ def _process_links_and_media(
             "base_domain": base_domain,
             "intrinsic_score": 0,
         }
+        if page_context is not None:
+            from .link_scoring import calculate_link_intrinsic_score
+
+            link_data["intrinsic_score"] = calculate_link_intrinsic_score(
+                link_text=link_data["text"],
+                url=normalized,
+                title_attr=link_data["title"],
+                class_attr=link.get("class", "") or "",
+                rel_attr=link.get("rel", "") or "",
+                page_context=page_context,
+            )
         if is_external_url(normalized, base_domain):
             link_base_domain = get_base_domain(normalized)
             link_data["base_domain"] = link_base_domain
@@ -314,6 +326,7 @@ def scrape_tree(
     table_score_threshold: float = 7,
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
     serialize_cleaned: bool = True,
+    score_links: bool = False,
 ) -> dict | None:
     """Run the full scrape kernel over an already-parsed tree
     (MUTATES it). Returns ``{cleaned_html, success, media, links,
@@ -321,6 +334,25 @@ def scrape_tree(
     cleaned_html string when the caller only needs the tree."""
     body = root  # reference uses the whole document, not just <body> (:608)
     base_domain = get_base_domain(url)
+
+    # page context for link scoring — BEFORE any removals (:615-640)
+    page_context = None
+    if score_links:
+        from .link_scoring import extract_page_context
+
+        title_el = root.find("title")
+        page_title = title_el.get_text() if title_el is not None else ""
+        headlines = " ".join(
+            el.get_text().strip()
+            for el in root.find_all(("h1", "h2", "h3"))
+            if el.get_text().strip()
+        )
+        meta_desc = ""
+        for meta in root.find_all("meta"):
+            if meta.get("name") == "description" and meta.get("content"):
+                meta_desc = meta.get("content")
+                break
+        page_context = extract_page_context(page_title, headlines, meta_desc, url)
 
     if exclude_all_images:
         _remove_all(body, "img")
@@ -356,6 +388,7 @@ def scrape_tree(
         exclude_external_links=exclude_external_links,
         exclude_domains=domains,
         image_score_threshold=image_score_threshold,
+        page_context=page_context,
     )
 
     if extract_tables_flag and "table" not in excluded:

@@ -107,9 +107,6 @@ def extract_page(
         if not html:
             raise ValueError("empty html")
 
-        # pruning needs the pre-scrape tree; cheap node copy, no re-parse
-        prune_root = root.copy_tree() if need_prune else None
-
         scraped = scrape_tree(
             url,
             root,
@@ -133,8 +130,12 @@ def extract_page(
         fit_markdown = ""
         text = ""
         if need_prune:
+            # prune the scraped tree IN PLACE (markdown already walked
+            # it) — matches the reference, which filters cleaned_html
+            # (generate_markdown's default content_source), and avoids
+            # a full tree copy per page
             content_filter = PruningContentFilter(threshold=pruning_threshold)
-            pruned_blocks = content_filter.filter_tree(prune_root)
+            pruned_blocks = content_filter.filter_tree(root)
             if "fit_markdown" in need:
                 md_parts = [markdown_from_tree(b) for b in pruned_blocks]
                 fit_markdown = "\n".join(p.rstrip("\n") for p in md_parts if p)

@@ -17,6 +17,12 @@ from __future__ import annotations
 
 from .sources.pages import pages_parquet_path
 
+
+def _sitemaps_glob(sf_dir: str) -> str:
+    from .sources.seeder import sitemaps_parquet_path
+
+    return sitemaps_parquet_path(sf_dir) + "/*.parquet"
+
 _LINKS_CTE = """
 WITH hrefs AS (
     SELECT url AS src_url,
@@ -33,7 +39,8 @@ links AS (
 
 
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
-    path = pages_parquet_path(sf_dir)
+    # the pages cache is a directory of part files → DuckDB glob
+    path = pages_parquet_path(sf_dir) + "/*.parquet"
 
     return {
         "extract_text": f"SELECT url, text FROM read_parquet('{path}')",
@@ -197,6 +204,14 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
             FROM events
             GROUP BY 1, 2
+        """,
+        "seed_urls": f"""
+            WITH locs AS (
+                SELECT unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS url
+                FROM read_parquet('{_sitemaps_glob(sf_dir)}')
+                WHERE NOT is_index
+            )
+            SELECT url FROM locs WHERE url LIKE '%/articles/%'
         """,
         "structured_extract": f"""
             WITH rows AS (

@@ -16,9 +16,19 @@ from ..stages.extract import extract_pages
 
 
 def read_pages(sf_dir: str, *, variants: int = 1, paragraphs: int = 1):
-    """Dataset over the (synthetic, cached) pages table for sf_dir."""
+    """Dataset over the (synthetic, cached) pages table for sf_dir.
+
+    Read parallelism is pinned to ~2 blocks per CPU: Ray's default
+    block planning on a small local corpus otherwise produces too many
+    tiny blocks (per-block overhead) or too few (stragglers)."""
     path = pages_parquet_path(sf_dir, variants=variants, paragraphs=paragraphs)
-    return rd.read_parquet(path)
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        cpus = 8
+    return rd.read_parquet(path, override_num_blocks=cpus * 2)
 
 
 def flagship_extract(sf_dir: str, *, columns: list[str] | None = None, **kwargs):

@@ -444,6 +444,17 @@ def q_structured_extract(sf_dir: str):
     return extracted.map_batches(explode, batch_format="pyarrow")
 
 
+def q_seed_urls(sf_dir: str):
+    """URL seeder: synthetic per-host sitemaps → parse urlsets →
+    glob-pattern filter (``AsyncUrlSeeder.urls`` semantics)."""
+    import ray.data as rd
+
+    from .sources.seeder import seed_urls, sitemaps_parquet_path
+
+    smaps = rd.read_parquet(sitemaps_parquet_path(sf_dir))
+    return seed_urls(smaps, pattern="*/articles/*").select_columns(["url"])
+
+
 def q_semantic_cluster(sf_dir: str):
     """CosineStrategy-shaped semantic clustering (hashing embedder,
     actor pool). Rows-only; determinism/cluster behavior in pytest."""

@@ -166,22 +166,41 @@ def generate_pages_table(
 
 
 def pages_parquet_path(sf_dir: str, *, variants: int = 1, paragraphs: int = 1) -> str:
-    """Path of the cached pages parquet for ``sf_dir``; generates it on
-    first use (atomic rename, safe under concurrent callers)."""
+    """Directory of pages parquet part-files for ``sf_dir``; generated
+    on first use (atomic directory rename, safe under concurrent
+    callers).
+
+    Layout matters for scaling: MANY part files with SMALL row groups.
+    Ray Data parallelizes parquet scans at file/row-group granularity —
+    one big single-row-group file = one serial read task that starves
+    every downstream stage (measured: 3.6× parallelism on 32 cores
+    before this change)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     suffix = "" if (variants == 1 and paragraphs == 1) else f"_v{variants}_p{paragraphs}"
     out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}{suffix}")
-    out_path = os.path.join(out_dir, "pages.parquet")
-    if os.path.exists(out_path):
-        return out_path
-    os.makedirs(out_dir, exist_ok=True)
+    if os.path.isdir(out_dir) and any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+        return out_dir
+    os.makedirs(PAGES_CACHE_ROOT, exist_ok=True)
     table = generate_pages_table(sf_dir, variants=variants, paragraphs=paragraphs)
-    fd, tmp = tempfile.mkstemp(suffix=".parquet", dir=out_dir)
-    os.close(fd)
+    tmp_dir = tempfile.mkdtemp(dir=PAGES_CACHE_ROOT)
     try:
-        pq.write_table(table, tmp)
-        os.rename(tmp, out_path)
-    finally:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
-    return out_path
+        n = table.num_rows
+        rows_per_file = max(256, min(2048, n // 32 or n))
+        part = 0
+        for start in range(0, n, rows_per_file):
+            chunk = table.slice(start, rows_per_file)
+            pq.write_table(
+                chunk,
+                os.path.join(tmp_dir, f"pages_{part:05d}.parquet"),
+                row_group_size=256,
+            )
+            part += 1
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        # lost the rename race — another process generated it
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.isdir(out_dir):
+            raise
+    return out_dir

@@ -1,0 +1,189 @@
+"""URL seeder: sitemap discovery → filter → score → limit.
+
+Mirrors the reference ``AsyncUrlSeeder``
+(``crawl4ai/async_url_seeder.py``): recursive sitemap.xml /
+sitemap-index walk (``_from_sitemaps`` / ``_iter_sitemap``,
+:765-1004), glob ``pattern`` filter, BM25 relevance scoring of URLs
+against a query, ``max_urls`` cap (``urls`` orchestration, :267-449).
+
+Batch-engine shape: sitemaps are rows of a table ``(host,
+sitemap_url, xml, is_index)``; index expansion is a bounded loop of
+``map_batches`` rounds (sitemap nesting is shallow); filtering and
+scoring are vectorized batch fns.  The synthetic corpus generator
+derives one sitemap index + per-section urlsets per host from the
+pages table, deterministically.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import os
+import re
+import tempfile
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .pages import PAGES_CACHE_ROOT, pages_parquet_path
+
+_SITEMAP_NS = "{http://www.sitemaps.org/schemas/sitemap/0.9}"
+
+
+# ------------------------------------------------------------- parsing
+
+
+def parse_sitemap(xml_text: str) -> tuple[list[str], list[str]]:
+    """→ (page_urls, nested_sitemap_urls).  Handles ``urlset`` and
+    ``sitemapindex``, namespaced or not (reference namespace handling:
+    ``tests/unit/test_sitemap_namespace_parsing.py``)."""
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        return [], []
+    tag = root.tag.split("}")[-1]
+    urls: list[str] = []
+    nested: list[str] = []
+    for child in root:
+        ctag = child.tag.split("}")[-1]
+        loc = None
+        for sub in child:
+            if sub.tag.split("}")[-1] == "loc":
+                loc = (sub.text or "").strip()
+                break
+        if not loc:
+            continue
+        if tag == "sitemapindex" and ctag == "sitemap":
+            nested.append(loc)
+        elif ctag == "url":
+            urls.append(loc)
+    return urls, nested
+
+
+# ------------------------------------------------ synthetic generation
+
+
+def build_sitemaps_table(sf_dir: str) -> pa.Table:
+    """Deterministic per-host sitemap index + section urlsets from the
+    synthetic pages table."""
+    pages_dir = pages_parquet_path(sf_dir)
+    urls = pq.read_table(pages_dir, columns=["url"])["url"].to_pylist()
+    by_host: dict[str, list[str]] = {}
+    for u in sorted(urls):
+        host = u.split("/")[2]
+        by_host.setdefault(host, []).append(u)
+
+    hosts, smap_urls, xmls, is_index = [], [], [], []
+    for host, host_urls in sorted(by_host.items()):
+        # split into sections of ≤50 urls
+        sections = [host_urls[i : i + 50] for i in range(0, len(host_urls), 50)]
+        index_entries = []
+        for si, section in enumerate(sections):
+            smap_url = f"https://{host}/sitemap-{si}.xml"
+            index_entries.append(smap_url)
+            body = "".join(f"<url><loc>{u}</loc></url>" for u in section)
+            xmls.append(
+                '<?xml version="1.0" encoding="UTF-8"?>'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                f"{body}</urlset>"
+            )
+            hosts.append(host)
+            smap_urls.append(smap_url)
+            is_index.append(False)
+        body = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in index_entries)
+        xmls.append(
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            f"{body}</sitemapindex>"
+        )
+        hosts.append(host)
+        smap_urls.append(f"https://{host}/sitemap.xml")
+        is_index.append(True)
+
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "sitemap_url": pa.array(smap_urls, pa.string()),
+            "xml": pa.array(xmls, pa.large_string()),
+            "is_index": pa.array(is_index, pa.bool_()),
+        }
+    )
+
+
+def sitemaps_parquet_path(sf_dir: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}_sitemaps")
+    if os.path.isdir(out_dir) and any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+        return out_dir
+    os.makedirs(PAGES_CACHE_ROOT, exist_ok=True)
+    table = build_sitemaps_table(sf_dir)
+    tmp_dir = tempfile.mkdtemp(dir=PAGES_CACHE_ROOT)
+    try:
+        pq.write_table(table, os.path.join(tmp_dir, "sitemaps_00000.parquet"), row_group_size=256)
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.isdir(out_dir):
+            raise
+    return out_dir
+
+
+# ------------------------------------------------------------ pipeline
+
+
+def _url_score_fn(query: str | None):
+    if not query:
+        return None
+    query_terms = set(query.lower().split())
+
+    def score(url: str) -> float:
+        tokens = set(re.split(r"[^a-z0-9]+", url.lower())) - {""}
+        if not tokens:
+            return 0.0
+        return len(tokens & query_terms) / len(query_terms)
+
+    return score
+
+
+def seed_urls(
+    sitemaps_ds,
+    *,
+    pattern: str | None = None,
+    query: str | None = None,
+    max_urls: int = -1,
+):
+    """Sitemap table → seed URL Dataset (url, score).
+
+    Index sitemaps expand to their leaves (the leaves are already rows
+    of the table, so expansion here is just filtering to non-index
+    rows — a live seeder would fetch nested sitemaps per round);
+    urlsets are parsed, pattern-filtered, scored, capped.
+    """
+
+    def extract(batch: pa.Table) -> pa.Table:
+        urls_out, scores_out = [], []
+        score_fn = _url_score_fn(query)
+        for xml_text, is_index in zip(
+            batch["xml"].to_pylist(), batch["is_index"].to_pylist()
+        ):
+            if is_index:
+                continue
+            urls, _nested = parse_sitemap(xml_text)
+            for u in urls:
+                if pattern and not fnmatch.fnmatch(u, pattern):
+                    continue
+                urls_out.append(u)
+                scores_out.append(score_fn(u) if score_fn else 0.0)
+        return pa.table(
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "score": pa.array(scores_out, pa.float64()),
+            }
+        )
+
+    out = sitemaps_ds.map_batches(extract, batch_format="pyarrow")
+    if max_urls and max_urls > 0:
+        out = out.sort(["score", "url"], descending=[True, False]).limit(max_urls)
+    return out

@@ -103,6 +103,13 @@ def make_extract_batch_fn(
             kernel_fields.add(name)
 
     def extract_batch(batch: pa.Table) -> pa.Table:
+        # The DOM is cycle-rich (parent↔children): under default GC the
+        # cyclic collector re-traces every live tree many times per
+        # batch. Disable it in the worker and collect once per batch.
+        import gc
+
+        if gc.isenabled():
+            gc.disable()
         urls = batch["url"].to_pylist()
         htmls = batch["html"].to_pylist()
         cols: dict[str, list] = {name: [] for name in wanted}
@@ -128,9 +135,11 @@ def make_extract_batch_fn(
                     cols[name].append(sum(len(t["rows"]) for t in rec["tables"]))
                 else:
                     cols[name].append(rec[name])
-        return pa.table(
+        result = pa.table(
             {f.name: pa.array(cols[f.name], f.type) for f in out_fields}, schema=out_schema
         )
+        gc.collect()
+        return result
 
     return extract_batch
 
@@ -142,10 +151,13 @@ def extract_pages(
     citations: bool = True,
     compute_fit_html: bool = False,
     excluded_tags: list[str] | None = None,
-    batch_size: int = 32,
+    batch_size: int | None = None,
     **map_kwargs,
 ):
-    """pages Dataset → extracted Dataset (stateless tasks)."""
+    """pages Dataset → extracted Dataset (stateless tasks).
+
+    ``batch_size=None`` processes whole blocks (lowest per-batch
+    overhead); block size is governed by the read layout."""
     fn = make_extract_batch_fn(
         columns=columns,
         citations=citations,

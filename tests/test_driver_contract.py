@@ -89,6 +89,7 @@ QUERY_NAMES = [
     "events_window",
     "chunk_fixed",
     "structured_extract",
+    "seed_urls",
 ]
 
 ROWS_ONLY_QUERIES = [
