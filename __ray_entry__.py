@@ -58,8 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,
-        # seeding
+        # seeding + adaptive
         "seed_urls": q.q_seed_urls,
+        "adaptive_crawl": q.q_adaptive_crawl,
     }
 
 

@@ -1,0 +1,276 @@
+"""Adaptive crawling: crawl-until-confident digest loop.
+
+Mirrors the reference ``AdaptiveCrawler`` with ``StatisticalStrategy``
+(``crawl4ai/adaptive_crawler.py``): confidence = 0.4·coverage +
+0.3·consistency + 0.3·saturation (:311-330), where
+
+- coverage (:330-369): per-query-term document coverage with a log
+  term-frequency boost, √-curved;
+- consistency (:371-396): mean pairwise Jaccard overlap of document
+  term sets;
+- saturation (:398-414): 1 − recent/initial new-term discovery rate;
+- link ranking (:416-470): relevance (query-term overlap of anchor
+  text) + novelty (1 − overlap with already-seen terms), weighted.
+
+Ray-native shape: each digest iteration fetches+extracts the ranked
+top-k links as one batch pipeline (broadcast semi-join fetch +
+extract kernel in ``map_batches``); per-document term statistics are
+computed inside the batch tasks and only the aggregated counters
+return to the driver.  State is a JSON checkpoint per iteration
+(reference ``CrawlState.save/load``, :53-111) — resumable.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..kernel import extract_page
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def tokenize(text: str) -> list[str]:
+    return _TOKEN_RE.findall(text.lower())
+
+
+@dataclass
+class AdaptiveState:
+    query: str = ""
+    crawled_urls: list = field(default_factory=list)
+    pending_links: list = field(default_factory=list)  # dicts {href, text}
+    term_frequencies: dict = field(default_factory=dict)
+    document_frequencies: dict = field(default_factory=dict)
+    doc_term_sets: list = field(default_factory=list)  # list[list[str]]
+    new_terms_history: list = field(default_factory=list)
+    total_documents: int = 0
+    metrics: dict = field(default_factory=dict)
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.__dict__, f)
+
+    @classmethod
+    def load(cls, path: str) -> "AdaptiveState":
+        with open(path) as f:
+            data = json.load(f)
+        state = cls()
+        state.__dict__.update(data)
+        return state
+
+
+class StatisticalStrategy:
+    """Pure statistical confidence/ranking (no models)."""
+
+    def calculate_confidence(self, state: AdaptiveState) -> float:
+        if state.total_documents == 0:
+            return 0.0
+        coverage = self._coverage(state)
+        consistency = self._consistency(state)
+        saturation = self._saturation(state)
+        state.metrics.update(
+            coverage=coverage, consistency=consistency, saturation=saturation
+        )
+        return 0.4 * coverage + 0.3 * consistency + 0.3 * saturation
+
+    def _coverage(self, state: AdaptiveState) -> float:
+        query_terms = tokenize(state.query)
+        if not query_terms or state.total_documents == 0:
+            return 0.0
+        max_tf = max(state.term_frequencies.values()) if state.term_frequencies else 1
+        scores = []
+        for term in query_terms:
+            tf = state.term_frequencies.get(term, 0)
+            df = state.document_frequencies.get(term, 0)
+            if df > 0:
+                doc_coverage = df / state.total_documents
+                freq_signal = math.log(1 + tf) / math.log(1 + max_tf) if max_tf > 0 else 0
+                scores.append(doc_coverage * (1 + 0.5 * freq_signal))
+            else:
+                scores.append(0.0)
+        return min(1.0, math.sqrt(sum(scores) / len(scores)))
+
+    def _consistency(self, state: AdaptiveState) -> float:
+        kb = state.doc_term_sets
+        if len(kb) < 2:
+            return 1.0
+        overlaps = []
+        sets = [set(terms) for terms in kb]
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                if sets[i] and sets[j]:
+                    overlaps.append(len(sets[i] & sets[j]) / len(sets[i] | sets[j]))
+        return sum(overlaps) / len(overlaps) if overlaps else 0.0
+
+    def _saturation(self, state: AdaptiveState) -> float:
+        hist = state.new_terms_history
+        if len(hist) < 2:
+            return 0.0
+        recent = hist[-1] if hist[-1] > 0 else 1
+        initial = hist[0] if hist[0] > 0 else 1
+        return max(0.0, min(1.0, 1 - (recent / initial)))
+
+    def rank_links(
+        self,
+        state: AdaptiveState,
+        *,
+        relevance_weight: float = 0.5,
+        novelty_weight: float = 0.3,
+        authority_weight: float = 0.2,
+    ) -> list[tuple[dict, float]]:
+        crawled = set(state.crawled_urls)
+        known_terms = set(state.term_frequencies)
+        query_terms = set(tokenize(state.query))
+        scored = []
+        for link in state.pending_links:
+            if link["href"] in crawled:
+                continue
+            link_terms = set(tokenize(link.get("text", "") + " " + link["href"]))
+            relevance = (
+                len(link_terms & query_terms) / len(query_terms) if query_terms else 0.0
+            )
+            novelty = (
+                1 - len(link_terms & known_terms) / len(link_terms) if link_terms else 0.0
+            )
+            score = (
+                relevance_weight * relevance
+                + novelty_weight * novelty
+                + authority_weight * 1.0
+            )
+            scored.append((link, score))
+        scored.sort(key=lambda x: (-x[1], x[0]["href"]))
+        return scored
+
+
+def _doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """Per-document term stats + discovered links, computed in the
+    task (only aggregates return to the driver)."""
+    urls_out, terms_out, links_out = [], [], []
+    for i in range(batch.num_rows):
+        url = batch["url"][i].as_py()
+        html = batch["html"][i].as_py()
+        if isinstance(html, bytes):
+            html = html.decode("utf-8", errors="replace")
+        rec = extract_page(url, html, fields={"text", "links"})
+        terms = tokenize(rec["text"])
+        links = [
+            {"href": l["href"], "text": l["text"]} for l in rec["links_internal"]
+        ]
+        urls_out.append(url)
+        terms_out.append(terms[:2000])
+        links_out.append(json.dumps(links))
+    return pa.table(
+        {
+            "url": pa.array(urls_out, pa.string()),
+            "terms": pa.array(terms_out, pa.list_(pa.string())),
+            "links_json": pa.array(links_out, pa.large_string()),
+        }
+    )
+
+
+@dataclass
+class AdaptiveConfig:
+    confidence_threshold: float = 0.7
+    max_pages: int = 20
+    top_k_per_iteration: int = 5
+    max_iterations: int = 10
+
+
+def adaptive_digest(
+    pages_path: str,
+    start_url: str,
+    query: str,
+    cfg: AdaptiveConfig | None = None,
+    state_path: str | None = None,
+    resume: bool = False,
+) -> AdaptiveState:
+    """Crawl-until-confident over the pages table.  Returns the final
+    state (metrics, crawled urls, term stats)."""
+    cfg = cfg or AdaptiveConfig()
+    strategy = StatisticalStrategy()
+
+    if resume and state_path and os.path.exists(state_path):
+        state = AdaptiveState.load(state_path)
+    else:
+        state = AdaptiveState(query=query, pending_links=[{"href": start_url, "text": ""}])
+
+    pages = rd.read_parquet(pages_path, columns=["url", "html"])
+
+    for _iteration in range(cfg.max_iterations):
+        if len(state.crawled_urls) >= cfg.max_pages:
+            break
+        confidence = strategy.calculate_confidence(state)
+        state.metrics["confidence"] = confidence
+        if confidence >= cfg.confidence_threshold:
+            break
+
+        ranked = strategy.rank_links(state)
+        budget = min(cfg.top_k_per_iteration, cfg.max_pages - len(state.crawled_urls))
+        batch_links = [link for link, _ in ranked[:budget]]
+        if not batch_links:
+            break
+        batch_urls = {l["href"] for l in batch_links}
+
+        url_ref = ray.put(batch_urls)
+
+        def fetch(batch: pa.Table, ref=url_ref) -> pa.Table:
+            wanted = ray.get(ref)
+            mask = [u in wanted for u in batch["url"].to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        stats = (
+            pages.map_batches(fetch, batch_format="pyarrow")
+            .map_batches(_doc_stats_batch, batch_format="pyarrow")
+            .to_pandas()
+        )
+
+        # driver-side state update from aggregates only
+        # (an all-404 batch yields an empty, schema-less frame)
+        if "url" not in stats.columns:
+            import pandas as _pd
+
+            stats = _pd.DataFrame(columns=["url", "terms", "links_json"])
+        new_terms = 0
+        fetched_urls = set(stats["url"])
+        for _, row in stats.iterrows():
+            terms = row["terms"]
+            seen_doc: set[str] = set()
+            for t in terms:
+                if t not in state.term_frequencies:
+                    new_terms += 1
+                state.term_frequencies[t] = state.term_frequencies.get(t, 0) + 1
+                seen_doc.add(t)
+            for t in seen_doc:
+                state.document_frequencies[t] = state.document_frequencies.get(t, 0) + 1
+            state.doc_term_sets.append(sorted(seen_doc)[:500])
+            state.pending_links.extend(json.loads(row["links_json"]))
+            state.total_documents += 1
+        state.new_terms_history.append(new_terms)
+        # 404s (links not in the pages table) still count as crawled
+        state.crawled_urls.extend(sorted(batch_urls))
+        state.crawled_urls = sorted(set(state.crawled_urls))
+        # dedup pending
+        seen_pending = set()
+        deduped = []
+        for l in state.pending_links:
+            if l["href"] not in seen_pending:
+                seen_pending.add(l["href"])
+                deduped.append(l)
+        state.pending_links = deduped
+
+        if not fetched_urls and new_terms == 0 and len(state.pending_links) == 0:
+            break
+        if state_path:
+            state.save(state_path)
+
+    state.metrics["confidence"] = strategy.calculate_confidence(state)
+    if state_path:
+        state.save(state_path)
+    return state

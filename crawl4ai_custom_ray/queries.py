@@ -455,6 +455,38 @@ def q_seed_urls(sf_dir: str):
     return seed_urls(smaps, pattern="*/articles/*").select_columns(["url"])
 
 
+def q_adaptive_crawl(sf_dir: str):
+    """Adaptive crawl-until-confident digest (StatisticalStrategy):
+    returns the crawled url set with final metrics columns.  Rows-only
+    (iterative, stateful)."""
+    import pyarrow.parquet as pq
+
+    from .frontier.adaptive import AdaptiveConfig, adaptive_digest
+    from .sources.pages import pages_parquet_path
+
+    pages_path = pages_parquet_path(sf_dir)
+    start = sorted(
+        u
+        for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        if "/private/" not in u
+    )[0]
+    state = adaptive_digest(
+        pages_path,
+        start,
+        "batch stream spark merge query",
+        AdaptiveConfig(confidence_threshold=0.9, max_pages=10, top_k_per_iteration=5),
+    )
+    urls = sorted(state.crawled_urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "confidence": pa.array(
+                [round(state.metrics.get("confidence", 0.0), 4)] * len(urls), pa.float64()
+            ),
+        }
+    )
+
+
 def q_semantic_cluster(sf_dir: str):
     """CosineStrategy-shaped semantic clustering (hashing embedder,
     actor pool). Rows-only; determinism/cluster behavior in pytest."""

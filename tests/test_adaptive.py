@@ -1,0 +1,91 @@
+"""Adaptive (crawl-until-confident) crawler."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from crawl4ai_custom_ray.frontier.adaptive import (
+    AdaptiveConfig,
+    AdaptiveState,
+    StatisticalStrategy,
+    adaptive_digest,
+    tokenize,
+)
+from crawl4ai_custom_ray.sources.pages import pages_parquet_path
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestStrategy:
+    def _state(self, **kw):
+        s = AdaptiveState(query="spark query engine")
+        s.__dict__.update(kw)
+        return s
+
+    def test_confidence_empty(self):
+        assert StatisticalStrategy().calculate_confidence(self._state()) == 0.0
+
+    def test_coverage_grows_with_matching_docs(self):
+        strat = StatisticalStrategy()
+        low = self._state(
+            total_documents=2,
+            term_frequencies={"other": 5},
+            document_frequencies={"other": 2},
+        )
+        high = self._state(
+            total_documents=2,
+            term_frequencies={"spark": 4, "query": 4, "engine": 2},
+            document_frequencies={"spark": 2, "query": 2, "engine": 2},
+        )
+        assert strat._coverage(high) > strat._coverage(low)
+
+    def test_consistency(self):
+        strat = StatisticalStrategy()
+        same = self._state(doc_term_sets=[["a", "b", "c"], ["a", "b", "c"]])
+        diff = self._state(doc_term_sets=[["a", "b"], ["x", "y"]])
+        assert strat._consistency(same) == 1.0
+        assert strat._consistency(diff) == 0.0
+
+    def test_saturation(self):
+        strat = StatisticalStrategy()
+        assert strat._saturation(self._state(new_terms_history=[100, 10])) == 0.9
+        assert strat._saturation(self._state(new_terms_history=[100])) == 0.0
+
+    def test_rank_links_prefers_relevant_novel(self):
+        strat = StatisticalStrategy()
+        state = self._state(
+            term_frequencies={"known": 3},
+            pending_links=[
+                {"href": "https://x.com/spark-query", "text": "spark query engine"},
+                {"href": "https://x.com/known", "text": "known known known"},
+            ],
+        )
+        ranked = strat.rank_links(state)
+        assert ranked[0][0]["href"] == "https://x.com/spark-query"
+        assert ranked[0][1] > ranked[1][1]
+
+
+def test_adaptive_digest_runs_and_checkpoints(ray_session, tmp_path):
+    pages_path = pages_parquet_path(SF)
+    start = sorted(
+        u
+        for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        if "/private/" not in u
+    )[0]
+    state_file = str(tmp_path / "state.json")
+    cfg = AdaptiveConfig(confidence_threshold=0.95, max_pages=8, top_k_per_iteration=3, max_iterations=4)
+    state = adaptive_digest(pages_path, start, "batch stream spark merge", cfg, state_file)
+    assert 0 < len(state.crawled_urls) <= 8
+    assert state.total_documents > 0
+    assert "confidence" in state.metrics and "coverage" in state.metrics
+    # checkpoint round-trips
+    loaded = AdaptiveState.load(state_file)
+    assert loaded.crawled_urls == state.crawled_urls
+
+    # resume continues without redoing work
+    cfg2 = AdaptiveConfig(confidence_threshold=0.99, max_pages=12, top_k_per_iteration=3, max_iterations=2)
+    state2 = adaptive_digest(pages_path, start, "batch stream spark merge", cfg2, state_file, resume=True)
+    assert set(state.crawled_urls) <= set(state2.crawled_urls)
+
+
+def test_tokenize():
+    assert tokenize("Hello, World! 123") == ["hello", "world", "123"]

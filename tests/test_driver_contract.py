@@ -99,6 +99,7 @@ ROWS_ONLY_QUERIES = [
     "fingerprint",
     "knn_ivf",
     "semantic_cluster",
+    "adaptive_crawl",
 ]
 
 
