@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q.q_knn_ivf,
         "media_features": q.q_media_features,
         "events_window": q.q_events_window,
+        "sessionize": q.q_sessionize,
         "chunk_fixed": q.q_chunk_fixed,
         # structured extraction
         "structured_extract": q.q_structured_extract,

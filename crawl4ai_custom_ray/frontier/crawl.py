@@ -160,6 +160,11 @@ class BFSCrawl:
             capacity_per_shard=cfg.seen_capacity_per_shard,
         )
         self.pages_visited = 0
+        # host politeness state: consecutive-failure counts per host
+        # (reference DomainState.fail_count, models.py:16-19); shrinks
+        # the host's per-round budget exponentially (RateLimiter
+        # backoff semantics as data)
+        self.host_fail_counts: dict[str, int] = {}
 
     # -- helpers ------------------------------------------------------
 
@@ -252,6 +257,14 @@ class BFSCrawl:
                     m.get("n_visited", 0) for m in ckpt.all_metrics(self.checkpoint_dir)
                 )
                 start_round = latest + 1
+                hs_path = os.path.join(
+                    ckpt.round_dir(self.checkpoint_dir, latest), "host_state.json"
+                )
+                if os.path.exists(hs_path):
+                    import json as _json
+
+                    with open(hs_path) as f:
+                        self.host_fail_counts = _json.load(f)
                 frontier_path = os.path.join(
                     ckpt.round_dir(self.checkpoint_dir, latest), "frontier"
                 )
@@ -277,10 +290,12 @@ class BFSCrawl:
             # politeness budget: per-host top-k, remainder deferred
             if cfg.per_host_cap is not None:
                 selected, deferred = enforce_politeness(
-                    frontier, per_host_cap=cfg.per_host_cap
+                    frontier,
+                    per_host_cap=cfg.per_host_cap,
+                    fail_counts=self.host_fail_counts,
                 )
-                selected = selected.drop_columns(["host_rank"])
-                deferred = deferred.drop_columns(["host_rank"])
+                selected = selected.drop_columns(["host_rank", "host_cap"])
+                deferred = deferred.drop_columns(["host_rank", "host_cap"])
             else:
                 selected, deferred = frontier, None
 
@@ -387,6 +402,31 @@ class BFSCrawl:
             else:
                 frontier = None
 
+            # host-state update: a host whose selected urls produced no
+            # fetches this round backs off (fail_count++ → halved
+            # budget next round); success decays the count (reference
+            # RateLimiter: backoff ×2 on failure, ×0.75 decay)
+            if cfg.per_host_cap is not None:
+                sel_hosts = selected.select_columns(["url", "host"]).to_pandas()
+                fetched_src = (
+                    set(links.unique("src_url")) if (cfg.max_depth > 0 and n_links > 0) else set()
+                )
+                for host, group in sel_hosts.groupby("host"):
+                    ok = any(u in fetched_src for u in group["url"])
+                    if ok:
+                        self.host_fail_counts[host] = max(
+                            0, self.host_fail_counts.get(host, 0) - 1
+                        )
+                    else:
+                        self.host_fail_counts[host] = self.host_fail_counts.get(host, 0) + 1
+                self.host_fail_counts = {
+                    h: c for h, c in self.host_fail_counts.items() if c > 0
+                }
+                import json as _json
+
+                with open(os.path.join(rdir, "host_state.json"), "w") as f:
+                    _json.dump(self.host_fail_counts, f)
+
             ckpt.save_seen_shards(self.checkpoint_dir, round_idx, self.seen.dump_all())
             ckpt.commit_round(
                 self.checkpoint_dir,
@@ -471,3 +511,72 @@ def crawl_bfs(
     driver = BFSCrawl(pages_path, cfg or CrawlConfig(), checkpoint_dir)
     visited = driver.run(seeds, resume=resume)
     return visited, driver
+
+
+def _main() -> None:
+    """CLI (reference: the ``crwl`` console script, ``crawl4ai/cli.py``):
+
+        python -m crawl4ai_custom_ray.frontier.crawl \\
+            --pages /tmp/graft_pages/sf0.001 --seeds URL [URL...] \\
+            --max-depth 2 --strategy bfs --checkpoint-dir /tmp/ckpt
+    """
+    import argparse
+    import json as _json
+
+    import ray as _ray
+
+    parser = argparse.ArgumentParser(description="BSP crawl over a pages parquet table")
+    parser.add_argument("--pages", required=True, help="pages parquet file/dir")
+    parser.add_argument("--seeds", nargs="+", required=True)
+    parser.add_argument("--strategy", choices=["bfs", "best_first", "dfs"], default="bfs")
+    parser.add_argument("--max-depth", type=int, default=2)
+    parser.add_argument("--max-pages", type=int, default=None)
+    parser.add_argument("--per-host-cap", type=int, default=None)
+    parser.add_argument("--check-robots", action="store_true")
+    parser.add_argument("--seen-mode", choices=["exact", "bloom", "cuckoo"], default="exact")
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--num-cpus", type=int, default=8)
+    parser.add_argument("--out", default=None, help="write visited table to this dir")
+    args = parser.parse_args()
+
+    if not _ray.is_initialized():
+        _ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        cfg = CrawlConfig(
+            strategy=args.strategy,
+            max_depth=args.max_depth,
+            max_pages=args.max_pages,
+            per_host_cap=args.per_host_cap,
+            check_robots=args.check_robots,
+            seen_mode=args.seen_mode,
+        )
+        visited, driver = crawl_bfs(
+            args.pages, args.seeds, cfg, args.checkpoint_dir, resume=args.resume
+        )
+        try:
+            n = visited.count()
+            if args.out:
+                visited.write_parquet(args.out)
+            print(
+                _json.dumps(
+                    {
+                        "visited": n,
+                        "checkpoint_dir": driver.checkpoint_dir,
+                        "rounds": ckpt.latest_committed_round(driver.checkpoint_dir),
+                    }
+                )
+            )
+        finally:
+            driver.shutdown()
+    finally:
+        _ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()

@@ -116,20 +116,34 @@ class Element:
         return self.attrs.get(name, default)
 
     def iter(self, tags=None):
-        """Depth-first pre-order walk over elements (self included)."""
-        if tags is None or self.tag in tags:
-            yield self
-        for child in self.children:
-            if isinstance(child, Element):
-                yield from child.iter(tags)
+        """Depth-first pre-order walk over elements (self included).
+        Iterative — generator recursion costs ~2× on deep trees."""
+        stack = [self]
+        while stack:
+            el = stack.pop()
+            if tags is None or el.tag in tags:
+                yield el
+            # push children reversed to keep document order
+            children = el.children
+            for i in range(len(children) - 1, -1, -1):
+                c = children[i]
+                if type(c) is Element:
+                    stack.append(c)
 
     def find_all(self, tag, recursive: bool = True) -> list:
-        tags = {tag} if isinstance(tag, str) else set(tag)
+        tags = (tag,) if isinstance(tag, str) else tag
         if recursive:
             out = []
-            for child in self.children:
-                if isinstance(child, Element):
-                    out.extend(child.iter(tags))
+            stack = list(self.children)
+            stack.reverse()
+            while stack:
+                c = stack.pop()
+                if type(c) is Element:
+                    if c.tag in tags:
+                        out.append(c)
+                    grand = c.children
+                    for i in range(len(grand) - 1, -1, -1):
+                        stack.append(grand[i])
             return out
         return [c for c in self.children if isinstance(c, Element) and c.tag in tags]
 

@@ -224,6 +224,30 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT url, item_key, item_value FROM rows
         """,
+        "sessionize": """
+            WITH ordered AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN LAG(ts) OVER w IS NULL
+                                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+                SELECT user_id, ts, value,
+                       SUM(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM ordered
+            )
+            SELECT user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM sess GROUP BY 1, 2
+        """,
         "chunk_fixed": """
             WITH t AS (
                 SELECT doc_id, len(string_split(text, ' ')) AS nw FROM documents

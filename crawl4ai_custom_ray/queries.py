@@ -384,6 +384,39 @@ def q_events_window(sf_dir: str):
     )
 
 
+def q_sessionize(sf_dir: str):
+    """Session windows over the events stream: per-user, a gap > 30
+    minutes starts a new session (the reference has no event-time
+    windows — this is the streaming-shaped custom operator the Ray
+    guide prescribes: groupby(key) + per-group ordered windowing;
+    ordering assumption: events of one user fit one group).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["ts", "event_id"], kind="mergesort")
+        gap = group["ts"].diff() > pd.Timedelta(minutes=30)
+        session_id = gap.cumsum().astype("int64") + 1
+        group = group.assign(
+            session_id=session_id,
+            cents=[int(round(v * 100)) for v in group["value"]],
+        )
+        out = group.groupby("session_id", as_index=False).agg(
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+            sum_cents=("cents", "sum"),
+        )
+        out.insert(0, "user_id", group["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
 def q_chunk_fixed(sf_dir: str):
     """Fixed-length word chunking exploded to
     (doc_id, chunk_index, n_chunk_words)."""

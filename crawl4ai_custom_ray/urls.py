@@ -63,7 +63,13 @@ def normalize_url(
     """
     if not href:
         return None
-    full_url = urljoin(base_url, href.strip())
+    href = href.strip()
+    # fast path: already-absolute http(s) urls without dot segments
+    # (urljoin would only resolve ./.. there)
+    if href.startswith(("http://", "https://")) and "/." not in href:
+        full_url = href
+    else:
+        full_url = urljoin(base_url, href)
     parsed = urlparse(full_url)
 
     netloc = parsed.netloc.lower()

@@ -109,3 +109,28 @@ def test_dfs_one_page_per_round(ray_session, pages_path, seeds, tmp_path):
     assert depths[0] == 0
     if len(depths) > 2:
         assert max(depths) > 0
+
+
+def test_host_backoff_on_404s(ray_session, pages_path, tmp_path):
+    """Hosts whose urls 404 (absent from the pages table) back off:
+    fail counts grow, halving their per-round budget."""
+    from crawl4ai_custom_ray.frontier.crawl import BFSCrawl, CrawlConfig
+    from crawl4ai_custom_ray.frontier.politeness import effective_caps
+
+    ghost_seeds = [f"https://ghost.example.com/missing/{i}" for i in range(12)]
+    cfg = CrawlConfig(max_depth=2, per_host_cap=4, max_rounds=3, n_seen_shards=2)
+    driver = BFSCrawl(pages_path, cfg, str(tmp_path / "ghost"))
+    try:
+        driver.run(ghost_seeds)
+        assert driver.host_fail_counts.get("ghost.example.com", 0) >= 1
+        caps = effective_caps(4, driver.host_fail_counts)
+        assert caps["ghost.example.com"] < 4
+    finally:
+        driver.shutdown()
+
+
+def test_effective_caps_floor():
+    from crawl4ai_custom_ray.frontier.politeness import effective_caps
+
+    caps = effective_caps(8, {"h1": 1, "h2": 3, "h3": 20})
+    assert caps == {"h1": 4, "h2": 1, "h3": 1}

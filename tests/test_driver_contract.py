@@ -87,6 +87,7 @@ QUERY_NAMES = [
     "knn_topk",
     "media_features",
     "events_window",
+    "sessionize",
     "chunk_fixed",
     "structured_extract",
     "seed_urls",
