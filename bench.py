@@ -74,9 +74,10 @@ def run_bench() -> dict:
 
     def headline():
         ds = rd.read_parquet(pages_path, override_num_blocks=NUM_CPUS * 2)
-        extracted = extract_pages(
-            ds, columns=["text", "raw_markdown", "markdown_with_citations", "n_tables"]
-        )
+        # the COMPLETE extraction record: cleaned_html, raw/cited
+        # markdown, fit_markdown, fit_html, text, metadata, links,
+        # table counts — what a production crawl persists
+        extracted = extract_pages(ds, compute_fit_html=True)
         extracted.write_parquet(out_dir)
 
     queries["extract"] = _timed(headline)

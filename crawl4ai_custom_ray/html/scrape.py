@@ -139,14 +139,14 @@ def _score_image(img: Element, index: int, total_images: int, threshold: int) ->
     if srcset or data_srcset:
         score += 1
 
-    in_picture = False
+    picture_el = None
     anc = img.parent
     while anc is not None:
         if isinstance(anc, Element) and anc.tag == "picture":
-            in_picture = True
+            picture_el = anc
             break
         anc = anc.parent
-    if in_picture:
+    if picture_el is not None:
         score += 1
 
     if score <= threshold:
@@ -177,6 +177,13 @@ def _score_image(img: Element, index: int, total_images: int, threshold: int) ->
         if srcset_attr:
             for source in parse_srcset(srcset_attr):
                 add_variant(source["url"], source["width"])
+    # picture-element source variants (reference :500-505)
+    if picture_el is not None:
+        for source_el in picture_el.find_all("source"):
+            source_srcset = source_el.get("srcset")
+            if source_srcset:
+                for source in parse_srcset(source_srcset):
+                    add_variant(source["url"], source["width"])
     for attr, value in img.attrs.items():
         if attr.startswith("data-") and ("src" in attr or "srcset" in attr) and "http" in (value or ""):
             add_variant(value)
@@ -327,6 +334,7 @@ def scrape_tree(
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
     serialize_cleaned: bool = True,
     score_links: bool = False,
+    only_text: bool = False,
 ) -> dict | None:
     """Run the full scrape kernel over an already-parsed tree
     (MUTATES it). Returns ``{cleaned_html, success, media, links,
@@ -393,6 +401,13 @@ def scrape_tree(
 
     if extract_tables_flag and "table" not in excluded:
         media["tables"] = extract_tables(body, threshold=table_score_threshold)
+
+    # only_text: flatten eligible inline tags to their text
+    # (reference :747-755, after the link/media walk)
+    if only_text:
+        from .textutils import flatten_inline_tags
+
+        flatten_inline_tags(body)
 
     for img in body.find_all("img"):
         src = img.get("src", "") or ""

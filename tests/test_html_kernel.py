@@ -309,3 +309,27 @@ class TestKernel:
     def test_extract_page_bad_html_no_crash(self):
         rec = extract_page("https://example.com/x", "<<<>>>&&&")
         assert rec["url"] == "https://example.com/x"
+
+
+class TestTextUtils:
+    def test_sanitize(self):
+        from crawl4ai_custom_ray.html.textutils import sanitize_input_encode
+
+        assert sanitize_input_encode("") == ""
+        assert sanitize_input_encode("héllo") == "héllo"
+        assert sanitize_input_encode("ok\ud800bad") == "okbad"  # lone surrogate dropped
+
+    def test_fast_format(self):
+        from crawl4ai_custom_ray.html.textutils import fast_format_html
+
+        out = fast_format_html("<div><p>hi</p></div>")
+        assert out == "<div>\n  <p>\n    hi\n  </p>\n</div>"
+
+    def test_only_text_mode(self):
+        result = scrape(
+            "https://x.com/", "<html><body><p>Keep <b>bold</b> and <code>c()</code> words</p></body></html>",
+            only_text=True,
+        )
+        assert "<b>" not in result["cleaned_html"]
+        assert "<code>" not in result["cleaned_html"]
+        assert "bold" in result["cleaned_html"] and "c()" in result["cleaned_html"]

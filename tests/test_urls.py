@@ -77,3 +77,74 @@ def test_host_and_digest_stable():
     assert d1 == d2
     assert 0 <= d1 < 2**64
     assert url_digest("https://example.com/b") != d1
+
+
+class TestReferenceGoldens:
+    """Resolution cases ported from the reference's
+    ``tests/test_normalize_url.py`` (adjusted where the *extended*
+    normalizer — the one live at runtime, utils.py:2223-2321 — differs
+    from the shadowed simple version those tests target: fragments
+    dropped, empty href → None)."""
+
+    def test_basic_relative_path(self):
+        assert (
+            normalize_url("path/to/page.html", "http://example.com/base/")
+            == "http://example.com/base/path/to/page.html"
+        )
+
+    def test_base_without_trailing_slash_treats_last_as_file(self):
+        assert normalize_url("page.html", "http://example.com/base") == "http://example.com/page.html"
+
+    def test_leading_trailing_spaces(self):
+        assert normalize_url("  page.html  ", "http://example.com/") == "http://example.com/page.html"
+
+    def test_query_kept(self):
+        assert (
+            normalize_url("page.html?query=test", "http://example.com/")
+            == "http://example.com/page.html?query=test"
+        )
+
+    def test_scheme_change(self):
+        assert (
+            normalize_url("https://secure.example.com/page.html", "http://example.com/")
+            == "https://secure.example.com/page.html"
+        )
+
+    def test_parent_directory(self):
+        assert (
+            normalize_url("../otherpage.html", "http://example.com/base/current/")
+            == "http://example.com/base/otherpage.html"
+        )
+
+    def test_root_relative(self):
+        assert (
+            normalize_url("/otherpage.html", "http://example.com/base/current/")
+            == "http://example.com/otherpage.html"
+        )
+
+    def test_domain_only_base(self):
+        assert normalize_url("page.html", "http://example.com") == "http://example.com/page.html"
+
+    def test_only_query_href(self):
+        assert (
+            normalize_url("?query=true", "http://example.com/page.html")
+            == "http://example.com/page.html?query=true"
+        )
+
+    def test_only_fragment_href_dropped(self):
+        # extended normalizer drops fragments
+        assert (
+            normalize_url("#fragment", "http://example.com/page.html")
+            == "http://example.com/page.html"
+        )
+
+    def test_dot_slash_relative_from_file_base(self):
+        base = "http://example.com/zwgk/fdzdgk/zdxx/spaq/t19360680.shtml"
+        assert (
+            normalize_url("./P020241203375994691134.xlsx", base)
+            == "http://example.com/zwgk/fdzdgk/zdxx/spaq/P020241203375994691134.xlsx"
+        )
+        assert (
+            normalize_url("another.doc", base)
+            == "http://example.com/zwgk/fdzdgk/zdxx/spaq/another.doc"
+        )
