@@ -170,6 +170,28 @@ class Element:
                     continue
                 child._collect_text(parts, strip)
 
+    # -- length-only accessors (no string materialization) ------------
+    def text_length(self, strip: bool = False) -> int:
+        """len(self.get_text(strip=strip)) without building the string
+        (get_text joins with '' so lengths are additive)."""
+        total = 0
+        stack = [self]
+        while stack:
+            el = stack.pop()
+            for c in el.children:
+                if type(c) is TextNode:
+                    total += len(c.text.strip()) if strip else len(c.text)
+                elif type(c) is Element and c.tag not in RAW_TEXT_ELEMENTS:
+                    stack.append(c)
+        return total
+
+    def serialized_contents_length(self) -> int:
+        """len(self.serialize_contents()) without building the string."""
+        total = 0
+        for c in self.children:
+            total += _node_serialized_length(c)
+        return total
+
     # -- mutation -----------------------------------------------------
     def decompose(self) -> None:
         """Remove this element from its parent and destroy its
@@ -229,6 +251,36 @@ class Element:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Element(<{self.tag}>, {len(self.children)} children)"
+
+
+def _escaped_text_length(s: str) -> int:
+    # escape(quote=False): & → &amp; (+4), < > → &lt;/&gt; (+3)
+    return len(s) + 4 * s.count("&") + 3 * s.count("<") + 3 * s.count(">")
+
+
+def _escaped_attr_length(s: str) -> int:
+    # escape(quote=True): also " → &quot; (+5)
+    return _escaped_text_length(s) + 5 * s.count('"')
+
+
+def _node_serialized_length(node) -> int:
+    if type(node) is TextNode:
+        parent = node.parent
+        if parent is not None and parent.tag in RAW_TEXT_ELEMENTS:
+            return len(node.text)
+        return _escaped_text_length(node.text)
+    if type(node) is CommentNode:
+        return len(node.text) + 7  # <!--…-->
+    # element
+    n = 2 + len(node.tag)  # <tag>
+    for k, v in node.attrs.items():
+        n += 1 + len(k) + (3 + _escaped_attr_length(v) if v is not None else 0)
+    if node.tag in VOID_ELEMENTS:
+        return n
+    n += 3 + len(node.tag)  # </tag>
+    for c in node.children:
+        n += _node_serialized_length(c)
+    return n
 
 
 def _serialize_node(node, out: list) -> None:

@@ -20,6 +20,8 @@ def extract_metadata(root: Element) -> dict:
     if head is None:
         return metadata
 
+    head_metas = head.find_all("meta")
+
     title_el = head.find("title")
     title = title_el.get_text() if title_el is not None else None
     if not title:
@@ -36,7 +38,7 @@ def extract_metadata(root: Element) -> dict:
     metadata["title"] = title.strip() if title else None
 
     def head_meta(name: str) -> str | None:
-        for meta in head.find_all("meta"):
+        for meta in head_metas:
             if meta.get("name") == name and meta.get("content") is not None:
                 return meta.get("content").strip()
         return None
@@ -45,7 +47,7 @@ def extract_metadata(root: Element) -> dict:
     metadata["keywords"] = head_meta("keywords")
     metadata["author"] = head_meta("author")
 
-    for meta in head.find_all("meta"):
+    for meta in head_metas:
         prop = (meta.get("property") or "").strip()
         name = (meta.get("name") or "").strip()
         content = (meta.get("content") or "").strip()

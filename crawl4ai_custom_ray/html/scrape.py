@@ -289,8 +289,11 @@ def remove_empty_elements(root: Element, word_count_threshold: int = 1) -> None:
             continue
         if el.child_elements():
             continue
-        text = el.get_text().strip()
-        if len(text.split()) < word_count_threshold:
+        if word_count_threshold == 1:
+            # fast path: <1 word ⇔ no non-whitespace text at all
+            if el.text_length(strip=True) == 0:
+                el.decompose()
+        elif len(el.get_text().strip().split()) < word_count_threshold:
             el.decompose()
 
 
