@@ -345,13 +345,24 @@ class BFSCrawl:
                     on=("url",),
                 )
             else:
-                # broadcast semi-join: put the round's url→depth map in
-                # the object store once; the pages scan filters locally
+                # broadcast semi-join with predicate pushdown: the
+                # round's url set becomes an `isin` filter on the
+                # parquet read — with the pages layout sorted by url,
+                # row-group min/max stats prune everything outside the
+                # round (no full-corpus rescan per round)
                 sel_df = selected.select_columns(["url", "depth"]).to_pandas()
                 depth_map = dict(zip(sel_df["url"], sel_df["depth"]))
                 map_ref = ray.put(depth_map)
 
-                def fetch_filter(batch: pa.Table, ref=map_ref) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                round_read = rd.read_parquet(
+                    self.pages_path,
+                    columns=["url", "html"],
+                    filter=_pc.field("url").isin(list(depth_map)),
+                )
+
+                def attach_depth(batch: pa.Table, ref=map_ref) -> pa.Table:
                     dm = ray.get(ref)
                     urls = batch["url"].to_pylist()
                     mask = [u in dm for u in urls]
@@ -359,7 +370,7 @@ class BFSCrawl:
                     depths = [dm[u] for u, m in zip(urls, mask) if m]
                     return sub.append_column("depth", pa.array(depths, pa.int32()))
 
-                fetched = pages.map_batches(fetch_filter, batch_format="pyarrow")
+                fetched = round_read.map_batches(attach_depth, batch_format="pyarrow")
 
             # discover → gate → dedup → seen, ONE execution of the
             # pages scan (materialize once, then cheap derived counts)

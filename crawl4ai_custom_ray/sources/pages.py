@@ -182,6 +182,9 @@ def pages_parquet_path(sf_dir: str, *, variants: int = 1, paragraphs: int = 1) -
         return out_dir
     os.makedirs(PAGES_CACHE_ROOT, exist_ok=True)
     table = generate_pages_table(sf_dir, variants=variants, paragraphs=paragraphs)
+    # sort by url: row-group min/max stats then let point-lookup reads
+    # (frontier fetch) prune row groups instead of rescanning the corpus
+    table = table.sort_by("url")
     tmp_dir = tempfile.mkdtemp(dir=PAGES_CACHE_ROOT)
     try:
         n = table.num_rows
