@@ -448,7 +448,14 @@ class BFSCrawl:
                     "n_links": n_links,
                     "n_deferred": n_deferred,
                     "n_frontier_out": frontier.count() if frontier is not None else 0,
+                    # approximate-membership accounting (SURVEY §7.4.4):
+                    # in bloom/cuckoo mode seen_total is approximate; the
+                    # exact lower bound is visited+frontier, so the gap
+                    # bounds the false-positive loss
+                    "seen_mode": cfg.seen_mode,
                     "seen_total": self.seen.total(),
+                    "seen_exact_lower_bound": self.pages_visited
+                    + (frontier.count() if frontier is not None else 0),
                     "wall_ms": int((time.time() - t0) * 1000),
                 },
             )

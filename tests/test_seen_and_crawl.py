@@ -213,3 +213,36 @@ def test_bfs_resume_from_checkpoint(ray_session, pages_path, seeds, tmp_path):
     got = dict(zip(resumed["url"], resumed["depth"]))
     want = dict(zip(expected["url"], expected["depth"]))
     assert got == want
+
+
+@pytest.mark.parametrize("mode", ["bloom", "cuckoo"])
+def test_bfs_approximate_seen_matches_exact(ray_session, pages_path, seeds, tmp_path, mode):
+    """bloom/cuckoo URL-seen modes produce the same crawl as the exact
+    set at this scale (FPs are ~absent below a few thousand urls);
+    metrics expose the mode and the exact lower bound for FP
+    accounting."""
+    from crawl4ai_custom_ray.frontier.crawl import BFSCrawl, CrawlConfig
+    from crawl4ai_custom_ray.state.checkpoint import all_metrics
+
+    exact = BFSCrawl(
+        pages_path, CrawlConfig(max_depth=2, n_seen_shards=2), str(tmp_path / "x")
+    )
+    try:
+        want = exact.run(seeds).to_pandas()
+    finally:
+        exact.shutdown()
+
+    approx = BFSCrawl(
+        pages_path,
+        CrawlConfig(max_depth=2, n_seen_shards=2, seen_mode=mode, seen_capacity_per_shard=10_000),
+        str(tmp_path / mode),
+    )
+    try:
+        got = approx.run(seeds).to_pandas()
+    finally:
+        approx.shutdown()
+
+    assert dict(zip(got["url"], got["depth"])) == dict(zip(want["url"], want["depth"]))
+    metrics = all_metrics(str(tmp_path / mode))
+    assert metrics[-1]["seen_mode"] == mode
+    assert metrics[-1]["seen_exact_lower_bound"] <= metrics[-1]["seen_total"] + 1
