@@ -205,6 +205,17 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        "link_head_preview": _LINKS_CTE.format(path=path)
+        + f"""
+            , heads AS (
+                SELECT url,
+                       COALESCE(regexp_extract(decode(html), '<title>([^<]*)</title>', 1), '') AS head_title
+                FROM read_parquet('{path}')
+            )
+            SELECT l.src_url, l.href, h.head_title
+            FROM links l JOIN heads h ON h.url = l.href
+            WHERE l.internal
+        """,
         "seed_urls": f"""
             WITH locs AS (
                 SELECT unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS url

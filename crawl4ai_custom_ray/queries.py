@@ -477,6 +477,41 @@ def q_structured_extract(sf_dir: str):
     return extracted.map_batches(explode, batch_format="pyarrow")
 
 
+def q_link_head_preview(sf_dir: str):
+    """Link head preview: merge each internal link's target-page head
+    title onto the link record (reference ``link_preview.py``
+    ``_merge_head_data`` — there an async HEAD fetch per link; here a
+    hash join of the links table against the pages' peeked heads)."""
+    import ray.data as rd
+
+    from .frontier.head_filters import get_title, peek_head
+    from .sources.pages import pages_parquet_path
+
+    links = q_extract_links(sf_dir).map_batches(
+        lambda t: t.filter(t["internal"]), batch_format="pyarrow"
+    )
+
+    def heads(batch: pa.Table) -> pa.Table:
+        titles = [
+            get_title(peek_head(h or b"")) or "" for h in batch["html"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "href": batch["url"],
+                "head_title": pa.array(titles, pa.string()),
+            }
+        )
+
+    pages_heads = rd.read_parquet(
+        pages_parquet_path(sf_dir), columns=["url", "html"]
+    ).map_batches(heads, batch_format="pyarrow")
+
+    joined = links.select_columns(["src_url", "href"]).join(
+        pages_heads, join_type="inner", num_partitions=4, on=("href",)
+    )
+    return joined.select_columns(["src_url", "href", "head_title"])
+
+
 def q_seed_urls(sf_dir: str):
     """URL seeder: synthetic per-host sitemaps → parse urlsets →
     glob-pattern filter (``AsyncUrlSeeder.urls`` semantics)."""

@@ -75,6 +75,7 @@ QUERY_NAMES = [
     "extract_links",
     "link_stats",
     "page_metadata",
+    "link_head_preview",
     "page_tables",
     "regex_emails",
     "frontier_bfs",
