@@ -1,0 +1,66 @@
+"""Pipeline-step API: registry, composition, custom steps."""
+
+import pytest
+
+from crawl4ai_custom_ray.pipelines.flagship import read_pages
+from crawl4ai_custom_ray.pipelines.steps import (
+    available_steps,
+    build_pipeline,
+    compose,
+    make_step,
+    register_step,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_registry_lists_builtins():
+    steps = available_steps()
+    for name in ("extract", "filter_success", "chunk", "dedup_exact", "select", "limit"):
+        assert name in steps
+
+
+def test_unknown_step_raises():
+    with pytest.raises(KeyError):
+        make_step("nope")
+
+
+def test_extract_pipeline(ray_session):
+    pipe = build_pipeline(
+        [
+            ("extract", {"columns": ["text", "success"]}),
+            "filter_success",
+            ("select", {"columns": ["url", "text"]}),
+            ("limit", {"n": 10}),
+        ]
+    )
+    out = pipe(read_pages(SF)).to_pandas()
+    assert len(out) == 10
+    assert list(out.columns) == ["url", "text"]
+
+
+def test_chunk_pipeline(ray_session):
+    import ray.data as rd
+
+    pipe = build_pipeline([("chunk", {"kind": "fixed", "chunk_size": 5})])
+    ds = rd.from_items([{"doc_id": 1, "text": " ".join(f"w{i}" for i in range(12))}])
+    out = pipe(ds).to_pandas()
+    assert len(out) == 3  # 12 words / 5
+
+
+def test_custom_step_registration(ray_session):
+    import pyarrow as pa
+
+    @register_step("upper_url_test")
+    def _upper(**_):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = [u.upper() for u in batch["url"].to_pylist()]
+            return batch.set_column(
+                batch.schema.get_field_index("url"), "url", pa.array(urls)
+            )
+
+        return lambda ds: ds.map_batches(fn, batch_format="pyarrow")
+
+    pipe = compose(make_step("upper_url_test"), make_step("limit", n=3))
+    out = pipe(read_pages(SF).select_columns(["url"])).to_pandas()
+    assert out["url"].str.startswith("HTTPS://").all()
