@@ -218,7 +218,17 @@ def _process_links_and_media(
         if base_href:
             url = base_href
 
-    for link in body.find_all("a"):
+    # ONE walk for all link/media tags (four per-tag walks showed up
+    # in kernel profiles)
+    anchors: list = []
+    images: list = []
+    videos: list = []
+    audios: list = []
+    _buckets = {"a": anchors, "img": images, "video": videos, "audio": audios}
+    for el in body.find_all(("a", "img", "video", "audio")):
+        _buckets[el.tag].append(el)
+
+    for link in anchors:
         href = (link.get("href") or "").strip()
         if not href:
             continue
@@ -255,15 +265,14 @@ def _process_links_and_media(
             if normalized not in internal_links:
                 internal_links[normalized] = link_data
 
-    images = body.find_all("img")
     total = len(images)
     for i, img in enumerate(images):
         variants = _score_image(img, i, total, image_score_threshold)
         if variants:
             media["images"].extend(variants)
 
-    for tag, key in (("video", "videos"), ("audio", "audios")):
-        for el in body.find_all(tag):
+    for els, tag, key in ((videos, "video", "videos"), (audios, "audio", "audios")):
+        for el in els:
             src = el.get("src") or ""
             if not src:
                 source = el.find("source")
@@ -272,6 +281,7 @@ def _process_links_and_media(
                 media[key].append(
                     {"src": src, "alt": el.get("alt", "") or "", "type": tag, "desc": ""}
                 )
+    return images
 
 
 def remove_empty_elements(root: Element, word_count_threshold: int = 1) -> None:
@@ -389,7 +399,7 @@ def scrape_tree(
     media: dict = {"images": [], "videos": [], "audios": [], "tables": []}
     internal_links: dict = {}
     external_links: dict = {}
-    _process_links_and_media(
+    page_images = _process_links_and_media(
         url,
         body,
         media,
@@ -412,7 +422,8 @@ def scrape_tree(
 
         flatten_inline_tags(body)
 
-    for img in body.find_all("img"):
+    # reuse the media walk's img list (detached nodes harmless)
+    for img in page_images:
         src = img.get("src", "") or ""
         if _BASE64_RE.match(src):
             img.attrs["src"] = _BASE64_RE.sub("", src)
