@@ -35,3 +35,57 @@ def flagship_extract(sf_dir: str, *, columns: list[str] | None = None, **kwargs)
     """pages → full extraction records."""
     ds = read_pages(sf_dir, **{k: kwargs.pop(k) for k in ("variants", "paragraphs") if k in kwargs})
     return extract_pages(ds, columns=columns, **kwargs)
+
+
+def _main() -> None:
+    """Extraction CLI (the reference's ``crwl`` batch analogue):
+
+        python -m crawl4ai_custom_ray.pipelines.flagship \\
+            --pages DIR | --sf-dir DIR  --out DIR [--columns text,...]
+    """
+    import argparse
+    import json
+
+    import ray
+
+    parser = argparse.ArgumentParser(description="pages parquet → extracted records")
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="existing pages parquet file/dir")
+    src.add_argument("--sf-dir", help="scale-factor dir (synthetic pages generated)")
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--columns", default=None, help="comma-separated output columns")
+    parser.add_argument("--num-cpus", type=int, default=8)
+    parser.add_argument("--resumable", action="store_true", help="per-shard committed outputs")
+    args = parser.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    try:
+        columns = args.columns.split(",") if args.columns else None
+        if args.resumable:
+            from .resumable import resumable_extract
+            from ..sources.pages import pages_parquet_path
+
+            pages_dir = args.pages or pages_parquet_path(args.sf_dir)
+            report = resumable_extract(pages_dir, args.out, columns=columns)
+            print(json.dumps(report))
+        else:
+            ds = (
+                rd.read_parquet(args.pages)
+                if args.pages
+                else read_pages(args.sf_dir)
+            )
+            extracted = extract_pages(ds, columns=columns)
+            extracted.write_parquet(args.out)
+            print(json.dumps({"rows": extracted.count(), "out": args.out}))
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    _main()
