@@ -287,15 +287,24 @@ class BFSCrawl:
             t0 = time.time()
             rdir = ckpt.begin_round(self.checkpoint_dir, round_idx)
 
-            # politeness budget: per-host top-k, remainder deferred
+            # politeness budget: per-host top-k, remainder deferred.
+            # Skip the groupby shuffle when the WHOLE frontier fits the
+            # smallest effective cap — no host can exceed it.
             if cfg.per_host_cap is not None:
-                selected, deferred = enforce_politeness(
-                    frontier,
-                    per_host_cap=cfg.per_host_cap,
-                    fail_counts=self.host_fail_counts,
-                )
-                selected = selected.drop_columns(["host_rank", "host_cap"])
-                deferred = deferred.drop_columns(["host_rank", "host_cap"])
+                from .politeness import effective_caps
+
+                caps = effective_caps(cfg.per_host_cap, self.host_fail_counts)
+                min_cap = min(caps.values()) if caps else cfg.per_host_cap
+                if n_frontier <= min_cap:
+                    selected, deferred = frontier, None
+                else:
+                    selected, deferred = enforce_politeness(
+                        frontier,
+                        per_host_cap=cfg.per_host_cap,
+                        fail_counts=self.host_fail_counts,
+                    )
+                    selected = selected.drop_columns(["host_rank", "host_cap"])
+                    deferred = deferred.drop_columns(["host_rank", "host_cap"])
             else:
                 selected, deferred = frontier, None
 
@@ -397,7 +406,9 @@ class BFSCrawl:
                     )
 
             # frontier_{k+1} = new ∪ deferred — checkpointed
-            n_deferred = deferred.count() if deferred is not None else 0
+            # (deferred size derived, not counted: avoids re-executing
+            # the politeness filter chain)
+            n_deferred = (n_frontier - n_selected) if deferred is not None else 0
             parts = []
             if new_frontier is not None:
                 parts.append(new_frontier)
