@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,
         "knn_topk": q.q_knn_topk,
+        "dedup_embedding": q.q_dedup_embedding,
         "knn_ivf": q.q_knn_ivf,
         "media_features": q.q_media_features,
         "events_window": q.q_events_window,

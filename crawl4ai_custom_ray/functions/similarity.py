@@ -100,6 +100,56 @@ def knn_brute_force(
     )
 
 
+def cosine_neardup_pairs(
+    ds,
+    *,
+    threshold: float,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+):
+    """All pairs (a < b) with cosine similarity ≥ threshold — the
+    embedding-space near-duplicate detector.
+
+    Exact all-pairs via broadcast: the normalized corpus matrix is
+    ``ray.put`` once, each batch matmuls against it (O(N²/batches)
+    work, no shuffle).  At 100 TB scale the broadcast side is replaced
+    by IVF buckets (see :func:`knn_ivf`) so only same-bucket pairs are
+    scored."""
+    import pandas as pd
+
+    full = ds.select_columns([id_column, vector_column]).to_pandas()
+    full = full.sort_values(id_column)
+    ids = np.asarray(full[id_column], dtype=np.int64)
+    mat = _normalize(
+        np.asarray([np.asarray(v, dtype=np.float64) for v in full[vector_column]])
+    )
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        b_ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        b_mat = _normalize(_matrix(batch, vector_column))
+        sims = b_mat @ all_mat.T
+        a_out, b_out, s_out = [], [], []
+        for i in range(len(b_ids)):
+            row = sims[i]
+            hits = np.nonzero(row >= threshold)[0]
+            for j in hits:
+                if b_ids[i] < all_ids[j]:
+                    a_out.append(int(b_ids[i]))
+                    b_out.append(int(all_ids[j]))
+                    s_out.append(round(float(row[j]), 4))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "sim": pa.array(s_out, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
 def kmeans_lite(
     vectors: np.ndarray, n_clusters: int, *, iters: int = 5, seed: int = 42
 ) -> np.ndarray:

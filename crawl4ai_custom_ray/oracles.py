@@ -170,6 +170,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                        AS punct_ratio
             FROM t
         """,
+        "dedup_embedding": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        """,
         "knn_topk": """
             WITH q AS (
                 SELECT vec_id AS query_id, embedding AS qv FROM embeddings

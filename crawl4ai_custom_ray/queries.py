@@ -339,6 +339,19 @@ def q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, vecs, ids, k=10, n_clusters=8, n_probe=8)
 
 
+def q_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs over the embeddings table —
+    exact all-pairs via broadcast matmul.  Threshold 0.4: the synthetic
+    embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so a
+    production-style 0.9+ threshold would be vacuously empty."""
+    import ray.data as rd
+
+    from .functions.similarity import cosine_neardup_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, threshold=0.4)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: pages html bytes as opaque media payloads
     → actor-pool stub decode → (url, width, height, n_bytes)."""

@@ -86,6 +86,7 @@ QUERY_NAMES = [
     "token_count",
     "quality_score",
     "knn_topk",
+    "dedup_embedding",
     "media_features",
     "events_window",
     "sessionize",
