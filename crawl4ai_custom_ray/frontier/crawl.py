@@ -39,7 +39,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..html.dom import parse
+from ..html.fastparse import parse_fast as parse
 from ..urls import get_base_domain, is_external_url, normalize_url, url_digest, url_host
 from ..state import checkpoint as ckpt
 from .filters import FilterChain

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import json
 
-from .html.dom import parse
+from .html.fastparse import parse_fast as parse
 from .html.markdown import convert_links_to_citations, markdown_from_tree
 from .html.pruning import PruningContentFilter
 from .html.schema_html import preprocess_html_for_schema
