@@ -29,6 +29,17 @@ ADVERSARIAL = [
     "<!--unterminated",
     "<?php echo ?><p>x</p>",
     "",
+    "<p>&amp;<b>x</b>&lt;</p>",
+    "<p>a&ampb</p>",
+    "<p>&#65;&#x41;&#xds;</p>",
+    "<p>&notit;</p>",
+    "<p>&times&lt</p>",
+    '<a title="&quot;q&quot;">&curren;</a>',
+    "<p>&#0;&#1114112;</p>",
+    "text&gt",
+    "&",
+    "&a",
+    "<p>&;</p>",
 ]
 
 
