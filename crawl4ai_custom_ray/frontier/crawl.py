@@ -332,22 +332,24 @@ class BFSCrawl:
                 selected = overflow[0]
                 deferred = overflow[1] if deferred is None else deferred.union(overflow[1])
 
-            # visit + checkpoint this round's fetch set
-            selected = selected.map_batches(
+            # visit + checkpoint this round's fetch set: ONE execution
+            # (write directly, read the small result back via pyarrow —
+            # no second materialize pass)
+            selected.map_batches(
                 lambda t, r=round_idx: t.append_column(
                     "round", pa.array([r] * t.num_rows, pa.int32())
                 ),
                 batch_format="pyarrow",
-            ).materialize()
-            n_selected = selected.count()
+            ).write_parquet(os.path.join(rdir, "visited"))
+            sel_table = _read_dir_parquet(os.path.join(rdir, "visited"), ["url", "host", "depth"])
+            n_selected = sel_table.num_rows
             if n_selected == 0:
                 break
-            selected.write_parquet(os.path.join(rdir, "visited"))
             self.pages_visited += n_selected
 
             # "fetch": frontier ⋈ pages on url (the simulated network)
             if cfg.fetch_strategy == "join":
-                fetched = selected.select_columns(["url", "depth"]).join(
+                fetched = rd.from_arrow(sel_table.select(["url", "depth"])).join(
                     pages,
                     join_type="inner",
                     num_partitions=cfg.join_partitions,
@@ -359,8 +361,9 @@ class BFSCrawl:
                 # parquet read — with the pages layout sorted by url,
                 # row-group min/max stats prune everything outside the
                 # round (no full-corpus rescan per round)
-                sel_df = selected.select_columns(["url", "depth"]).to_pandas()
-                depth_map = dict(zip(sel_df["url"], sel_df["depth"]))
+                depth_map = dict(
+                    zip(sel_table["url"].to_pylist(), sel_table["depth"].to_pylist())
+                )
                 map_ref = ray.put(depth_map)
 
                 import pyarrow.compute as _pc
@@ -429,7 +432,7 @@ class BFSCrawl:
             # budget next round); success decays the count (reference
             # RateLimiter: backoff ×2 on failure, ×0.75 decay)
             if cfg.per_host_cap is not None:
-                sel_hosts = selected.select_columns(["url", "host"]).to_pandas()
+                sel_hosts = sel_table.select(["url", "host"]).to_pandas()
                 fetched_src = (
                     set(links.unique("src_url")) if (cfg.max_depth > 0 and n_links > 0) else set()
                 )
@@ -526,6 +529,22 @@ def _first_by_parent(group):
 
 def _has_parquet(path: str) -> bool:
     return os.path.isdir(path) and any(n.endswith(".parquet") for n in os.listdir(path))
+
+
+def _read_dir_parquet(path: str, columns: list[str]):
+    """Driver-side read of a small just-written parquet dir (no Ray
+    execution)."""
+    import pyarrow.parquet as _pq
+
+    files = (
+        [os.path.join(path, n) for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+        if os.path.isdir(path)
+        else []
+    )
+    if not files:
+        return pa.table({c: pa.array([], pa.string()) for c in columns})
+    tables = [_pq.read_table(f, columns=columns) for f in files]
+    return pa.concat_tables(tables)
 
 
 def crawl_bfs(
