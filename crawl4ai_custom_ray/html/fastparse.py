@@ -26,13 +26,13 @@ _TOKEN_RE = re.compile(
     r"|<!(?P<decl>[^>]*)>"
     r"|<\?(?P<pi>[^>]*)>"
     r"|</(?P<end>[a-zA-Z][a-zA-Z0-9:._-]*)\s*>"
-    r"|<(?P<start>[a-zA-Z][a-zA-Z0-9:._-]*)(?P<attrs>(?:\s+[^\s=/><]+(?:\s*=+\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?)*)\s*(?P<selfclose>/?)>",
+    r"|<(?P<start>[a-zA-Z][a-zA-Z0-9:._-]*)(?P<attrs>(?:\s+[a-zA-Z_:@][\w:.@-]*(?:\s*=++\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?)*)\s*(?P<selfclose>/?)>",
     re.S,
 )
 
 # stdlib attrfind_tolerant accepts runs of '=' between name and value
 _ATTR_RE = re.compile(
-    r"([^\s=/><]+)(?:\s*=+\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?"
+    r"([a-zA-Z_:@][\w:.@-]*)(?:\s*=++\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?"
 )
 
 _AMP_RE = re.compile(r"&")
@@ -49,7 +49,13 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
     if not raw or raw.isspace():
         return []
     out = []
+    covered_end = 0
     for m in _ATTR_RE.finditer(raw):
+        if raw[covered_end : m.start()].strip():
+            # junk between attributes the regex skipped — silent
+            # divergence risk; force the stdlib fallback
+            raise _Unsupported(f"unparsed attr fragment: {raw[covered_end:m.start()]!r}")
+        covered_end = m.end()
         name = m.group(1).lower()
         value = m.group(2)
         if value is None:
@@ -58,6 +64,8 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
         if value and value[0] in "\"'" and len(value) >= 2 and value[-1] == value[0]:
             value = value[1:-1]
         out.append((name, _unescape(value)))
+    if raw[covered_end:].strip():
+        raise _Unsupported(f"unparsed attr tail: {raw[covered_end:]!r}")
     return out
 
 
