@@ -361,8 +361,16 @@ def parse(html: str) -> Element:
     the effective body element.
     """
     builder = _TreeBuilder()
-    builder.feed(html or "")
-    builder.close()
+    try:
+        builder.feed(html or "")
+        builder.close()
+    except AssertionError:
+        # stdlib html.parser wart: malformed marked sections
+        # ("<![garbage") raise AssertionError from _markupbase.
+        # Degrade by escaping the construct and reparsing.
+        builder = _TreeBuilder()
+        builder.feed((html or "").replace("<![", "&lt;!["))
+        builder.close()
     return builder.root
 
 

@@ -25,14 +25,15 @@ _TOKEN_RE = re.compile(
     r"<!--(?P<comment>.*?)-->"
     r"|<!(?P<decl>[^>]*)>"
     r"|<\?(?P<pi>[^>]*)>"
-    r"|</(?P<end>[a-zA-Z][a-zA-Z0-9:._-]*)\s*>"
-    r"|<(?P<start>[a-zA-Z][a-zA-Z0-9:._-]*)(?P<attrs>(?:\s+[a-zA-Z_:@][\w:.@-]*(?:\s*=++\s*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?)*)\s*(?P<selfclose>/?)>",
+    r"|</(?P<end>[a-zA-Z][a-zA-Z0-9:._-]*)[ \t\n\r\f]*>"
+    r"|<(?P<start>[a-zA-Z][a-zA-Z0-9:._-]*)(?P<attrs>(?:[ \t\n\r\f]+[a-zA-Z_:@][\w:.@-]*(?:[ \t\n\r\f]*=++[ \t\n\r\f]*(?:\"[^\"]*\"|'[^']*'|(?![\"'])[^ \t\n\r\f>]*))?)*)[ \t\n\r\f]*(?P<selfclose>/?)>",
     re.S,
 )
 
 # stdlib attrfind_tolerant accepts runs of '=' between name and value
 _ATTR_RE = re.compile(
-    r"([a-zA-Z_:@][\w:.@-]*)(?:\s*=++\s*(\"[^\"]*\"|'[^']*'|(?![\"'])[^\s>]*))?"
+    r"([a-zA-Z_:@][\w:.@-]*)"
+    r"(?:[ \t\n\r\f]*=++[ \t\n\r\f]*(\"[^\"]*\"|'[^']*'|(?![\"'])[^ \t\n\r\f>]*))?"
 )
 
 _AMP_RE = re.compile(r"&")
@@ -104,6 +105,12 @@ def tokenize_into(builder: _TreeBuilder, html: str) -> None:
             low = decl.lstrip().lower()
             if low.startswith("doctype") or low.startswith("[cdata["):
                 pass  # handle_decl / unknown_decl: skipped (as builder)
+            elif low.startswith(("[if", "[else", "[endif")):
+                pass  # marked sections: unknown_decl, skipped
+            elif low.startswith("["):
+                # stdlib raises on malformed marked sections; dom.parse
+                # degrades them to literal text — mirror that
+                builder.handle_data("<!" + decl + ">")
             else:
                 # stdlib "bogus comment": <!x> → comment('x')
                 builder.handle_comment(decl)
