@@ -126,13 +126,17 @@ def tokenize_into(builder: _TreeBuilder, html: str) -> None:
             else:
                 builder.handle_starttag(tag, attrs)
                 if tag in RAW_TEXT_ELEMENTS:
-                    # raw-text mode: swallow everything to the matching
-                    # close tag without tokenizing
-                    close = re.compile(rf"</{tag}\s*>", re.I)
+                    # raw-text mode, mirroring this stdlib's CDATA
+                    # handling exactly (html/parser.py
+                    # set_cdata_mode): content runs to the first
+                    # '</\s*tag\s*>' (lax whitespace, case-insensitive)
+                    # which always closes the element; an unterminated
+                    # raw-text element DROPS all remaining input — no
+                    # data, no end tag (goahead breaks in cdata mode
+                    # and the end-of-feed flush skips cdata).
+                    close = re.compile(rf"</\s*{tag}\s*>", re.I)
                     cm = close.search(html, m.end())
                     if cm is None:
-                        builder.handle_data(html[m.end() :])
-                        builder.handle_endtag(tag)
                         pos = n
                         continue
                     raw = html[m.end() : cm.start()]

@@ -40,6 +40,17 @@ ADVERSARIAL = [
     "&",
     "&a",
     "<p>&;</p>",
+    # raw-text (CDATA) end-tag laxness — this stdlib terminates
+    # script/style on '</\s*tag\s*>' and DROPS unterminated raw text
+    "<script>x</ script><p>after</p>",
+    "<script>x</script foo><p>after</p>",
+    "<script>x",
+    "<script>x</scripty><p>a</p></script><p>b</p>",
+    "<script>a</ SCRIPT ><p>z</p>",
+    "<script>x</script",
+    "<script>x</ script",
+    "<style>a</style ><b>t</b>",
+    "<script/>not raw<p>t</p>",
 ]
 
 
