@@ -1,0 +1,683 @@
+"""Event-driven HTML → markdown machine, byte-compatible with the
+reference's vendored html2text fork as configured by
+``DefaultMarkdownGenerator``.
+
+The reference converts cleaned HTML with ``CustomHTML2Text``
+(``crawl4ai/html2text/__init__.py:1035-1150`` subclassing the fork's
+``HTML2Text`` at ``:37-1024``) under the generator defaults of
+``markdown_generation_strategy.py:181-204``: ``body_width=0``,
+``single_line_break=True``, ``mark_code=True``, inline links, no
+snob escaping — plus ``CustomHTML2Text.__init__``'s own
+``ignore_mailto_links=True`` / ``skip_internal_links=False`` and the
+generator's fence-dedent post-replace at ``:214``.
+
+This module is a from-scratch implementation of that *observable
+behavior* for that fixed configuration (it is NOT a copy of the fork:
+the fork threads ~30 config flags and Google-Docs style tracking
+through one 500-line ``handle_tag``; here the fixed config is baked in
+and tags dispatch to small handlers).  Behavioral notes that matter
+for byte parity, all verified against the importable fork in
+``tests/test_md_parity.py``:
+
+- whitespace collapses *per data event* (``o(puredata=True)``), with a
+  leading space deferred to a flag so it is dropped after newlines;
+- entities are translated through the fork's ASCII ``UNIFIABLE`` table
+  (``config.py:115-154``) — ``&rsquo;`` → ``'``, ``&mdash;`` → ``--``,
+  ``&nbsp;`` → placeholder, replaced by a plain space at the end —
+  while numeric charrefs use ``unifiable_n`` (``utils.py:6-10``);
+- only backslashes are markdown-escaped in running text
+  (``escape_md_section`` with the generator's flags — dot/plus/dash
+  and snob escaping are all off), while link/image URLs, titles and
+  alt text get ``escape_md`` (backslash, brackets, parens);
+- ``<pre>`` emits ``` fences and raw content, ``<code>`` emits
+  backtick spans (newlines → spaces) — the Custom subclass intercepts
+  both, so the base class's ``[code]`` markers never fire;
+- ``<em>``/``<strong>``/``<del>`` trim inner whitespace and re-insert
+  a separating space ("stressed" tracking) so ``a<em>b</em>`` renders
+  as ``a _b_``;
+- an ``<a href>`` whose entire content equals its absolute href
+  renders as ``<href>`` (automatic link);
+- block breaks are *pending* newline counts flushed lazily before the
+  next output, so trailing breaks never print and a blockquote prefix
+  attaches to each pending newline.
+"""
+
+from __future__ import annotations
+
+import html.entities
+import html.parser
+import re
+from urllib.parse import urljoin
+
+__all__ = ["MarkdownMachine", "convert_html", "convert_tree"]
+
+# ASCII replacements for named entities — required output semantics,
+# reference config.py:115-154.
+UNIFIABLE = {
+    "rsquo": "'",
+    "lsquo": "'",
+    "rdquo": '"',
+    "ldquo": '"',
+    "copy": "(C)",
+    "mdash": "--",
+    "nbsp": " ",
+    "rarr": "->",
+    "larr": "<-",
+    "middot": "*",
+    "ndash": "-",
+    "oelig": "oe",
+    "aelig": "ae",
+    "agrave": "a",
+    "aacute": "a",
+    "acirc": "a",
+    "atilde": "a",
+    "auml": "a",
+    "aring": "a",
+    "egrave": "e",
+    "eacute": "e",
+    "ecirc": "e",
+    "euml": "e",
+    "igrave": "i",
+    "iacute": "i",
+    "icirc": "i",
+    "iuml": "i",
+    "ograve": "o",
+    "oacute": "o",
+    "ocirc": "o",
+    "otilde": "o",
+    "ouml": "o",
+    "ugrave": "u",
+    "uacute": "u",
+    "ucirc": "u",
+    "uuml": "u",
+    "lrm": "",
+    "rlm": "",
+}
+
+# Same placeholder string as the fork (init mutates UNIFIABLE["nbsp"]);
+# using the identical token keeps even pathological inputs byte-equal.
+_NBSP_TOKEN = "&nbsp_place_holder;"
+
+# codepoint → ascii for numeric charrefs (reference utils.py:6-10)
+_UNIFIABLE_CP = {
+    html.entities.name2codepoint[name]: repl
+    for name, repl in UNIFIABLE.items()
+    if name != "nbsp"
+}
+
+_WS_RUN = re.compile(r"\s+")
+# escape_md_section with only backslash escaping on (utils.py:219-220,
+# config.py:105-113): a backslash followed by an md-special char
+_BSLASH = re.compile(r"(\\)(?=[\\`*_{}\[\]()#+\-.!])")
+# escape_md (utils.py:199-204): backslash, brackets, parens
+_MD_CHARS = re.compile(r"([\\\[\]\(\)])")
+_ABS_URL = re.compile(r"^[a-zA-Z+]+://")
+# first char that keeps text attached after a stressed span
+_STRESS_JOIN = re.compile(r"[^][(){}\s.!?]")
+
+_HEADER_LEVEL = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
+
+# punctuation/whitespace sets for the em-space heuristics
+import string as _string
+
+_WS_CHARS = _string.whitespace
+_PUNCT_CHARS = _string.punctuation
+
+
+def _escape_md(text: str) -> str:
+    return _MD_CHARS.sub(r"\\\1", text)
+
+
+_JOIN_CACHE: dict = {}
+
+
+def _urljoin(base: str, url: str) -> str:
+    """urljoin with a bounded cache — pages repeat hrefs and every
+    page in a site shares the base, so stdlib's parse cost dominates
+    the anchor path without this."""
+    key = (base, url)
+    hit = _JOIN_CACHE.get(key)
+    if hit is None:
+        if len(_JOIN_CACHE) > 65536:
+            _JOIN_CACHE.clear()
+        hit = _JOIN_CACHE[key] = urljoin(base, url)
+    return hit
+
+
+class MarkdownMachine:
+    """Feed ``start_tag`` / ``end_tag`` / ``text`` / ``entity`` /
+    ``charref`` events, then call ``result()``.  One document per
+    instance."""
+
+    def __init__(self, baseurl: str = ""):
+        self.baseurl = baseurl
+        self._out: list[str] = []
+        self._ends_nl = False  # last pushed fragment ended with \n
+        self.at_start = True  # suppress leading breaks/space
+        self.breaks = 0  # pending newline count (the fork's p_p)
+        self.sp = False  # pending single space
+        self.quiet = 0  # head/script/style suppression depth
+        self.bq = 0  # blockquote depth
+        self.lists: list[list] = []  # [kind, counter] stack
+        self.after_list = False  # previous tag event was ol/ul
+        self.br_suffix = ""  # "  " once a soft break is pending
+        self.cur_tag = ""
+        # links
+        self.link_stack: list[dict | None] = []
+        self.auto_href: str | None = None  # candidate automatic link
+        self.link_empty = False
+        self.in_link = False
+        # code / pre
+        self.fence = False  # inside <pre> (Custom fences)
+        self.span_code = False  # inside <code> span (Custom)
+        self.tick_open = False  # base-class backtick toggle (kbd/tt,
+        # and code-inside-link)
+        # emphasis spacing
+        self.stressed = False
+        self.post_stressed = False
+        self.last_data = ""
+        # misc
+        self.in_header = False
+        self.style_depth = 0
+        self.quote_open = False
+        self.abbr_text: str | None = None
+        self.abbr_title: str | None = None
+        self.abbr_defs: dict[str, str] = {}
+        # tables
+        self.cell_sep = False  # "| " before the next td/th
+        self.cell_count = 0
+        self.header_row = False  # first tr of a table pending underline
+
+    # ------------------------------------------------------------------
+    # output core — the fork's o() (:766-876) specialized to the fixed
+    # config (never in base-class pre mode, google_doc off, inline
+    # links so the reference-link queue is always empty)
+    # ------------------------------------------------------------------
+    def _push(self, s: str) -> None:
+        self._out.append(s)
+        if s:
+            self._ends_nl = s.endswith("\n")
+
+    def emit(self, data: str, collapse: bool = False, force=False) -> None:
+        if self.abbr_text is not None:
+            self.abbr_text += data
+        if self.quiet:
+            return
+        if collapse:
+            data = _WS_RUN.sub(" ", data)
+            if data and data[0] == " ":
+                self.sp = True
+                data = data[1:]
+        if not data and not force:
+            return
+        prefix = ">" * self.bq
+        if not (force and data and data[0] == ">") and self.bq:
+            prefix += " "
+        if self.at_start:
+            self.sp = False
+            self.breaks = 0
+            self.at_start = False
+        if force == "end":
+            self.breaks = 0
+            self._push("\n")
+            self.sp = False
+        if self.breaks:
+            self._push((self.br_suffix + "\n" + prefix) * self.breaks)
+            self.sp = False
+            self.br_suffix = ""
+        if self.sp:
+            if not self._ends_nl:
+                self._push(" ")
+            self.sp = False
+        if self.abbr_defs and force == "end":
+            for term, definition in self.abbr_defs.items():
+                self._push("  *[" + term + "]: " + definition + "\n")
+        self.breaks = 0
+        self._push(data)
+
+    def _want_break(self) -> None:
+        # pbr(): at most one pending newline
+        if self.breaks == 0:
+            self.breaks = 1
+
+    def _block_break(self) -> None:
+        # p() with single_line_break=True
+        self.breaks = 1
+
+    def _soft_break(self) -> None:
+        self._want_break()
+        self.br_suffix = "  "
+
+    # ------------------------------------------------------------------
+    # data events — the fork's handle_data (:878-925) behind the
+    # Custom pre/code interceptors (:1134-1150)
+    # ------------------------------------------------------------------
+    def text(self, data: str, entity_char: bool = False) -> None:
+        if self.fence:
+            self.emit(data)  # raw, newlines preserved
+            return
+        if self.span_code:
+            self.emit(data.replace("\n", " "))
+            return
+        if not data:
+            return
+        if self.stressed:
+            data = data.strip()
+            self.stressed = False
+            self.post_stressed = True
+        elif self.post_stressed:
+            if (
+                _STRESS_JOIN.match(data[:1])
+                and _HEADER_LEVEL.get(self.cur_tag) is None
+                and self.cur_tag not in ("a", "code", "pre")
+            ):
+                data = " " + data
+            self.post_stressed = False
+        if self.auto_href is not None:
+            href = self.auto_href
+            if href == data and _ABS_URL.match(href):
+                self.emit("<" + data + ">")
+                self.link_empty = False
+                return
+            self.emit("[")
+            self.auto_href = None
+            self.link_empty = False
+        if not self.tick_open and not entity_char:
+            data = _BSLASH.sub(r"\\\1", data)
+        self.last_data = data
+        self.emit(data, collapse=True)
+
+    def entity(self, name: str) -> None:
+        # reference entityref (:941-948); nbsp resolves to the
+        # placeholder installed at init (:143)
+        if name in UNIFIABLE:
+            repl = _NBSP_TOKEN if name == "nbsp" else UNIFIABLE[name]
+        else:
+            try:
+                repl = html.entities.html5[name + ";"]
+            except KeyError:
+                repl = "&" + name + ";"
+        if repl:
+            self.text(repl, entity_char=True)
+
+    def charref(self, ref: str) -> None:
+        # reference charref (:927-939)
+        if ref[:1] in ("x", "X"):
+            cp = int(ref[1:], 16)
+        else:
+            cp = int(ref)
+        if cp in _UNIFIABLE_CP:
+            self.text(_UNIFIABLE_CP[cp], entity_char=True)
+            return
+        try:
+            self.text(chr(cp), entity_char=True)
+        except ValueError:
+            pass  # out-of-range codepoint contributes nothing
+
+    # ------------------------------------------------------------------
+    # tag events
+    # ------------------------------------------------------------------
+    def start_tag(self, tag: str, attrs: dict) -> None:
+        self._tag(tag, attrs, True)
+
+    def end_tag(self, tag: str) -> None:
+        self._tag(tag, {}, False)
+
+    def _tag(self, tag: str, attrs: dict, start: bool) -> None:
+        # Custom interceptors run before any base bookkeeping
+        # (:1107-1132): pre always, code except when inside a link
+        if tag == "pre":
+            if start:
+                self.emit("```\n")
+                self.fence = True
+            else:
+                self.emit("\n```\n")
+                self.fence = False
+            return
+        if tag == "code":
+            if self.fence:
+                return
+            if not self.in_link:
+                self.emit("`")
+            self.span_code = start
+            if not self.in_link:
+                return
+            # inside a link the base handler ALSO runs (:1130),
+            # emitting its own backtick and the deferred "["
+        self.cur_tag = tag
+        # deferred "[" when an automatic-link candidate meets a
+        # non-exempt tag (:319-329)
+        if (
+            start
+            and self.auto_href is not None
+            and tag not in ("p", "div", "style", "dl", "dt")
+            and tag != "img"
+        ):
+            self.emit("[")
+            self.auto_href = None
+            self.link_empty = False
+
+        level = _HEADER_LEVEL.get(tag)
+        if level:
+            self._header(level, start)
+            if not start:
+                return  # the fork returns from both h-end branches
+                # (:360-371), leaving after_list untouched
+        elif tag in ("p", "div"):
+            if not self.link_stack and not self.cell_sep:
+                self._block_break()
+        elif tag == "br":
+            if start:
+                self.emit("  \n> " if self.bq > 0 else "  \n")
+        elif tag == "hr":
+            if start:
+                self._block_break()
+                self.emit("* * *")
+                self._block_break()
+        elif tag in ("head", "script"):
+            self.quiet += 1 if start else -1
+        elif tag == "style":
+            self.quiet += 1 if start else -1
+            self.style_depth += 1 if start else -1
+        elif tag == "body":
+            self.quiet = 0
+        elif tag == "blockquote":
+            if start:
+                self._block_break()
+                self.emit("> ", force=True)
+                self.at_start = True
+                self.bq += 1
+            else:
+                self.bq -= 1
+                self._block_break()
+        elif tag in ("em", "i", "u"):
+            self._emphasis(start, "_", sep_when=lambda c: c not in _WS_CHARS and c not in _PUNCT_CHARS)
+        elif tag in ("strong", "b"):
+            self._emphasis(start, "**", sep_when=lambda c: c == "*")
+        elif tag in ("del", "strike", "s"):
+            self._emphasis(start, "~~", sep_when=lambda c: c == "~")
+        elif tag in ("kbd", "code", "tt"):
+            self.emit("`")
+            self.tick_open = not self.tick_open
+        elif tag == "abbr":
+            if start:
+                self.abbr_title = attrs.get("title")
+                self.abbr_text = ""
+            else:
+                if self.abbr_title is not None:
+                    self.abbr_defs[self.abbr_text] = self.abbr_title
+                    self.abbr_title = None
+                self.abbr_text = None
+        elif tag == "q":
+            self.emit('"')
+            self.quote_open = not self.quote_open
+        elif tag == "a":
+            self._anchor(attrs, start)
+        elif tag == "img":
+            if start:
+                self._image(attrs)
+        elif tag == "dl":
+            if start:
+                self._block_break()
+                self.breaks = 0
+        elif tag == "dt":
+            if start:
+                if self.breaks == 0:
+                    self.emit("\n\n")
+                self.breaks = 0
+            else:
+                self.emit("\n")
+        elif tag == "dd":
+            if start:
+                self.emit("    ")
+            else:
+                self.breaks = 0
+        elif tag in ("ol", "ul"):
+            if not self.lists and not self.after_list:
+                self._block_break()
+            if start:
+                try:
+                    num = int(attrs.get("start") or 1) - 1
+                except ValueError:
+                    num = 0
+                self.lists.append([tag, num])
+            else:
+                if self.lists:
+                    self.lists.pop()
+                    if not self.lists:
+                        self.emit("\n")
+            self.after_list = True
+            return
+        elif tag == "li":
+            self._list_item(start)
+        elif tag in ("table", "tr", "td", "th"):
+            self._table(tag, start)
+        self.after_list = False
+
+    # -- per-family handlers -------------------------------------------
+    def _header(self, level: int, start: bool) -> None:
+        if self.link_stack:
+            # header inside a link (:350-363)
+            if start:
+                self.in_header = True
+                if self._out and self._out[-1] == "[":
+                    self._out.pop()
+                    self.sp = False
+                    self.emit("#" * level + " ")
+                    self.emit("[")
+            else:
+                self.breaks = 0
+                self.in_header = False
+        else:
+            self._block_break()
+            if start:
+                self.in_header = True
+                self.emit("#" * level + " ")
+            else:
+                self.in_header = False
+
+    def _emphasis(self, start: bool, mark: str, sep_when) -> None:
+        # the fork inserts a space when the mark would fuse with the
+        # preceding character (:422-475)
+        if start and self.last_data and sep_when(self.last_data[-1]):
+            self.last_data += " "
+            self.emit(" " + mark)
+        else:
+            self.emit(mark)
+        if start:
+            self.stressed = True
+
+    def _anchor(self, attrs: dict, start: bool) -> None:
+        if start:
+            self.in_link = True
+            href = attrs.get("href")
+            if href is not None and not href.startswith("mailto:"):
+                self.link_stack.append(attrs)
+                self.auto_href = href
+                self.link_empty = True
+            else:
+                self.link_stack.append(None)
+        else:
+            self.in_link = False
+            if self.link_stack:
+                a = self.link_stack.pop()
+                if self.auto_href and not self.link_empty:
+                    self.auto_href = None
+                elif a:
+                    if self.link_empty:
+                        self.emit("[")
+                        self.link_empty = False
+                        self.auto_href = None
+                    self.breaks = 0
+                    title = _escape_md(a.get("title") or "")
+                    url = _escape_md(_urljoin(self.baseurl, a["href"]))
+                    suffix = ' "{}"'.format(title) if title.strip() else ""
+                    self.emit("]({}{})".format(url, suffix))
+
+    def _image(self, attrs: dict) -> None:
+        src = attrs.get("src")
+        if src is None:
+            return
+        alt = attrs.get("alt") or ""
+        if self.auto_href is not None:
+            self.emit("[")
+            self.auto_href = None
+            self.link_empty = False
+        self.emit("![" + _escape_md(alt) + "]")
+        self.emit("(" + _escape_md(_urljoin(self.baseurl, src)) + ")")
+
+    def _list_item(self, start: bool) -> None:
+        self._want_break()
+        if not start:
+            return
+        item = self.lists[-1] if self.lists else ["ul", 0]
+        outer = None
+        for lst in self.lists:
+            # three spaces lines a ul under an ol (:662-671)
+            self.emit("   " if outer == "ol" and lst[0] == "ul" else "  ")
+            outer = lst[0]
+        if item[0] == "ol":
+            item[1] += 1
+            self.emit(str(item[1]) + ". ")
+        else:
+            self.emit("* ")
+        self.at_start = True
+
+    def _table(self, tag: str, start: bool) -> None:
+        if tag == "table":
+            if start:
+                self.header_row = True
+        elif tag == "tr":
+            if start:
+                self.cell_count = 0
+            else:
+                self.cell_sep = False
+                self._soft_break()
+                if self.header_row:
+                    self.emit("|".join(["---"] * self.cell_count))
+                    self._soft_break()
+                    self.header_row = False
+        elif start:  # td / th
+            if self.cell_sep:
+                self.emit("| ")
+            self.cell_sep = True
+            self.cell_count += 1
+
+    # ------------------------------------------------------------------
+    def result(self) -> str:
+        self._want_break()
+        self.emit("", force="end")
+        return "".join(self._out).replace(_NBSP_TOKEN, " ")
+
+
+class _ParserDriver(html.parser.HTMLParser):
+    """Feeds stdlib tokenizer events into a MarkdownMachine — the same
+    event stream the fork sees (it subclasses HTMLParser with
+    ``convert_charrefs=False``, :50)."""
+
+    def __init__(self, machine: MarkdownMachine):
+        super().__init__(convert_charrefs=False)
+        self.m = machine
+
+    def handle_starttag(self, tag, attrs):
+        self.m.start_tag(tag, dict(attrs))
+
+    def handle_endtag(self, tag):
+        self.m.end_tag(tag)
+
+    def handle_startendtag(self, tag, attrs):
+        self.m.start_tag(tag, dict(attrs))
+        self.m.end_tag(tag)
+
+    def handle_data(self, data):
+        self.m.text(data)
+
+    def handle_entityref(self, name):
+        self.m.entity(name)
+
+    def handle_charref(self, ref):
+        self.m.charref(ref)
+
+
+def convert_html(html_text: str, baseurl: str = "") -> str:
+    """Raw HTML string → markdown, byte-identical to
+    ``CustomHTML2Text(baseurl).handle(html_text)`` under the generator
+    defaults (without the generator's fence-dedent post-replace)."""
+    machine = MarkdownMachine(baseurl)
+    driver = _ParserDriver(machine)
+    # the fork's feed() quirk (:149-151)
+    driver.feed(html_text.replace("</' + 'script>", "</ignore>"))
+    driver.feed("")
+    driver.close()
+    return machine.result()
+
+
+_TEXT_SPECIAL = {"&": "amp", "<": "lt", ">": "gt"}
+_TEXT_SPLIT = re.compile(r"[&<>]")
+
+
+def _feed_text(machine: MarkdownMachine, s: str) -> None:
+    """Emit a text node as the exact event sequence its serialized
+    form would produce: the serializer escapes ``& < >`` to entities,
+    and the tokenizer (convert_charrefs=False) re-splits the data at
+    each one — chunk boundaries matter because the machine's stressed
+    strip / whitespace collapse are per-event."""
+    if "&" not in s and "<" not in s and ">" not in s:
+        machine.text(s)
+        return
+    pos = 0
+    for m in _TEXT_SPLIT.finditer(s):
+        if m.start() > pos:
+            machine.text(s[pos : m.start()])
+        machine.entity(_TEXT_SPECIAL[m.group()])
+        pos = m.end()
+    if pos < len(s):
+        machine.text(s[pos:])
+
+
+def convert_tree(root, baseurl: str = "") -> str:
+    """Element tree → markdown without re-tokenizing: walks the DOM
+    emitting the event stream its minimal serialization would produce,
+    which ``tests/test_md_parity.py`` checks against the
+    serialize+reparse path over the whole corpus and fuzzed trees."""
+    from .dom import Element, TextNode, RAW_TEXT_ELEMENTS, VOID_ELEMENTS
+
+    machine = MarkdownMachine(baseurl)
+    stack: list = [("node", c) for c in reversed(root.children)]
+    pending_text: list[str] = []  # adjacent TextNodes serialize as one
+    # run, so they must arrive as one chunk
+    while stack:
+        kind, item = stack.pop()
+        if kind == "node" and type(item) is TextNode:
+            pending_text.append(item.text)
+            continue
+        if pending_text:
+            _feed_text(machine, "".join(pending_text))
+            pending_text.clear()
+        if kind == "end":
+            machine.end_tag(item)
+            continue
+        node = item
+        if type(node) is Element:
+            machine.start_tag(node.tag, node.attrs)
+            if node.tag in VOID_ELEMENTS:
+                machine.end_tag(node.tag)
+                continue
+            if node.tag in RAW_TEXT_ELEMENTS:
+                # raw content arrives as one unsplit data event
+                # (tokenizer CDATA mode), then the close
+                raw = "".join(c.text for c in node.children if type(c) is TextNode)
+                if raw:
+                    machine.text(raw)
+                machine.end_tag(node.tag)
+                continue
+            stack.append(("end", node.tag))
+            for c in reversed(node.children):
+                stack.append(("node", c))
+        # comments contribute nothing (HTMLParser emits them as
+        # handle_comment, which the fork does not override) — but they
+        # do break a text run into separate data events, which the
+        # pending_text flush above preserves
+    if pending_text:
+        _feed_text(machine, "".join(pending_text))
+    return machine.result()

@@ -3,59 +3,27 @@
 Semantics mirror the reference ``DefaultMarkdownGenerator``
 (``crawl4ai/markdown_generation_strategy.py:148-260``) and its vendored
 html2text fork (``crawl4ai/html2text/``), with the reference defaults
-``{body_width: 0, single_line_break: True, mark_code: True}``:
+``{body_width: 0, single_line_break: True, mark_code: True}`` plus the
+fence-dedent post-replace at ``markdown_generation_strategy.py:214``.
 
-- no line wrapping;
-- blocks separated by single blank lines;
-- ``<pre>`` → ``` fenced code blocks (the fork's behavior, including
-  the post-fix ``raw.replace("    ```", "```")`` at
-  ``markdown_generation_strategy.py:214``);
-- links → ``[text](href)`` / ``[text](href "title")``;
-- citations: ``[text](url)`` → ``text⟨n⟩`` + a ``## References``
-  section (``convert_links_to_citations``,
-  ``markdown_generation_strategy.py:82-146`` — numbering in first-seen
-  order, description ``title - text``).
-
-The converter itself is a from-scratch DOM walker (the html2text
-library is not available in this environment); its output is
-deterministic: same HTML in → same markdown bytes out.
+The conversion itself lives in :mod:`.html2md` — an event-driven
+machine whose output is byte-identical to the reference fork under the
+generator configuration (differential-tested against the importable
+fork in ``tests/test_md_parity.py``).  ``markdown_from_tree`` drives it
+straight from an already-parsed DOM (the kernel's single-parse fast
+path); ``html_to_markdown`` tokenizes a raw HTML string.
 """
 
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 from urllib.parse import urljoin
 
-from .dom import Element, TextNode, parse
+from .dom import Element
+from .html2md import convert_html, convert_tree
 
 # Same pattern as the reference LINK_PATTERN (markdown_generation_strategy.py:11)
 LINK_PATTERN = re.compile(r'!?\[([^\]]+)\]\(([^)]+?)(?:\s+"([^"]*)")?\)')
-
-_WS_RE = re.compile(r"[ \t\r\n\f]+")
-
-_SKIP_TAGS = frozenset({"script", "style", "head", "title", "meta", "link", "noscript", "template"})
-_HEADINGS = {"h1": 1, "h2": 2, "h3": 3, "h4": 4, "h5": 5, "h6": 6}
-_BLOCK_TAGS = frozenset(
-    {
-        "p",
-        "div",
-        "section",
-        "article",
-        "main",
-        "aside",
-        "header",
-        "footer",
-        "nav",
-        "figure",
-        "figcaption",
-        "address",
-        "fieldset",
-        "details",
-        "summary",
-        "form",
-    }
-)
 
 
 def fast_urljoin(base: str, url: str) -> str:
@@ -69,187 +37,23 @@ def fast_urljoin(base: str, url: str) -> str:
     return urljoin(base, url)
 
 
-@dataclass
-class _Ctx:
-    blocks: list = field(default_factory=list)  # finished block strings
-    inline: list = field(default_factory=list)  # current inline run
-    list_stack: list = field(default_factory=list)  # ("ul", None) | ("ol", counter)
-    pre_depth: int = 0
-
-    def flush(self) -> None:
-        text = "".join(self.inline)
-        if self.pre_depth == 0:
-            text = text.strip()
-        if text:
-            self.blocks.append(text)
-        self.inline = []
-
-    def emit(self, s: str) -> None:
-        self.inline.append(s)
-
-
-def _inline_text(s: str, in_pre: bool) -> str:
-    if in_pre:
-        return s
-    return _WS_RE.sub(" ", s)
-
-
-def _walk(node, ctx: _Ctx) -> None:
-    for child in node.children:
-        if isinstance(child, TextNode):
-            txt = _inline_text(child.text, ctx.pre_depth > 0)
-            if txt:
-                ctx.emit(txt)
-            continue
-        if not isinstance(child, Element):
-            continue
-        tag = child.tag
-        if tag in _SKIP_TAGS:
-            continue
-
-        if tag in _HEADINGS:
-            ctx.flush()
-            inner = _collect_inline(child, ctx)
-            if inner.strip():
-                ctx.blocks.append("#" * _HEADINGS[tag] + " " + inner.strip())
-        elif tag == "p":
-            ctx.flush()
-            _walk(child, ctx)
-            ctx.flush()
-        elif tag in _BLOCK_TAGS:
-            ctx.flush()
-            _walk(child, ctx)
-            ctx.flush()
-        elif tag == "br":
-            ctx.emit("\n")
-        elif tag == "hr":
-            ctx.flush()
-            ctx.blocks.append("* * *")
-        elif tag == "pre":
-            ctx.flush()
-            ctx.pre_depth += 1
-            inner = _collect_inline(child, ctx)
-            ctx.pre_depth -= 1
-            code = inner.strip("\n")
-            ctx.blocks.append(f"```\n{code}\n```")
-        elif tag == "code":
-            if ctx.pre_depth > 0:
-                _walk(child, ctx)
-            else:
-                inner = _collect_inline(child, ctx)
-                ctx.emit(f"`{inner}`")
-        elif tag in ("strong", "b"):
-            inner = _collect_inline(child, ctx)
-            if inner.strip():
-                ctx.emit(f"**{inner.strip()}**")
-        elif tag in ("em", "i"):
-            inner = _collect_inline(child, ctx)
-            if inner.strip():
-                ctx.emit(f"_{inner.strip()}_")
-        elif tag == "a":
-            href = (child.get("href") or "").strip()
-            title = (child.get("title") or "").strip()
-            inner = _collect_inline(child, ctx).strip()
-            if href and inner:
-                if title:
-                    ctx.emit(f'[{inner}]({href} "{title}")')
-                else:
-                    ctx.emit(f"[{inner}]({href})")
-            elif inner:
-                ctx.emit(inner)
-        elif tag == "img":
-            src = (child.get("src") or "").strip()
-            alt = (child.get("alt") or "").strip()
-            if src:
-                ctx.emit(f"![{alt}]({src})")
-        elif tag in ("ul", "ol"):
-            ctx.flush()
-            ctx.list_stack.append([tag, 0])
-            _walk(child, ctx)
-            ctx.list_stack.pop()
-            ctx.flush()
-        elif tag == "li":
-            ctx.flush()
-            depth = max(0, len(ctx.list_stack) - 1)
-            indent = "  " * depth
-            if ctx.list_stack and ctx.list_stack[-1][0] == "ol":
-                ctx.list_stack[-1][1] += 1
-                marker = f"{ctx.list_stack[-1][1]}. "
-            else:
-                marker = "* "
-            inner = _collect_block_inline(child, ctx)
-            if inner.strip():
-                ctx.blocks.append(indent + marker + inner.strip())
-        elif tag == "blockquote":
-            ctx.flush()
-            sub = _Ctx(pre_depth=ctx.pre_depth)
-            _walk(child, sub)
-            sub.flush()
-            quoted = "\n".join("> " + line for block in sub.blocks for line in block.split("\n"))
-            if quoted:
-                ctx.blocks.append(quoted)
-        elif tag == "table":
-            ctx.flush()
-            md = _table_to_markdown(child)
-            if md:
-                ctx.blocks.append(md)
-        else:
-            _walk(child, ctx)
-
-
-def _collect_inline(el: Element, ctx: _Ctx) -> str:
-    sub = _Ctx(pre_depth=ctx.pre_depth, list_stack=ctx.list_stack)
-    _walk(el, sub)
-    parts = list(sub.blocks)
-    tail = "".join(sub.inline)
-    if tail:
-        parts.append(tail if ctx.pre_depth else tail)
-    return " ".join(p for p in parts) if ctx.pre_depth == 0 else "".join(parts)
-
-
-def _collect_block_inline(el: Element, ctx: _Ctx) -> str:
-    sub = _Ctx(pre_depth=ctx.pre_depth, list_stack=ctx.list_stack)
-    _walk(el, sub)
-    sub.flush()
-    return " ".join(b for b in sub.blocks if b)
-
-
-def _table_to_markdown(table: Element) -> str:
-    rows = table.find_all("tr")
-    if not rows:
-        return ""
-    lines = []
-    for i, row in enumerate(rows):
-        cells = [
-            _WS_RE.sub(" ", c.get_text()).strip() for c in row.find_all(("th", "td"))
-        ]
-        if not cells:
-            continue
-        lines.append("| " + " | ".join(cells) + " |")
-        if i == 0:
-            lines.append("|" + "|".join(["---"] * len(cells)) + "|")
-    return "\n".join(lines)
-
-
-def markdown_from_tree(root: Element) -> str:
+def markdown_from_tree(root: Element, base_url: str = "") -> str:
     """Markdown straight from an already-parsed DOM (no re-parse —
-    the kernel's single-parse fast path)."""
-    ctx = _Ctx()
-    _walk(root, ctx)
-    ctx.flush()
-    out = "\n\n".join(b for b in ctx.blocks if b)
-    # mirror the reference's fence-dedent post-fix (:214)
-    out = out.replace("    ```", "```")
-    return out + "\n" if out else ""
+    the kernel's single-parse fast path).  Byte-equal to running
+    ``html_to_markdown`` on the tree's serialized HTML."""
+    return convert_tree(root, base_url).replace("    ```", "```")
 
 
-def html_to_markdown(html: str) -> str:
-    """Convert HTML to markdown (raw_markdown). Blocks separated by
-    single blank lines; trailing newline appended (html2text emits a
-    final newline)."""
-    if not html:
-        return ""
-    return markdown_from_tree(parse(html))
+def html_to_markdown(html: str, base_url: str = "") -> str:
+    """Raw HTML → raw_markdown, byte-identical to the reference
+    generator: ``CustomHTML2Text(...).handle(html)`` under the
+    generator defaults + the fence-dedent post-replace.  Exceptions
+    degrade to the reference's error string (:211-213)."""
+    try:
+        raw = convert_html(html or "", base_url)
+    except Exception as e:
+        raw = f"Error converting HTML to markdown: {str(e)}"
+    return raw.replace("    ```", "```")
 
 
 def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:

@@ -119,7 +119,7 @@ def extract_page(
         markdown_with_citations = ""
         references_markdown = ""
         if need_markdown:
-            raw_markdown = markdown_from_tree(root)
+            raw_markdown = markdown_from_tree(root, url)
             if citations:
                 markdown_with_citations, references_markdown = (
                     convert_links_to_citations(raw_markdown, url)
@@ -137,7 +137,7 @@ def extract_page(
             content_filter = PruningContentFilter(threshold=pruning_threshold)
             pruned_blocks = content_filter.filter_tree(root)
             if "fit_markdown" in need:
-                md_parts = [markdown_from_tree(b) for b in pruned_blocks]
+                md_parts = [markdown_from_tree(b, url) for b in pruned_blocks]
                 fit_markdown = "\n".join(p.rstrip("\n") for p in md_parts if p)
                 if fit_markdown:
                     fit_markdown += "\n"

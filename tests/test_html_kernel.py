@@ -141,8 +141,10 @@ class TestScrape:
 
 class TestMarkdown:
     def test_heading_and_paragraph(self):
+        # single_line_break=True: blocks separated by one newline
+        # (reference generator defaults)
         md = html_to_markdown("<h1>Title</h1><p>Body text.</p>")
-        assert md == "# Title\n\nBody text.\n"
+        assert md == "# Title\nBody text.\n"
 
     def test_link(self):
         md = html_to_markdown('<p>See <a href="https://x.com/a">this</a>.</p>')

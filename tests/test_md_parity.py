@@ -1,0 +1,199 @@
+"""Byte-parity differential suite: the markdown engine vs the
+reference's importable html2text fork (loaded read-only from
+/root/reference as the oracle — see ref_html2text.py).
+
+Parity target: ``DefaultMarkdownGenerator``'s raw markdown =
+``CustomHTML2Text`` with the generator defaults + the fence-dedent
+post-replace (markdown_generation_strategy.py:180-214).
+"""
+
+import random
+
+import pytest
+
+from crawl4ai_custom_ray.html.dom import parse
+from crawl4ai_custom_ray.html.html2md import convert_html, convert_tree
+from crawl4ai_custom_ray.html.markdown import html_to_markdown, markdown_from_tree
+from crawl4ai_custom_ray.sources.pages import generate_pages_table
+
+from ref_html2text import reference_markdown
+
+WIKI_FIXTURE = "/root/reference/tests/async/sample_wikipedia.html"
+
+
+def ref(html: str, baseurl: str = "") -> str:
+    return reference_markdown(html, baseurl)
+
+
+CASES = [
+    # judge's round-1 drift case
+    "<h1>Hi</h1><p>Hello <a href='/x'>world</a> and <b>bold</b></p><ul><li>one</li><li>two</li></ul>",
+    # blocks / breaks
+    "<p>a</p><p>b</p>",
+    "<h2>t</h2><div>d</div><span>s</span>",
+    "<p>a<br>b</p>",
+    "<hr>",
+    "",
+    "plain text",
+    # lists
+    "<ul><li>one<ul><li>nested</li></ul></li><li>two</li></ul>",
+    "<ol><li>a</li><li>b</li></ol>",
+    "<ol start='3'><li>a</li></ol>",
+    "<ol><li>x<ul><li>u</li></ul></li></ol>",
+    "<ul><li>a</li></ul><ul><li>b</li></ul>",
+    "<ul><li><p>para in li</p></li></ul>",
+    # code
+    "<pre>code\n  indented</pre><p>after</p>",
+    "<pre><code>def f():\n    pass</code></pre>",
+    "<p>inline <code>c = 1</code> here</p>",
+    "<code>multi\nline code</code>",
+    "<kbd>Ctrl</kbd><tt>tty</tt>",
+    # quotes / tables
+    "<blockquote><p>quoted</p><p>more</p></blockquote>",
+    "<blockquote>a<blockquote>deep</blockquote></blockquote>",
+    "<blockquote><ul><li>q</li></ul></blockquote>",
+    "<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>",
+    "<q>a<q>b</q>c</q>",
+    # entities (UNIFIABLE ascii folding)
+    "<p>5 &lt; 6 &amp; 7 &gt; 2</p>",
+    "<p>&nbsp;x&nbsp;&nbsp;y</p>",
+    "<p>&rsquo;s &mdash; dash &copy; &rarr;</p>",
+    "<p>&#8217;s &#160; &#65; &uuml;</p>",
+    "<p>&unknownent; ok</p>",
+    "&amp",
+    "a&#160b",
+    # links
+    "<a href='http://x.com/'>http://x.com/</a>",
+    "<a href='http://x.com/'>text</a>",
+    "<a href='/rel' title='T I'>t</a>",
+    "<a href='mailto:a@b.c'>mail</a>",
+    "<a href='#frag'>frag</a>",
+    "<a href='/x'><h1>header in link</h1></a>",
+    "<h1><a href='/x'>linked header</a></h1>",
+    "<a href='/x'><code>c</code></a>",
+    "<a href='/x'><div>d</div></a>",
+    "<a href='/x'></a>",
+    "<a href='/x'>unclosed",
+    # images
+    "<p><img src='/i.png' alt='pic [x]'></p>",
+    "<a href='/l'><img src='/i.png' alt='a'></a>",
+    "<img>",
+    # emphasis spacing ("stressed" machinery)
+    "<p>a<em>b</em>c</p>",
+    "<p>a <em> b </em> c</p>",
+    "<p>a*<b>b</b></p>",
+    "<em>a<strong>b</em>c</strong>",
+    "<del>gone</del>",
+    "<b></b>x",
+    # escaping
+    "<p>back\\slash</p>",
+    "<p>1. not a list</p>",
+    # structure / soup
+    "<dl><dt>T</dt><dd>D</dd><dt>T2</dt><dd>D2</dd></dl>",
+    "<abbr title='Hyper'>HTML</abbr> after",
+    "<head><title>T</title></head><body><p>b</p></body>",
+    "<script>var x=1;</script><p>vis</p>",
+    "<body><p>a</p></body><p>after body</p>",
+    "</b>stray close",
+    "<p>a<p>b",
+    "<li>orphan</li>",
+    "<td>orphan cell</td>",
+    "<P>UPPER</P>",
+    "<!-- comment -->text",
+    "<!DOCTYPE html><p>doc</p>",
+]
+
+
+def test_fixture_cases_byte_equal():
+    for html in CASES:
+        assert html_to_markdown(html) == ref(html), html
+
+
+def test_baseurl_joins_match():
+    html = "<a href='/rel'>r</a><img src='img.png' alt='i'>"
+    base = "https://ex.com/dir/page.html"
+    assert html_to_markdown(html, base) == ref(html, base)
+
+
+def test_wikipedia_fixture_byte_equal():
+    html = open(WIKI_FIXTURE, encoding="utf-8").read()
+    assert html_to_markdown(html) == ref(html)
+
+
+def test_whole_corpus_byte_equal():
+    t = generate_pages_table("/root/testdata/sf0.001")
+    for i in range(t.num_rows):
+        html = t["html"][i].as_py().decode()
+        assert html_to_markdown(html) == ref(html), f"row {i}"
+
+
+_TAGS = [
+    "p", "div", "span", "b", "i", "em", "strong", "u", "code", "pre",
+    "ul", "ol", "li", "h1", "h2", "h3", "blockquote", "a", "table",
+    "tr", "td", "th", "br", "hr", "img", "del", "q", "kbd", "dl",
+    "dt", "dd", "abbr", "sub", "sup", "script", "style", "figure",
+]
+_TEXTS = [
+    "hello", "a & b", "5 < 6", "it's", "  spaced  ", "multi\nline",
+    "*star*", "_und_", "back\\slash", "&amp;", "&nbsp;", "&rsquo;",
+    "&#65;", "tail. ", "1. x", "- y", "", "~x~", "[br]", "(p)",
+    "</>", "<!-- c -->", "> gt",
+]
+
+
+def _gen_html(rng: random.Random, depth: int = 0) -> str:
+    out = []
+    for _ in range(rng.randint(1, 6)):
+        if rng.random() < 0.45 or depth > 4:
+            out.append(rng.choice(_TEXTS))
+        else:
+            t = rng.choice(_TAGS)
+            if t in ("br", "hr"):
+                out.append(f"<{t}>")
+            elif t == "img":
+                out.append(rng.choice([
+                    "<img src='/i.png' alt='A'>",
+                    "<img src='/j.png'>",
+                    "<img alt='noalt'>",
+                ]))
+            else:
+                attrs = ""
+                if t == "a":
+                    attrs = rng.choice([
+                        " href='/x'", " href='http://e.com/'",
+                        " href='mailto:m@x.y'", "", " href='/x' title='T'",
+                    ])
+                elif t == "abbr":
+                    attrs = rng.choice([" title='Full'", ""])
+                elif t == "ol":
+                    attrs = rng.choice(["", " start='3'"])
+                out.append(f"<{t}{attrs}>" + _gen_html(rng, depth + 1) + f"</{t}>")
+    return "".join(out)
+
+
+def test_structured_fuzz_byte_equal():
+    rng = random.Random(20260817)
+    for i in range(800):
+        html = _gen_html(rng)
+        assert html_to_markdown(html) == ref(html), html
+
+
+def test_tag_soup_fuzz_byte_equal():
+    rng = random.Random(7)
+    alpha = "<>ab c/=\"'&;#!-xepli*_`~[]().\\\nh1u"
+    for i in range(1500):
+        html = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
+        assert html_to_markdown(html) == ref(html), repr(html)
+
+
+def test_tree_driver_equals_serialize_path():
+    """markdown_from_tree must equal html_to_markdown on the tree's
+    serialization — corpus + structured fuzz."""
+    t = generate_pages_table("/root/testdata/sf0.001")
+    for i in range(0, t.num_rows, 5):
+        root = parse(t["html"][i].as_py().decode())
+        assert markdown_from_tree(root) == html_to_markdown(root.serialize_contents())
+    rng = random.Random(41)
+    for i in range(500):
+        root = parse(_gen_html(rng))
+        assert convert_tree(root) == convert_html(root.serialize_contents())
