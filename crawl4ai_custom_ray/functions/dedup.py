@@ -2,30 +2,40 @@
 
 Beyond the reference's URL-seen dedup (SURVEY.md §2.9), these are the
 document-level dedup family a 100 TB text pipeline needs.  All are
-Ray-Data-native:
+Ray-Data-native and hold NO corpus-sized state anywhere (driver or
+broadcast): per-doc side data travels through shuffles (groupby
+aggregates that carry what the verify step needs) or hash joins of the
+candidate-pair table back onto per-doc datasets.
 
 - :func:`exact_dedup` — content-hash groupby, keep min id.  One
   shuffle on the 16-byte hash (never on the text itself).
-- :func:`jaccard_pairs` — exact word-set Jaccard via an inverted-index
-  join: explode (id, token) → groupby(token) emits within-token pairs
-  → groupby(pair) counts intersections → Jaccard with broadcast set
-  sizes.  Exact but O(Σ df²) — the verification baseline for LSH.
-  Hot tokens are dropped above ``max_df`` (they cannot change the
-  result for thresholds > ~0.5 — a pair sharing only ultra-common
-  tokens scores below threshold; documented skew guard).
+- :func:`jaccard_pairs` — exact word/shingle-set Jaccard via an
+  inverted-index join: explode (id, token) → groupby(token) emits
+  within-token pairs → groupby(pair) counts intersections → set sizes
+  joined on (streamed, not broadcast).  Exact but O(Σ df²).
+  ``max_df`` drops tokens hotter than the cutoff BEFORE the quadratic
+  explode — a skew guard that trades recall for bounded work: a pair
+  sharing a dropped token has its intersection undercounted while set
+  sizes also shrink, so scores shift and borderline pairs can be
+  missed.  Callers that need exactness leave it None; callers at web
+  scale set it and accept approximate Jaccard over non-hot tokens.
 - :class:`MinHasher` / :func:`minhash_lsh_pairs` — shingle → minhash
   (k permutations via universal hashing) → band buckets → candidate
-  pairs → exact-Jaccard verification.  The 100 TB path: cost is
-  linear in corpus size + bucket collisions.
-- :func:`simhash_pairs` — 64-bit simhash over token features; near-dup
-  candidates via 4-segment block partitioning (Hamming ≤ 3 guarantee),
-  verified by exact Hamming distance.
+  pairs → exact-Jaccard verification by joining candidates back onto
+  a per-doc shingle-hash dataset (two hash joins; candidates are the
+  small side by construction).  The 100 TB path: cost is linear in
+  corpus size + bucket collisions.
+- :func:`simhash_pairs` — 64-bit simhash over md5 token hashes;
+  near-dup candidates via 4-segment block partitioning (Hamming ≤ 3
+  guarantee).  The segment buckets carry (id, fp) so verification is
+  local to each bucket group — no lookup table anywhere.  md5 (not
+  blake2b) so the whole pipeline is reproducible in ANSI SQL for the
+  driver's DuckDB oracle.
 """
 
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pyarrow as pa
@@ -53,7 +63,36 @@ def _collect_ids_agg(id_col: str = "id"):
     )
 
 
-def _explode_pairs_batch(batch: pa.Table, extra_cols: dict | None = None) -> pa.Table:
+def _collect_id_fp_agg(name: str = "members"):
+    """AggregateFn collecting the group's (id:int64, fp:uint64) rows,
+    finalized as packed little-endian bytes (16 B per member) — an
+    Arrow-native binary column, so the verify step can run inside the
+    bucket group without consulting any global map."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc, block):
+        if hasattr(block, "column_names"):
+            ids = block["id"].to_numpy(zero_copy_only=False)
+            fps = block["fp"].to_numpy(zero_copy_only=False)
+        else:
+            ids = np.asarray(block["id"])
+            fps = np.asarray(block["fp"])
+        packed = np.empty(len(ids), dtype=[("id", "<i8"), ("fp", "<u8")])
+        packed["id"] = ids
+        packed["fp"] = fps
+        acc.append(packed.tobytes())
+        return acc
+
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=lambda a, b: a + b,
+        finalize=lambda acc: b"".join(acc),
+        name=name,
+    )
+
+
+def _explode_pairs_batch(batch: pa.Table) -> pa.Table:
     """(…, ids: list) rows → all within-group (a < b) pairs."""
     a_out, b_out = [], []
     for ids in batch["ids"].to_pylist():
@@ -67,6 +106,56 @@ def _explode_pairs_batch(batch: pa.Table, extra_cols: dict | None = None) -> pa.
     return pa.table(
         {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
     )
+
+
+def _coalesce_for_join(ds, *, target_rows_per_block: int = 4096, max_blocks: int = 64):
+    """Materialize + repartition a shuffle-produced dataset into a few
+    uniformly-filled blocks before using it as a join input.
+
+    Hash-shuffle (groupby) outputs at high parallelism contain empty
+    schema-less blocks; a downstream Acero join partition fed only
+    those dies with "No match or multiple matches for key field
+    reference".  Coalescing removes them.  Returns (dataset, count)."""
+    ds = ds.materialize()
+    n = ds.count()
+    blocks = max(1, min(max_blocks, -(-n // target_rows_per_block)))
+    return ds.repartition(blocks).materialize(), n
+
+
+def _empty_dataset(schema: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({k: pa.array([], t) for k, t in schema.items()}))
+
+
+def _join_partitions(requested: int) -> int:
+    """Bound join parallelism by the session size: each hash-join
+    shuffle holds aggregator actors, and two joins in one plan can
+    starve a small session's map tasks (observed deadlock at 4 CPUs
+    with 2×16 partitions)."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, min(requested, cpus // 2 or 1))
+
+
+def _attach_by_id(pairs, per_doc, key: str, out_cols: dict, *, num_partitions: int):
+    """Hash-join ``pairs`` (left) with a per-doc dataset (id, …) on
+    ``key``; renames attached columns per ``out_cols``.  The pair table
+    is the small side by construction — this replaces any id→value
+    broadcast so no corpus-sized object ever exists in one place.
+    Materialized so chained attaches never put two join shuffles in
+    one running plan."""
+    joined = pairs.join(
+        per_doc,
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=(key,),
+        right_on=("id",),
+    )
+    if out_cols:
+        joined = joined.rename_columns(out_cols)
+    return joined.materialize()
 
 
 # ------------------------------------------------------------------ exact
@@ -115,10 +204,13 @@ def jaccard_pairs(
     text_column: str = "text",
     shingle_n: int = 1,
     max_df: int | None = None,
+    num_partitions: int = 16,
 ):
-    """All pairs (a < b) with word-set Jaccard ≥ threshold.  Exact;
-    inverted-index join (documented in module docstring)."""
-    import ray
+    """All pairs (a < b) with token/shingle-set Jaccard ≥ threshold.
+    Exact when ``max_df`` is None; see module docstring for the
+    ``max_df`` skew/recall tradeoff.  Set sizes are joined onto the
+    pair table (two hash joins), never broadcast."""
+    from ray.data.aggregate import Count
 
     # token explode (distinct per doc)
     def explode(batch: pa.Table) -> pa.Table:
@@ -134,53 +226,76 @@ def jaccard_pairs(
             {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
         )
 
-    tokens = ds.map_batches(explode, batch_format="pyarrow").materialize()
-
-    # broadcast per-doc set sizes (small: one int per doc)
-    from ray.data.aggregate import Count
-
-    sizes_df = tokens.groupby("id").aggregate(Count(alias_name="n")).to_pandas()
-    sizes_ref = ray.put(dict(zip(sizes_df["id"], sizes_df["n"])))
-
-    # groupby token → id-list aggregate → explode within-token pairs
-    # (skew guard: drop tokens with df > max_df)
-    def explode(batch: pa.Table) -> pa.Table:
-        a_out, b_out = [], []
-        for ids in batch["ids"].to_pylist():
-            if ids is None or len(ids) < 2 or (max_df is not None and len(ids) > max_df):
-                continue
-            ids = sorted(ids)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-        return pa.table(
-            {"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64())}
-        )
-
-    pair_counts = (
-        tokens.groupby("token")
+    # groupby token → id lists, with the max_df skew guard applied
+    # BEFORE anything quadratic; materialized because both the sizes
+    # and the pairs paths read it
+    grouped = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("token")
         .aggregate(_collect_ids_agg("id"))
-        .map_batches(explode, batch_format="pyarrow")
+    )
+    if max_df is not None:
+
+        def df_filter(batch: pa.Table) -> pa.Table:
+            keep = pc.less_equal(pc.list_value_length(batch["ids"]), max_df)
+            return batch.filter(keep)
+
+        grouped = grouped.map_batches(df_filter, batch_format="pyarrow")
+    grouped = grouped.materialize()
+
+    # per-doc set size over the KEPT tokens (so max_df shrinks both
+    # numerator and denominator consistently)
+    def explode_members(batch: pa.Table) -> pa.Table:
+        out = []
+        for ids in batch["ids"].to_pylist():
+            if ids:
+                out.extend(ids)
+        return pa.table({"id": pa.array(out, pa.int64())})
+
+    # materialized: a join shuffle consuming a still-running groupby
+    # shuffle has proven racy; sizes is one small row per doc and both
+    # joins read it
+    sizes = (
+        grouped.map_batches(explode_members, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(Count(alias_name="n"))
+    ).materialize()
+
+    pair_counts, n_pairs = _coalesce_for_join(
+        grouped.map_batches(_explode_pairs_batch, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_common"))
     )
+    if n_pairs == 0:
+        return _empty_dataset({"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
+
+    with_a = _attach_by_id(
+        pair_counts, sizes, "a", {"n": "n_a"}, num_partitions=num_partitions
+    )
+    with_ab = _attach_by_id(
+        with_a, sizes, "b", {"n": "n_b"}, num_partitions=num_partitions
+    )
 
     def score(batch: pa.Table) -> pa.Table:
-        sizes = ray.get(sizes_ref)
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        common = batch["n_common"].to_pylist()
-        jac = [c / (sizes[x] + sizes[y] - c) for x, y, c in zip(a, b, common)]
+        c = batch["n_common"].to_numpy().astype(np.float64)
+        na = batch["n_a"].to_numpy().astype(np.float64)
+        nb = batch["n_b"].to_numpy().astype(np.float64)
+        jac = c / (na + nb - c)
         out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return pair_counts.map_batches(score, batch_format="pyarrow").select_columns(
+    return with_ab.map_batches(score, batch_format="pyarrow").select_columns(
         ["a", "b", "jaccard"]
     )
 
 
 # --------------------------------------------------------------- minhash
+
+
+def _hash64(s: str) -> int:
+    """64-bit token/shingle hash: first 8 bytes of md5 (big-endian) —
+    reproducible in SQL as ('0x' || substr(md5(s),1,16))::UBIGINT."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
 class MinHasher:
@@ -200,14 +315,7 @@ class MinHasher:
     @staticmethod
     def _shingle_hashes(shingles: set[str]) -> np.ndarray:
         return np.fromiter(
-            (
-                struct.unpack(
-                    "<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
-                )[0]
-                for s in shingles
-            ),
-            dtype=np.uint64,
-            count=len(shingles),
+            (_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
         )
 
     def signature(self, shingles: set[str]) -> np.ndarray:
@@ -252,6 +360,37 @@ def minhash_signatures(
     return ds.map_batches(SigFn, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
 
 
+def shingle_hash_sets(
+    ds,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_n: int = 3,
+):
+    """Dataset → (id, sh: binary) where ``sh`` packs the doc's sorted
+    distinct shingle hashes as little-endian uint64 bytes.  8 bytes per
+    shingle — the per-doc payload the verify join ships instead of
+    text.  (Binary, not list<uint64>: Acero hash joins reject nested
+    non-key fields.)"""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_pylist()
+        sets = []
+        for t in batch[text_column].to_pylist():
+            hs = np.fromiter(
+                (_hash64(s) for s in word_shingles(t, shingle_n)),
+                dtype=np.uint64,
+            )
+            hs = np.unique(hs)  # sorted; dedups the (astronomically
+            # unlikely) intra-doc hash collision
+            sets.append(hs.astype("<u8").tobytes())
+        return pa.table(
+            {"id": pa.array(ids, pa.int64()), "sh": pa.array(sets, pa.binary())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(
     ds,
     *,
@@ -259,20 +398,20 @@ def minhash_lsh_pairs(
     id_column: str = "doc_id",
     text_column: str = "text",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     shingle_n: int = 3,
     seed: int = 42,
+    num_partitions: int = 16,
 ):
     """Candidate pairs via LSH banding, verified with exact Jaccard
-    over the shingle sets.  Returns (a, b, jaccard ≥ threshold).
+    over per-doc shingle-hash sets.  Returns (a, b, jaccard ≥
+    threshold).
 
     Pipeline: signatures → explode (band_id, band_hash, id) →
-    groupby(band) → within-bucket pairs → distinct pairs → verify.
-    Verification re-reads only candidate docs' texts via broadcast
-    (candidates are rare by construction)."""
-    import pandas as pd
-    import ray
-
+    groupby(band) → within-bucket pairs → distinct pairs → JOIN the
+    pair table back onto the shingle-hash dataset (on a, then on b) →
+    vectorized set intersection per pair.  No corpus-sized broadcast;
+    the joins ship only candidate docs' hash sets."""
     rows_per_band = num_perm // bands
     docs = ds.select_columns([id_column, text_column])
     sigs = minhash_signatures(
@@ -301,66 +440,88 @@ def minhash_lsh_pairs(
             }
         )
 
-    buckets = sigs.map_batches(explode_bands, batch_format="pyarrow")
-
-    candidates = (
-        buckets.groupby(["band", "bucket"])
+    candidates, n_cand = _coalesce_for_join(
+        sigs.map_batches(explode_bands, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
         .aggregate(_collect_ids_agg("id"))
         .map_batches(_explode_pairs_batch, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
     )
+    if n_cand == 0:
+        return _empty_dataset({"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
 
-    # exact verification with broadcast shingle sets of candidate docs.
-    # (At 100 TB scale this becomes a join of candidates back onto the
-    # docs table; broadcast is right while candidates ≪ corpus.)
-    texts_df = docs.to_pandas()
-    shingle_map = {
-        i: word_shingles(t, shingle_n)
-        for i, t in zip(texts_df[id_column], texts_df[text_column])
-    }
-    sh_ref = ray.put(shingle_map)
+    # Semi-join reduction before the verify joins: only candidate
+    # docs need shingle sets.  The broadcast here is the candidate id
+    # list — the provably-small side (bounded by bucket collisions),
+    # never the corpus.  The reduced per-doc dataset is materialized
+    # once so the two joins don't re-execute its chain.
+    import ray
+
+    cand_tbl = candidates.to_pandas()
+    cand_ids = pa.array(
+        sorted(set(cand_tbl["a"]).union(cand_tbl["b"])), pa.int64()
+    )
+    ids_ref = ray.put(cand_ids)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_column], value_set=ray.get(ids_ref)))
+
+    sh = shingle_hash_sets(
+        docs.map_batches(keep_candidates, batch_format="pyarrow"),
+        id_column=id_column,
+        text_column=text_column,
+        shingle_n=shingle_n,
+    ).materialize()
+    with_a = _attach_by_id(
+        candidates, sh, "a", {"sh": "sh_a"}, num_partitions=num_partitions
+    )
+    with_ab = _attach_by_id(
+        with_a, sh, "b", {"sh": "sh_b"}, num_partitions=num_partitions
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh = ray.get(sh_ref)
         a = batch["a"].to_pylist()
         b = batch["b"].to_pylist()
         jac = []
-        for x, y in zip(a, b):
-            sa, sb = sh.get(x, set()), sh.get(y, set())
-            union = len(sa | sb)
-            jac.append(len(sa & sb) / union if union else 0.0)
-        out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+        for sa_b, sb_b in zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
+            sa = np.frombuffer(sa_b, dtype="<u8")
+            sb = np.frombuffer(sb_b, dtype="<u8")
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac.append(inter / union if union else 0.0)
+        out = pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    return with_ab.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- simhash
 
+_BIT_POS = np.arange(64, dtype=np.uint64)
+
 
 def simhash64(tokens: list[str]) -> int:
-    """Classic 64-bit simhash (Charikar): per-token 64-bit hash,
-    bit-vote, sign → fingerprint."""
+    """Classic 64-bit simhash (Charikar): per-token md5-based 64-bit
+    hash, bit-vote, sign → fingerprint.  md5 keeps it reproducible in
+    the DuckDB oracle."""
     if not tokens:
         return 0
-    votes = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = struct.unpack(
-            "<Q", hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
-        )[0]
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        votes += np.where(bits == 1, 1, -1)
-    fp = 0
-    for i in range(64):
-        if votes[i] > 0:
-            fp |= 1 << i
-    return fp
+    hs = np.fromiter((_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    bits = ((hs[:, None] >> _BIT_POS[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.uint64) << _BIT_POS).sum())
 
 
 def hamming64(a: int, b: int) -> int:
-    return bin(a ^ b).count("1")
+    return (a ^ b).bit_count()
 
 
 def simhash_pairs(
@@ -375,9 +536,9 @@ def simhash_pairs(
     Pigeonhole banding: split the 64-bit fingerprint into
     ``max_hamming+1`` segments — any pair within distance ≤ max_hamming
     agrees exactly on ≥1 segment → groupby (segment_id, segment_value)
-    yields a candidate superset, verified by exact Hamming distance."""
-    import pandas as pd
-
+    yields a candidate superset (lossless).  Each bucket group carries
+    its members' (id, fp) through the aggregate, so the exact-Hamming
+    verify is bucket-local — no id→fp map exists anywhere."""
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
 
@@ -387,10 +548,6 @@ def simhash_pairs(
         return pa.table(
             {"id": pa.array(ids, pa.int64()), "fp": pa.array(fps, pa.uint64())}
         )
-
-    fps = ds.select_columns([id_column, text_column]).map_batches(
-        fingerprints, batch_format="pyarrow"
-    ).materialize()
 
     def explode_segments(batch: pa.Table) -> pa.Table:
         ids_out, segs, vals, fp_out = [], [], [], []
@@ -411,26 +568,21 @@ def simhash_pairs(
             }
         )
 
-    # broadcast id→fp (8 bytes per doc; at 100 TB scale this becomes a
-    # join of the pair table back onto fps)
-    import ray
-
-    fp_df = fps.to_pandas()
-    fp_ref = ray.put(dict(zip(fp_df["id"], fp_df["fp"])))
-
-    def explode_and_verify(batch: pa.Table) -> pa.Table:
-        fpm = ray.get(fp_ref)
+    def verify_bucket(batch: pa.Table) -> pa.Table:
         a_out, b_out, d_out = [], [], []
-        for ids in batch["ids"].to_pylist():
-            if ids is None or len(ids) < 2:
+        for blob in batch["members"].to_pylist():
+            if blob is None or len(blob) < 32:  # fewer than 2 members
                 continue
-            ids = sorted(set(ids))
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    d = hamming64(int(fpm[ids[i]]), int(fpm[ids[j]]))
+            rec = np.frombuffer(blob, dtype=[("id", "<i8"), ("fp", "<u8")])
+            uniq = sorted({(int(i), int(fp)) for i, fp in rec})
+            for x in range(len(uniq)):
+                ix, fx = uniq[x]
+                for y in range(x + 1, len(uniq)):
+                    iy, fy = uniq[y]
+                    d = (fx ^ fy).bit_count()
                     if d <= max_hamming:
-                        a_out.append(ids[i])
-                        b_out.append(ids[j])
+                        a_out.append(ix)
+                        b_out.append(iy)
                         d_out.append(d)
         return pa.table(
             {
@@ -440,13 +592,15 @@ def simhash_pairs(
             }
         )
 
-    pairs = (
-        fps.map_batches(explode_segments, batch_format="pyarrow")
-        .groupby(["seg", "val"])
-        .aggregate(_collect_ids_agg("id"))
-        .map_batches(explode_and_verify, batch_format="pyarrow")
-    )
-    # distinct (a pair can collide in several segments)
     from ray.data.aggregate import Min
 
+    pairs = (
+        ds.select_columns([id_column, text_column])
+        .map_batches(fingerprints, batch_format="pyarrow")
+        .map_batches(explode_segments, batch_format="pyarrow")
+        .groupby(["seg", "val"])
+        .aggregate(_collect_id_fp_agg())
+        .map_batches(verify_bucket, batch_format="pyarrow")
+    )
+    # distinct (a pair can collide in several segments)
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -100,45 +100,180 @@ def knn_brute_force(
     )
 
 
+def _block_pair_table(t1: pa.Table, t2: pa.Table, threshold: float,
+                      id_column: str, vector_column: str, same: bool) -> pa.Table:
+    ids1 = np.asarray(t1[id_column].to_pylist(), dtype=np.int64)
+    ids2 = np.asarray(t2[id_column].to_pylist(), dtype=np.int64)
+    a_out, b_out, s_out = [], [], []
+    if len(ids1) and len(ids2):
+        m1 = _normalize(_matrix(t1, vector_column))
+        m2 = _normalize(_matrix(t2, vector_column))
+        sims = m1 @ m2.T
+        hits = np.nonzero(sims >= threshold)
+        for i, j in zip(*hits):
+            x, y = int(ids1[i]), int(ids2[j])
+            if x == y:
+                continue
+            if same and x > y:
+                continue  # within-block mirror pair
+            a, b = (x, y) if x < y else (y, x)
+            a_out.append(a)
+            b_out.append(b)
+            s_out.append(round(float(sims[i, j]), 4))
+    return pa.table(
+        {
+            "a": pa.array(a_out, pa.int64()),
+            "b": pa.array(b_out, pa.int64()),
+            "sim": pa.array(s_out, pa.float64()),
+        }
+    )
+
+
 def cosine_neardup_pairs(
     ds,
     *,
     threshold: float,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
+    num_blocks: int | None = None,
 ):
     """All pairs (a < b) with cosine similarity ≥ threshold — the
-    embedding-space near-duplicate detector.
+    embedding-space near-duplicate detector, EXACT.
 
-    Exact all-pairs via broadcast: the normalized corpus matrix is
-    ``ray.put`` once, each batch matmuls against it (O(N²/batches)
-    work, no shuffle).  At 100 TB scale the broadcast side is replaced
-    by IVF buckets (see :func:`knn_ivf`) so only same-bucket pairs are
-    scored."""
-    import pandas as pd
+    Block decomposition: the corpus is repartitioned into B blocks held
+    in the object store; each of the B(B+1)/2 block pairs is one task
+    that matmuls two blocks (zero-copy reads).  Exact all-pairs is
+    inherently O(N²) compute, but memory per task is two blocks and no
+    corpus-sized object is ever built on the driver or broadcast.
+    Raw ``ray.remote`` tasks because the Dataset API has no
+    cross-product of blocks; results return as a Dataset via
+    ``from_arrow_refs``.  For the sub-quadratic 100 TB path use
+    :func:`cosine_neardup_pairs_lsh`."""
+    import ray.data as rd
 
-    full = ds.select_columns([id_column, vector_column]).to_pandas()
-    full = full.sort_values(id_column)
-    ids = np.asarray(full[id_column], dtype=np.int64)
-    mat = _normalize(
-        np.asarray([np.asarray(v, dtype=np.float64) for v in full[vector_column]])
+    prepped = ds.select_columns([id_column, vector_column]).materialize()
+    if num_blocks is None:
+        # ~16k vectors per block keeps a block pair ≲ a few hundred MB
+        # of sims at fp64 while giving ample task parallelism
+        num_blocks = max(1, min(32, -(-prepped.count() // 16384)))
+    refs = prepped.repartition(num_blocks).materialize().to_arrow_refs()
+
+    @ray.remote
+    def block_pair(t1: pa.Table, t2: pa.Table, same: bool) -> pa.Table:
+        return _block_pair_table(t1, t2, threshold, id_column, vector_column, same)
+
+    tasks = [
+        block_pair.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return rd.from_arrow_refs(tasks)
+
+
+def cosine_neardup_pairs_lsh(
+    ds,
+    *,
+    threshold: float,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+):
+    """Sub-quadratic near-dup pairs via random-hyperplane LSH: sign
+    signatures over ``n_planes`` seeded hyperplanes, banded into
+    buckets; bucket groups carry (id, vector) so exact cosine verify is
+    bucket-local.  Approximate recall (raise bands/lower rows-per-band
+    to trade work for recall); the 100 TB path — work is linear in
+    corpus + bucket collisions, like MinHash-LSH for text."""
+    from .dedup import _collect_ids_agg  # noqa: F401  (doc cross-ref)
+
+    rows_per_band = n_planes // bands
+
+    class SignFn:
+        def __init__(self):
+            rng = np.random.RandomState(seed)
+            self.planes = None
+            self.rng = rng
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch, vector_column))
+            if self.planes is None:
+                rng = np.random.RandomState(seed)
+                self.planes = rng.standard_normal((m.shape[1], n_planes))
+            bits = (m @ self.planes) >= 0  # (n, n_planes) sign pattern
+            ids = batch[id_column].to_pylist()
+            vec_bytes = [m[i].astype("<f8").tobytes() for i in range(len(ids))]
+            ids_out, band_out, bucket_out, vec_out = [], [], [], []
+            for i, did in enumerate(ids):
+                for b in range(bands):
+                    seg = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
+                    bucket = int(np.packbits(seg, bitorder="little")[:8].view(np.uint8).sum()) if False else int(
+                        sum(1 << k for k, v in enumerate(seg) if v)
+                    )
+                    ids_out.append(did)
+                    band_out.append(b)
+                    bucket_out.append(bucket)
+                    vec_out.append(vec_bytes[i])
+            return pa.table(
+                {
+                    "id": pa.array(ids_out, pa.int64()),
+                    "band": pa.array(band_out, pa.int32()),
+                    "bucket": pa.array(bucket_out, pa.int64()),
+                    "vec": pa.array(vec_out, pa.binary()),
+                }
+            )
+
+    from ray.data.aggregate import AggregateFn, Max
+
+    def acc_block(acc, block):
+        ids = block["id"].to_pylist() if hasattr(block, "column_names") else list(block["id"])
+        vecs = block["vec"].to_pylist() if hasattr(block, "column_names") else list(block["vec"])
+        acc.extend(zip(ids, vecs))
+        return acc
+
+    members_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=lambda a, b: a + b,
+        # each member is a self-describing record:
+        # [n_vec_bytes:8][id:8][vec bytes]
+        finalize=lambda acc: b"".join(
+            len(v).to_bytes(8, "little")
+            + int(i).to_bytes(8, "little", signed=True)
+            + v
+            for i, v in acc
+        ),
+        name="members",
     )
-    ref = ray.put((ids, mat))
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        b_ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
-        b_mat = _normalize(_matrix(batch, vector_column))
-        sims = b_mat @ all_mat.T
+    def verify_bucket(batch: pa.Table) -> pa.Table:
         a_out, b_out, s_out = [], [], []
-        for i in range(len(b_ids)):
-            row = sims[i]
-            hits = np.nonzero(row >= threshold)[0]
-            for j in hits:
-                if b_ids[i] < all_ids[j]:
-                    a_out.append(int(b_ids[i]))
-                    b_out.append(int(all_ids[j]))
-                    s_out.append(round(float(row[j]), 4))
+        for blob in batch["members"].to_pylist():
+            if blob is None or not blob:
+                continue
+            ids_l, vecs = [], []
+            off = 0
+            while off < len(blob):
+                nv = int.from_bytes(blob[off : off + 8], "little")
+                ids_l.append(int.from_bytes(blob[off + 8 : off + 16], "little", signed=True))
+                vecs.append(np.frombuffer(blob, dtype="<f8", count=nv // 8, offset=off + 16))
+                off += 16 + nv
+            if len(ids_l) < 2:
+                continue
+            ids = np.asarray(ids_l, dtype=np.int64)
+            mat = np.vstack(vecs)
+            order = np.argsort(ids)
+            ids, mat = ids[order], mat[order]
+            keep = np.concatenate(([True], ids[1:] != ids[:-1]))
+            ids, mat = ids[keep], mat[keep]
+            sims = mat @ mat.T
+            hits = np.nonzero(sims >= threshold)
+            for i, j in zip(*hits):
+                if ids[i] < ids[j]:
+                    a_out.append(int(ids[i]))
+                    b_out.append(int(ids[j]))
+                    s_out.append(round(float(sims[i, j]), 4))
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),
@@ -147,7 +282,16 @@ def cosine_neardup_pairs(
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    pairs = (
+        ds.select_columns([id_column, vector_column])
+        .map_batches(SignFn, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+        .groupby(["band", "bucket"])
+        .aggregate(members_agg)
+        .map_batches(verify_bucket, batch_format="pyarrow")
+    )
+    # a pair can share several bands — dedup; sim identical so Max is a
+    # no-op reducer
+    return pairs.groupby(["a", "b"]).aggregate(Max("sim", alias_name="sim"))
 
 
 def kmeans_lite(

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import struct
 
 import pyarrow as pa
 
@@ -96,7 +95,10 @@ class LanguageId:
                 score += 0.2
             if score > best_score:
                 best_lang, best_score = lang, score
-        return (best_lang if best_score > 0.02 else "und", round(best_score, 4))
+        # raw double (no rounding): keeps the score bit-identical to
+        # the DuckDB oracle (Python round() is banker's, SQL is
+        # half-away — they disagree on e.g. 1/32)
+        return (best_lang if best_score > 0.02 else "und", best_score)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -125,7 +127,9 @@ def language_id(ds, *, concurrency: int = 2, batch_size: int = 1024):
 def rolling_fingerprint(text: str, *, window: int = 8, keep: int = 4) -> list[int]:
     """Winnowing-style document fingerprint: 64-bit hashes of
     ``window``-token windows, keep the ``keep`` smallest (published
-    scheme: Schleimer et al., SIGMOD'03 winnowing)."""
+    scheme: Schleimer et al., SIGMOD'03 winnowing).  Window hashes are
+    md5-prefix (first 8 bytes, big-endian) so the whole fingerprint is
+    reproducible in the DuckDB oracle."""
     tokens = text.split()
     if not tokens:
         return []
@@ -134,18 +138,26 @@ def rolling_fingerprint(text: str, *, window: int = 8, keep: int = 4) -> list[in
     else:
         windows = [" ".join(tokens[i : i + window]) for i in range(len(tokens) - window + 1)]
     hashes = sorted(
-        struct.unpack("<Q", hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest())[0]
+        int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
         for w in windows
     )
     return hashes[:keep]
 
 
 def fingerprint_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Table:
-    texts = batch[text_column].to_pylist()
-    fps = [rolling_fingerprint(t) for t in texts]
+    """Exploded (doc_id, rank, fp_hash) rows — scalar columns so the
+    driver's order-insensitive value hash is well-defined (a
+    list<uint64> column hashes implementation-dependently)."""
+    ids_out, ranks, hashes = [], [], []
+    for i, t in zip(batch["doc_id"].to_pylist(), batch[text_column].to_pylist()):
+        for r, h in enumerate(rolling_fingerprint(t), start=1):
+            ids_out.append(i)
+            ranks.append(r)
+            hashes.append(h)
     return pa.table(
         {
-            "doc_id": batch["doc_id"],
-            "fingerprint": pa.array(fps, pa.list_(pa.uint64())),
+            "doc_id": pa.array(ids_out, pa.int64()),
+            "rank": pa.array(ranks, pa.int64()),
+            "fp_hash": pa.array(hashes, pa.uint64()),
         }
     )

@@ -42,7 +42,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     # the pages cache is a directory of part files → DuckDB glob
     path = pages_parquet_path(sf_dir) + "/*.parquet"
 
-    return {
+    sql = {
         "extract_text": f"SELECT url, text FROM read_parquet('{path}')",
         "extract_links": _LINKS_CTE.format(path=path)
         + "SELECT src_url, href, internal FROM links",
@@ -131,12 +131,14 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             w AS (
                 SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz
             ),
-            sh AS (
+            sh0 AS (
                 SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
                 FROM w a
                 JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
                 JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
             ),
+            hot AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) > 100),
+            sh AS (SELECT * FROM sh0 WHERE s NOT IN (SELECT s FROM hot)),
             counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
@@ -149,6 +151,120 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             JOIN counts ca ON ca.doc_id = inter.a
             JOIN counts cb ON cb.doc_id = inter.b
             WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= 0.5
+        """,
+        "dedup_minhash": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+            zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+            w AS (
+                SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz
+            ),
+            sh0 AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM w a
+                JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ),
+            sh AS (SELECT * FROM sh0),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT inter.a, inter.b,
+                   CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = inter.a
+            JOIN counts cb ON cb.doc_id = inter.b
+            WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= 0.5
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS th FROM toks
+            ),
+            bits AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN (th >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                FROM h, UNNEST(range(64)) AS t(i)
+                GROUP BY doc_id, i
+            ),
+            fp AS (
+                SELECT doc_id,
+                       SUM(CASE WHEN vote > 0 THEN (1::UBIGINT << i)::HUGEINT ELSE 0 END)::UBIGINT AS f
+                FROM bits GROUP BY doc_id
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.f, y.f)) AS BIGINT) AS hamming
+            FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.f, y.f)) <= 3
+        """,
+        "lang_id": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_transform(regexp_extract_all(text, '\\p{L}+'), x -> lower(x)) AS ws
+                FROM documents
+            ),
+            scores AS (
+                SELECT doc_id,
+                    CASE WHEN len(ws)=0 THEN 0.0 ELSE
+                        len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','it','with','for'], x)))::DOUBLE / len(ws)
+                    END AS s_en,
+                    CASE WHEN len(ws)=0 THEN 0.0 ELSE
+                        len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], x)))::DOUBLE / len(ws)
+                        + CASE WHEN regexp_matches(text, '[äöüß]') THEN 0.2 ELSE 0.0 END
+                    END AS s_de,
+                    CASE WHEN len(ws)=0 THEN 0.0 ELSE
+                        len(list_filter(ws, x -> list_contains(['le','la','les','et','est','une','des','que','dans','pour'], x)))::DOUBLE / len(ws)
+                        + CASE WHEN regexp_matches(text, '[éèêàçô]') THEN 0.2 ELSE 0.0 END
+                    END AS s_fr,
+                    CASE WHEN len(ws)=0 THEN 0.0 ELSE
+                        len(list_filter(ws, x -> list_contains(['el','la','los','las','y','es','una','que','en','por'], x)))::DOUBLE / len(ws)
+                        + CASE WHEN regexp_matches(text, '[ñ¿¡áíó]') THEN 0.2 ELSE 0.0 END
+                    END AS s_es,
+                    CASE WHEN len(ws)=0 THEN 0.0 ELSE
+                        len(list_filter(ws, x -> list_contains(['il','la','di','che','e','un','per','con','del','sono'], x)))::DOUBLE / len(ws)
+                        + CASE WHEN regexp_matches(text, '[àèì]') THEN 0.2 ELSE 0.0 END
+                    END AS s_it
+                FROM w
+            ),
+            ranked AS (
+                SELECT doc_id, lang, score FROM (
+                    SELECT doc_id, unnest(['en','de','fr','es','it']) AS lang,
+                           unnest([s_en, s_de, s_fr, s_es, s_it]) AS score,
+                           unnest([1, 2, 3, 4, 5]) AS prio
+                    FROM scores
+                ) QUALIFY ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, prio ASC) = 1
+            )
+            SELECT doc_id,
+                   CASE WHEN score > 0.02 THEN lang ELSE 'und' END AS pred_lang,
+                   score AS lang_score
+            FROM ranked
+        """,
+        "fingerprint": """
+            WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                WHERE length(text) > 0
+            ),
+            small AS (SELECT doc_id, array_to_string(ws, ' ') AS w FROM d WHERE len(ws) <= 8),
+            big AS (
+                SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS w
+                FROM d, UNNEST(range(1, len(ws) - 6)) AS t(i)
+                WHERE len(ws) > 8
+            ),
+            allw AS (SELECT * FROM small UNION ALL SELECT * FROM big),
+            h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS fp_hash FROM allw),
+            ranked AS (
+                SELECT doc_id, fp_hash,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fp_hash) AS rank
+                FROM h
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, fp_hash
+            FROM ranked WHERE rank <= 4
         """,
         "token_count": """
             SELECT doc_id,
@@ -279,3 +395,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM e
         """,
     }
+    # knn_ivf probes every cluster in the driver query, so its result
+    # is exactly the brute-force top-k
+    sql["knn_ivf"] = sql["knn_topk"]
+    return sql

@@ -240,28 +240,32 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_jaccard_pairs(sf_dir: str):
-    """Exact n-gram-Jaccard near-dup pairs (3-word shingles, ≥ 0.5)
-    via inverted-index join — the verification baseline for LSH."""
+    """n-gram-Jaccard near-dup pairs (3-word shingles, ≥ 0.5) via
+    inverted-index join, with the max_df skew guard ON (tokens hotter
+    than 100 docs are excluded from both sides — the oracle SQL drops
+    the same tokens, so the comparison stays exact)."""
     from .functions.dedup import jaccard_pairs
 
     ds = _documents(sf_dir, ["doc_id", "text"])
-    return jaccard_pairs(ds, threshold=0.5, shingle_n=3)
+    return jaccard_pairs(ds, threshold=0.5, shingle_n=3, max_df=100)
 
 
 def q_dedup_minhash(sf_dir: str):
-    """MinHash-LSH near-dup candidates verified by exact Jaccard
-    (shingle→minhash→band→bucket groupby). Approximate recall —
-    rows-only driver check; exactness covered by pytest vs brute
-    force on planted duplicates."""
+    """MinHash-LSH near-dup pairs (shingle→minhash→band→bucket
+    groupby), verified by exact Jaccard via candidate⋈docs hash joins.
+    32 bands × 2 rows: P(miss | j=0.5) < 1e-4, so the output equals
+    the exact-Jaccard SQL oracle on this corpus (verified at sf0.01
+    and sf0.1)."""
     from .functions.dedup import minhash_lsh_pairs
 
     ds = _documents(sf_dir, ["doc_id", "text"])
-    return minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=16, shingle_n=3)
+    return minhash_lsh_pairs(ds, threshold=0.5, num_perm=64, bands=32, shingle_n=3)
 
 
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole segment
-    banding. Rows-only driver check; pytest covers planted dups."""
+    banding (lossless candidate superset); md5-based token hashes make
+    the whole pipeline reproducible in the DuckDB oracle."""
     from .functions.dedup import simhash_pairs
 
     ds = _documents(sf_dir, ["doc_id", "text"])
@@ -285,8 +289,8 @@ def q_quality_score(sf_dir: str):
 
 
 def q_lang_id(sf_dir: str):
-    """Heuristic language ID (actor-pool stage). Rows-only check —
-    accuracy asserted in pytest on crafted multilingual fixtures."""
+    """Heuristic language ID (actor-pool stage); scoring arithmetic is
+    SQL-replicable, so the driver gets a full oracle."""
     from .functions.textstats import language_id
 
     return language_id(_documents(sf_dir, ["doc_id", "text"])).select_columns(
@@ -295,8 +299,8 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprint(sf_dir: str):
-    """Winnowing document fingerprints (rolling window hashes).
-    Rows-only; determinism asserted in pytest."""
+    """Winnowing document fingerprints, exploded to (doc_id, rank,
+    fp_hash) scalar rows; md5 window hashes give an exact SQL oracle."""
     from .functions.textstats import fingerprint_batch
 
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(
@@ -328,8 +332,9 @@ def q_knn_topk(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF-bucketed approximate cosine top-10 (scale path).
-    Rows-only; recall vs brute force asserted in pytest."""
+    """IVF-bucketed cosine top-10 with n_probe = n_clusters, which
+    makes it exactly the brute-force result (same SQL oracle as
+    knn_topk); partial-probe recall is asserted in pytest."""
     import ray.data as rd
 
     from .functions.similarity import knn_ivf
@@ -341,8 +346,9 @@ def q_knn_ivf(sf_dir: str):
 
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs over the embeddings table —
-    exact all-pairs via broadcast matmul.  Threshold 0.4: the synthetic
-    embeddings are near-orthogonal (max pairwise cosine ≈ 0.51), so a
+    exact all-pairs via block-pair task decomposition (no corpus
+    broadcast).  Threshold 0.4: the synthetic embeddings are
+    near-orthogonal (max pairwise cosine ≈ 0.51), so a
     production-style 0.9+ threshold would be vacuously empty."""
     import ray.data as rd
 

@@ -134,6 +134,62 @@ def test_knn_ivf_recall(ray_session):
     assert np.mean(recalls) >= 0.5, recalls  # probing half the space
 
 
+def test_cosine_neardup_block_pairs_exact(ray_session):
+    """Block-pair decomposition must equal single-matrix all-pairs,
+    regardless of how blocks split the corpus."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.similarity import (
+        cosine_neardup_pairs,
+        _normalize,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(120, 8)
+    # plant close pairs
+    for j in range(4):
+        vecs[100 + j] = vecs[j] + 0.05 * rng.randn(8)
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    ds = rd.from_items(items)
+    got = cosine_neardup_pairs(ds, threshold=0.8, num_blocks=5).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+
+    m = _normalize(vecs)
+    sims = m @ m.T
+    expected = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in range(i + 1, len(vecs))
+        if sims[i, j] >= 0.8
+    }
+    assert got_pairs == expected and len(expected) >= 4
+
+
+def test_cosine_neardup_lsh_recall(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.similarity import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(150, 8)
+    for j in range(6):
+        vecs[140 + j] = vecs[j] + 0.03 * rng.randn(8)
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))]
+    ds = rd.from_items(items)
+    exact = cosine_neardup_pairs(ds, threshold=0.9).to_pandas()
+    lsh = cosine_neardup_pairs_lsh(ds, threshold=0.9, n_planes=16, bands=8).to_pandas()
+    e = set(zip(exact["a"], exact["b"]))
+    l = set(zip(lsh["a"], lsh["b"]))
+    assert l <= e  # verification is exact: no false positives
+    assert len(l & e) / len(e) >= 0.8, (len(l), len(e))
+    # sims agree exactly on the common pairs
+    merged = exact.merge(lsh, on=["a", "b"], suffixes=("_e", "_l"))
+    assert (merged["sim_e"] == merged["sim_l"]).all()
+
+
 def test_language_id_fixtures():
     lid = LanguageId()
     cases = {
