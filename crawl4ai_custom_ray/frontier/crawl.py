@@ -43,6 +43,8 @@ from ..html.fastparse import parse_fast as parse
 from ..urls import get_base_domain, is_external_url, normalize_url, url_digest, url_host
 from ..state import checkpoint as ckpt
 from .filters import FilterChain
+from ray.data.aggregate import Min
+
 from .politeness import enforce_politeness
 from .robots import DEFAULT_SYNTHETIC_RULES, RobotsGate
 from .seen import UrlSeen
@@ -303,8 +305,6 @@ class BFSCrawl:
                         per_host_cap=cfg.per_host_cap,
                         fail_counts=self.host_fail_counts,
                     )
-                    selected = selected.drop_columns(["host_rank", "host_cap"])
-                    deferred = deferred.drop_columns(["host_rank", "host_cap"])
             else:
                 selected, deferred = frontier, None
 
@@ -400,11 +400,22 @@ class BFSCrawl:
                 n_links = links.count()
                 if n_links > 0:
                     # gate → within-round dedup (deterministic
-                    # first-wins) → cross-round seen filter: one chain
+                    # first-wins) → cross-round seen filter: one chain.
+                    # Dedup is pure aggregates — min over a sortable
+                    # (depth, parent) key per url; host and score are
+                    # functions of the url so Min returns them intact
+                    # (no per-url pandas groups: BASELINE.md measured
+                    # tiny-group map_groups at ~0.2 ms/group)
                     new_frontier = (
                         links.map_batches(gate_fn, batch_format="pyarrow")
+                        .map_batches(_pack_dedup_key, batch_format="pyarrow")
                         .groupby("url")
-                        .map_groups(_first_by_parent, batch_format="pandas")
+                        .aggregate(
+                            Min("__dk", alias_name="__dk"),
+                            Min("host", alias_name="host"),
+                            Min("score", alias_name="score"),
+                        )
+                        .map_batches(_unpack_dedup_key, batch_format="pyarrow")
                         .map_batches(seen_fn, batch_format="pyarrow")
                     )
 
@@ -521,10 +532,40 @@ def _with_depth(link_fn):
     return fn
 
 
-def _first_by_parent(group):
-    """Deterministic within-round first-wins: min (depth, parent)."""
-    group = group.sort_values(["depth", "parent"], kind="mergesort")
-    return group.head(1)
+def _pack_dedup_key(batch: pa.Table) -> pa.Table:
+    """Sortable (depth, parent) key: min over it = deterministic
+    first-wins (the reference admits the shallowest discovery; parent
+    breaks ties)."""
+    packed = [
+        f"{d:010d}\x1f{p}"
+        for d, p in zip(batch["depth"].to_pylist(), batch["parent"].to_pylist())
+    ]
+    return pa.table(
+        {
+            "url": batch["url"],
+            "host": batch["host"],
+            "score": batch["score"],
+            "__dk": pa.array(packed, pa.string()),
+        }
+    )
+
+
+def _unpack_dedup_key(batch: pa.Table) -> pa.Table:
+    keys = batch["__dk"].to_pylist()
+    depths, parents = [], []
+    for k in keys:
+        d, _, p = k.partition("\x1f")
+        depths.append(int(d))
+        parents.append(p)
+    return pa.table(
+        {
+            "url": batch["url"],
+            "host": batch["host"],
+            "depth": pa.array(depths, pa.int32()),
+            "parent": pa.array(parents, pa.string()),
+            "score": batch["score"],
+        }
+    )
 
 
 def _has_parquet(path: str) -> bool:

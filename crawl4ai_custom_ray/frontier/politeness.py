@@ -4,55 +4,92 @@ The reference throttles per-domain with wall-clock delays
 (``RateLimiter``, ``async_dispatcher.py:28-85``: random base delay,
 exponential backoff, decay).  In a BSP batch engine the equivalent
 invariant is *at most k fetches per host per round* — the politeness
-budget becomes round formation: ``groupby(host)`` → rank candidates by
-(score desc, url asc) → the top-k fetch this round, the remainder
-carries over to later rounds (SURVEY.md §7.4.5).  Host state
-(``DomainState``: fail counts, current delay → here ``crawl_delay``
-and per-round budget) lives in a small per-round table, not in driver
-memory.
+budget becomes round formation: select each host's top-k candidates by
+(score desc, url asc); the remainder carries over to later rounds
+(SURVEY.md §7.4.5).
+
+Skew-safe selection (no per-host pandas groups, no whole-host-in-one-
+task): every row gets a fixed-width sortable key encoding
+(-score, url); a ``groupby(host)`` aggregate keeps only each host's k
+smallest keys (bounded heap per host — a mega-host costs O(cap)
+aggregator memory, not O(host)); the k-th key is the host's *cutoff*,
+joined back onto the frontier; selection is then a stateless
+vectorized filter ``key <= cutoff``.  Host state (fail counts →
+per-round budget) stays a small driver dict, as in the reference's
+``DomainState``.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 
-
-def rank_within_host(frontier_ds, *, per_host_cap: int, host_caps: dict | None = None):
-    """Add ``host_rank`` (position within host by score desc, url asc —
-    deterministic under shuffle) and ``host_cap`` (the host's effective
-    budget this round: the base cap shrunk exponentially by the host's
-    fail count — the reference RateLimiter's ×2-backoff-capped
-    semantics, ``async_dispatcher.py:65-85``, expressed as data)."""
-    caps = host_caps or {}
-
-    def rank(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(
-            ["score", "url"], ascending=[False, True], kind="mergesort"
-        ).reset_index(drop=True)
-        group["host_rank"] = range(len(group))
-        host = group["host"].iloc[0]
-        group["host_cap"] = caps.get(host, per_host_cap)
-        return group
-
-    return frontier_ds.groupby("host").map_groups(rank, batch_format="pandas")
+_KEY_COL = "__pk"
 
 
-def split_by_budget(ranked_ds, *, per_host_cap: int):
-    """(selected, deferred) datasets by the per-host effective cap."""
-    selected = ranked_ds.map_batches(
-        lambda t: t.filter(pc.less(t["host_rank"], t["host_cap"])),
-        batch_format="pyarrow",
+def _sortable_score_desc(scores: np.ndarray) -> list[str]:
+    """Fixed-width hex strings whose ascending lexicographic order is
+    score DESCENDING (IEEE-754 total-order trick on the negated
+    values)."""
+    neg = (-np.asarray(scores, dtype=np.float64)).view(np.uint64)
+    flip = np.where(
+        neg >> np.uint64(63) == 1,
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        np.uint64(0x8000000000000000),
     )
-    deferred = ranked_ds.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["host_rank"], t["host_cap"])),
-        batch_format="pyarrow",
+    bits = neg ^ flip
+    return [format(int(b), "016x") for b in bits]
+
+
+def _add_key(batch: pa.Table) -> pa.Table:
+    keys = _sortable_score_desc(batch["score"].to_numpy(zero_copy_only=False))
+    urls = batch["url"].to_pylist()
+    packed = [k + u for k, u in zip(keys, urls)]
+    return batch.append_column(_KEY_COL, pa.array(packed, pa.string()))
+
+
+def _cutoff_agg(caps: dict, default_cap: int):
+    """Per-host bounded top-k: keeps the k smallest keys; finalizes to
+    the k-th key (the selection cutoff) or None when the host is under
+    budget.  The accumulator is (k, sorted_keys[:k]) — init sees the
+    group key, so per-host effective caps resolve here."""
+    from ray.data.aggregate import AggregateFn
+
+    def init(host):
+        return (caps.get(host, default_cap), [])
+
+    def acc_block(acc, block):
+        k, best = acc
+        keys = (
+            block[_KEY_COL].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block[_KEY_COL])
+        )
+        merged = sorted(best + keys)
+        return (k, merged[:k])
+
+    def merge(a, b):
+        k = a[0] if a[0] else b[0]
+        merged = sorted(a[1] + b[1])
+        return (k, merged[:k])
+
+    def finalize(acc):
+        k, best = acc
+        return best[k - 1] if len(best) >= k else None
+
+    return AggregateFn(
+        init=init,
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=finalize,
+        name="cutoff",
     )
-    return selected, deferred
 
 
 def effective_caps(per_host_cap: int, fail_counts: dict) -> dict:
-    """Exponential backoff: cap >> fail_count, floored at 1."""
+    """Exponential backoff: cap >> fail_count, floored at 1
+    (reference RateLimiter ×2-backoff semantics as data)."""
     return {
         host: max(1, per_host_cap >> min(fails, 8))
         for host, fails in fail_counts.items()
@@ -60,13 +97,60 @@ def effective_caps(per_host_cap: int, fail_counts: dict) -> dict:
     }
 
 
-def enforce_politeness(frontier_ds, *, per_host_cap: int, fail_counts: dict | None = None):
-    """One-call helper: rank then split.  NOTE: callers that need both
-    halves should ``materialize()`` the ranked dataset first so the
-    groupby shuffle runs once — the ranked set is one round's frontier
-    (bounded), not the full corpus."""
+def enforce_politeness(
+    frontier_ds,
+    *,
+    per_host_cap: int,
+    fail_counts: dict | None = None,
+    num_partitions: int = 16,
+):
+    """(selected, deferred) datasets under per-host effective caps.
+
+    One groupby(host) shuffle of (host, key) pairs to compute cutoffs
+    (one tiny row per host), one hash join to attach them, stateless
+    filters to split.  Deterministic under any input order: the key is
+    a total order over (score desc, url asc)."""
+    from ..functions.dedup import _coalesce_for_join, _join_partitions
+
     caps = effective_caps(per_host_cap, fail_counts or {})
-    ranked = rank_within_host(
-        frontier_ds, per_host_cap=per_host_cap, host_caps=caps
+    # coalesced: one round's frontier is bounded, and join inputs must
+    # not contain the schema-less empty blocks upstream filters leave
+    keyed, n_rows = _coalesce_for_join(
+        frontier_ds.map_batches(_add_key, batch_format="pyarrow")
+    )
+    if n_rows == 0:
+        return keyed.drop_columns([_KEY_COL]), None
+
+    cutoffs, n_hosts = _coalesce_for_join(
+        keyed.select_columns(["host", _KEY_COL])
+        .groupby("host")
+        .aggregate(_cutoff_agg(caps, per_host_cap))
+    )
+    if n_hosts == 0:
+        return keyed.drop_columns([_KEY_COL]), None
+
+    joined = keyed.join(
+        cutoffs.rename_columns({"host": "__h"}),
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=("host",),
+        right_on=("__h",),
     ).materialize()
-    return split_by_budget(ranked, per_host_cap=per_host_cap)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        cut = batch["cutoff"]
+        keep = pc.or_kleene(cut.is_null(), pc.less_equal(batch[_KEY_COL], cut))
+        return batch.filter(pc.fill_null(keep, True)).drop_columns(
+            [_KEY_COL, "cutoff"]
+        )
+
+    def rest(batch: pa.Table) -> pa.Table:
+        cut = batch["cutoff"]
+        keep = pc.and_kleene(cut.is_valid(), pc.greater(batch[_KEY_COL], cut))
+        return batch.filter(pc.fill_null(keep, False)).drop_columns(
+            [_KEY_COL, "cutoff"]
+        )
+
+    selected = joined.map_batches(pick, batch_format="pyarrow")
+    deferred = joined.map_batches(rest, batch_format="pyarrow")
+    return selected, deferred

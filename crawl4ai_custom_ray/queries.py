@@ -173,9 +173,10 @@ def q_frontier_bfs(sf_dir: str):
 
 def q_top_k_per_host(sf_dir: str):
     """Politeness round formation: per-host top-3 candidates by
-    (keyword score desc, url asc) — the groupby(host)-rank-split
-    shuffle (reference ``RateLimiter`` semantics as data movement)."""
-    from .frontier.politeness import rank_within_host, split_by_budget
+    (keyword score desc, url asc) — the skew-safe cutoff-aggregate +
+    join formulation (reference ``RateLimiter`` semantics as data
+    movement)."""
+    from .frontier.politeness import enforce_politeness
     from .frontier.scorers import KeywordRelevanceScorer
 
     scorer = KeywordRelevanceScorer(["articles", "doc-1"])
@@ -192,8 +193,7 @@ def q_top_k_per_host(sf_dir: str):
         )
 
     frontier = pages.map_batches(to_frontier, batch_format="pyarrow")
-    ranked = rank_within_host(frontier, per_host_cap=3).materialize()
-    selected, _deferred = split_by_budget(ranked, per_host_cap=3)
+    selected, _deferred = enforce_politeness(frontier, per_host_cap=3)
     return selected.select_columns(["host", "url", "score"])
 
 
@@ -406,34 +406,89 @@ def q_events_window(sf_dir: str):
 def q_sessionize(sf_dir: str):
     """Session windows over the events stream: per-user, a gap > 30
     minutes starts a new session (the reference has no event-time
-    windows — this is the streaming-shaped custom operator the Ray
-    guide prescribes: groupby(key) + per-group ordered windowing;
-    ordering assumption: events of one user fit one group).
-    """
-    import pandas as pd
+    windows — this is the streaming-shaped custom operator).
+
+    Skew-lean formulation: ONE groupby(user) hash shuffle whose
+    aggregate packs each user's (ts, event_id, cents) rows as bytes and
+    sessionizes in numpy at finalize — no per-user pandas DataFrames
+    (BASELINE.md measured tiny-group ``map_groups`` at ~0.2 ms/group;
+    the aggregate path is a function call + packed array per group)."""
+    import numpy as np
     import ray.data as rd
+    from ray.data.aggregate import AggregateFn
 
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
     )
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["ts", "event_id"], kind="mergesort")
-        gap = group["ts"].diff() > pd.Timedelta(minutes=30)
-        session_id = gap.cumsum().astype("int64") + 1
-        group = group.assign(
-            session_id=session_id,
-            cents=[int(round(v * 100)) for v in group["value"]],
-        )
-        out = group.groupby("session_id", as_index=False).agg(
-            session_start=("ts", "min"),
-            n_events=("ts", "size"),
-            sum_cents=("cents", "sum"),
-        )
-        out.insert(0, "user_id", group["user_id"].iloc[0])
-        return out
+    GAP_US = 30 * 60 * 1_000_000  # ts is timestamp[us]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    def _pack_block(acc, block):
+        ts = block["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = block["event_id"].to_numpy(zero_copy_only=False)
+        val = block["value"].to_numpy(zero_copy_only=False)
+        rec = np.empty(len(ts), dtype=[("ts", "<i8"), ("eid", "<i8"), ("cents", "<i8")])
+        rec["ts"] = ts
+        rec["eid"] = eid
+        # int(round(v*100)) semantics (banker's; matches the oracle's
+        # round() on this corpus — values never land on exact .5)
+        rec["cents"] = np.rint(val * 100).astype(np.int64)
+        acc.append(rec.tobytes())
+        return acc
+
+    def _finalize(acc):
+        rec = np.frombuffer(
+            b"".join(acc), dtype=[("ts", "<i8"), ("eid", "<i8"), ("cents", "<i8")]
+        )
+        order = np.lexsort((rec["eid"], rec["ts"]))
+        rec = rec[order]
+        new_sess = np.empty(len(rec), dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (rec["ts"][1:] - rec["ts"][:-1]) > GAP_US
+        starts = np.nonzero(new_sess)[0]
+        out = np.empty(len(starts), dtype=[("sid", "<i8"), ("start", "<i8"), ("n", "<i8"), ("cents", "<i8")])
+        out["sid"] = np.arange(1, len(starts) + 1)
+        out["start"] = rec["ts"][starts]
+        out["n"] = np.diff(np.append(starts, len(rec)))
+        out["cents"] = np.add.reduceat(rec["cents"], starts)
+        return out.tobytes()
+
+    sess_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=_pack_block,
+        merge=lambda a, b: a + b,
+        finalize=_finalize,
+        name="sessions",
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        users, sids, starts, ns, cents = [], [], [], [], []
+        for uid, blob in zip(batch["user_id"].to_pylist(), batch["sessions"].to_pylist()):
+            rec = np.frombuffer(
+                blob, dtype=[("sid", "<i8"), ("start", "<i8"), ("n", "<i8"), ("cents", "<i8")]
+            )
+            users.extend([uid] * len(rec))
+            sids.extend(rec["sid"].tolist())
+            starts.extend(rec["start"].tolist())
+            ns.extend(rec["n"].tolist())
+            cents.extend(rec["cents"].tolist())
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "session_id": pa.array(sids, pa.int64()),
+                "session_start": pa.array(starts, pa.timestamp("us")),
+                "n_events": pa.array(ns, pa.int64()),
+                "sum_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return (
+        ds.groupby("user_id")
+        .aggregate(sess_agg)
+        .map_batches(explode, batch_format="pyarrow")
+    )
 
 
 def q_chunk_fixed(sf_dir: str):
