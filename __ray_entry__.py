@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_cluster": q.q_semantic_cluster,
         # seeding + adaptive
         "seed_urls": q.q_seed_urls,
+        "seed_cc": q.q_seed_cc,
         "adaptive_crawl": q.q_adaptive_crawl,
     }
 

@@ -149,6 +149,292 @@ class StatisticalStrategy:
         return scored
 
 
+class EmbeddingStrategy:
+    """Embedding-space coverage strategy (reference
+    ``EmbeddingStrategy``, ``adaptive_crawler.py:617-1269``): the query
+    maps to a train/validation cloud of variations; confidence is the
+    mean best-cosine of query points against the knowledge base;
+    links are scored by how much they shrink coverage gaps (distance
+    beyond ``coverage_radius``), penalized for overlap with the KB;
+    stopping adds an irrelevance floor and a convergence check
+    validated on the held-out queries.
+
+    The reference embeds with a sentence-transformer (or an LLM
+    endpoint) and synthesizes query variations with an LLM — neither
+    exists in this environment, so both degrade deterministically: the
+    :class:`~..functions.cosine.HashingEmbedder` provides embeddings
+    and variations are seeded token resamplings of the query (the
+    reference itself ships mock variations when the LLM call is
+    disabled, :736-748)."""
+
+    def __init__(
+        self,
+        *,
+        dim: int = 64,
+        n_synthetic: int = 10,
+        coverage_radius: float = 0.2,
+        overlap_threshold: float = 0.85,
+        min_confidence: float = 0.1,
+        min_relative_improvement: float = 0.1,
+        validation_min_score: float = 0.4,
+        seed: int = 42,
+    ):
+        from ..functions.cosine import HashingEmbedder
+
+        self.embedder = HashingEmbedder(dim=dim)
+        self.n_synthetic = n_synthetic
+        self.coverage_radius = coverage_radius
+        self.overlap_threshold = overlap_threshold
+        self.min_confidence = min_confidence
+        self.min_relative_improvement = min_relative_improvement
+        self.validation_min_score = validation_min_score
+        self.seed = seed
+        self.val_queries: list[str] = []
+        self._val_emb = None
+
+    # -- embedding helpers ---------------------------------------------
+    def _embed(self, texts: list[str]):
+        import numpy as np
+
+        m = np.asarray([self.embedder.embed(t) for t in texts], dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        return m / norms
+
+    def _variations(self, query: str) -> list[str]:
+        """Deterministic stand-ins for the reference's LLM-generated
+        query variations: seeded token resamplings."""
+        import random
+
+        terms = query.split()
+        rng = random.Random(self.seed)
+        out = []
+        n_total = int(self.n_synthetic * 1.3)
+        for i in range(n_total):
+            k = max(1, len(terms) - (i % 2))
+            picked = rng.sample(terms, k=min(k, len(terms)))
+            rng.shuffle(picked)
+            out.append(" ".join(picked) + f" aspect{i}")
+        return out
+
+    def map_query_space(self, query: str):
+        """→ normalized train-query embedding matrix; stores the
+        held-out validation queries (80/20 split, original query always
+        in train — reference :764-778)."""
+        import random
+
+        variations = self._variations(query)
+        rng = random.Random(self.seed + 1)
+        rng.shuffle(variations)
+        n_val = max(2, int(len(variations) * 0.2))
+        self.val_queries = variations[-n_val:]
+        train = [query] + variations[:-n_val]
+        return self._embed(train)
+
+    # -- scoring --------------------------------------------------------
+    def confidence(self, query_emb, kb_emb) -> float:
+        if kb_emb is None or len(kb_emb) == 0:
+            return 0.0
+        best = (query_emb @ kb_emb.T).max(axis=1)
+        return float(best.mean())
+
+    def coverage_gaps(self, query_emb, kb_emb):
+        """[(query_point, min_cosine_distance)] — 1.0 when no KB."""
+        if kb_emb is None or len(kb_emb) == 0:
+            return [(q, 1.0) for q in query_emb]
+        dist = 1.0 - query_emb @ kb_emb.T
+        mins = dist.min(axis=1)
+        return [(q, float(d)) for q, d in zip(query_emb, mins)]
+
+    def select_links(self, links: list[dict], gaps, kb_emb):
+        """[(link, score)] sorted desc — reference
+        ``select_links_for_expansion`` scoring (:849-960)."""
+        import numpy as np
+
+        texts = [(link.get("text") or "") + " " + link["href"] for link in links]
+        if not texts:
+            return []
+        emb = self._embed(texts)
+        needing = [d for _, d in gaps if d > self.coverage_radius]
+        scored = []
+        for link, e in zip(links, emb):
+            if not gaps:
+                scored.append((link, 0.0))
+                continue
+            total_improvement = 0.0
+            for gap_point, gap_dist in gaps:
+                if gap_dist > self.coverage_radius:
+                    new_dist = 1.0 - float(e @ gap_point)
+                    if new_dist < gap_dist:
+                        total_improvement += (gap_dist - new_dist) * 2
+            gap_score = total_improvement / len(needing) if needing else 0.0
+            overlap_penalty = 0.0
+            if kb_emb is not None and len(kb_emb) > 0:
+                max_sim = float((kb_emb @ e).max())
+                if max_sim > self.overlap_threshold:
+                    overlap_penalty = (max_sim - self.overlap_threshold) * 2
+            scored.append((link, gap_score * (1 - overlap_penalty)))
+        scored.sort(key=lambda x: (-x[1], x[0]["href"]))
+        return scored
+
+    def validate(self, kb_emb) -> float:
+        """Held-out validation: mean (1 − min distance) of val queries
+        (reference ``validate_coverage``, :1098-1133)."""
+        if not self.val_queries or kb_emb is None or len(kb_emb) == 0:
+            return 0.0
+        if self._val_emb is None:
+            self._val_emb = self._embed(self.val_queries)
+        dist = 1.0 - self._val_emb @ kb_emb.T
+        return float((1.0 - dist.min(axis=1)).mean())
+
+    def should_stop(self, state, kb_emb, confidence_history: list[float]) -> tuple[bool, str]:
+        """Irrelevance floor → convergence + validation (reference
+        ``should_stop``, :1135-1181)."""
+        confidence = state.metrics.get("confidence", 0.0)
+        if confidence < self.min_confidence and state.crawled_urls:
+            state.metrics["is_irrelevant"] = True
+            return True, "below_minimum_relevance_threshold"
+        if len(confidence_history) < 2:
+            return False, ""
+        diffs = list(zip(confidence_history[:-1], confidence_history[1:]))
+        avg_improvement = sum(abs(b - a) for a, b in diffs) / len(diffs)
+        state.metrics["avg_improvement"] = avg_improvement
+        if avg_improvement < self.min_relative_improvement * confidence:
+            val_score = self.validate(kb_emb)
+            state.metrics["validation_confidence"] = val_score
+            if val_score > self.validation_min_score:
+                return True, "converged_validated"
+            return False, "low_validation"
+        return False, ""
+
+
+def _doc_embed_batch_factory(dim: int):
+    """Batch fn: (url, html) → (url, emb: list<double>, links_json),
+    embedding each doc's extracted text in the task (the reference
+    embeds pages as they join the knowledge base)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..functions.cosine import HashingEmbedder
+
+        import numpy as np
+
+        embedder = HashingEmbedder(dim=dim)
+        urls_out, embs_out, links_out = [], [], []
+        for i in range(batch.num_rows):
+            url = batch["url"][i].as_py()
+            html = batch["html"][i].as_py()
+            if isinstance(html, bytes):
+                html = html.decode("utf-8", errors="replace")
+            rec = extract_page(url, html, fields={"text", "links"})
+            v = np.asarray(embedder.embed(rec["text"]), dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                v = v / n
+            links = [
+                {"href": l["href"], "text": l["text"]} for l in rec["links_internal"]
+            ]
+            urls_out.append(url)
+            embs_out.append(v.tolist())
+            links_out.append(json.dumps(links))
+        return pa.table(
+            {
+                "url": pa.array(urls_out, pa.string()),
+                "emb": pa.array(embs_out, pa.list_(pa.float64())),
+                "links_json": pa.array(links_out, pa.large_string()),
+            }
+        )
+
+    return fn
+
+
+def adaptive_digest_embedding(
+    pages_path: str,
+    start_url: str,
+    query: str,
+    cfg: "AdaptiveConfig | None" = None,
+    strategy: EmbeddingStrategy | None = None,
+    state_path: str | None = None,
+) -> AdaptiveState:
+    """Crawl-until-confident with the embedding strategy.  Per
+    iteration: rank pending links by gap-filling score, fetch+embed the
+    top-k as one batch pipeline, update the KB matrix (bounded by
+    max_pages — driver state is crawl-budget-sized, never corpus-
+    sized), re-check stopping."""
+    import numpy as np
+
+    cfg = cfg or AdaptiveConfig()
+    strategy = strategy or EmbeddingStrategy()
+    state = AdaptiveState(query=query, pending_links=[{"href": start_url, "text": ""}])
+    query_emb = strategy.map_query_space(query)
+    kb_emb = np.zeros((0, query_emb.shape[1]))
+    confidence_history: list[float] = []
+
+    pages = rd.read_parquet(pages_path, columns=["url", "html"])
+    doc_fn = _doc_embed_batch_factory(query_emb.shape[1])
+
+    for _iteration in range(cfg.max_iterations):
+        if len(state.crawled_urls) >= cfg.max_pages:
+            state.metrics["stopped_reason"] = "max_pages"
+            break
+        confidence = strategy.confidence(query_emb, kb_emb)
+        state.metrics["confidence"] = confidence
+        confidence_history.append(confidence)
+        if confidence >= cfg.confidence_threshold:
+            state.metrics["stopped_reason"] = "confident"
+            break
+        stop, reason = strategy.should_stop(state, kb_emb, confidence_history)
+        if stop:
+            state.metrics["stopped_reason"] = reason
+            break
+
+        crawled = set(state.crawled_urls)
+        candidates = [l for l in state.pending_links if l["href"] not in crawled]
+        if not candidates:
+            state.metrics["stopped_reason"] = "frontier_exhausted"
+            break
+        gaps = strategy.coverage_gaps(query_emb, kb_emb)
+        ranked = strategy.select_links(candidates, gaps, kb_emb)
+        budget = min(cfg.top_k_per_iteration, cfg.max_pages - len(state.crawled_urls))
+        batch_links = [link for link, _ in ranked[:budget]]
+        batch_urls = {l["href"] for l in batch_links}
+
+        url_ref = ray.put(batch_urls)
+
+        def fetch(batch: pa.Table, ref=url_ref) -> pa.Table:
+            wanted = ray.get(ref)
+            mask = [u in wanted for u in batch["url"].to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        stats = (
+            pages.map_batches(fetch, batch_format="pyarrow")
+            .map_batches(doc_fn, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if "url" in stats.columns and len(stats):
+            new_embs = np.asarray([np.asarray(v) for v in stats["emb"]])
+            kb_emb = np.vstack([kb_emb, new_embs]) if len(kb_emb) else new_embs
+            for links_json in stats["links_json"]:
+                state.pending_links.extend(json.loads(links_json))
+        state.total_documents = len(kb_emb)
+        state.crawled_urls.extend(sorted(batch_urls))
+        state.crawled_urls = sorted(set(state.crawled_urls))
+        seen_pending: set[str] = set()
+        deduped = []
+        for l in state.pending_links:
+            if l["href"] not in seen_pending:
+                seen_pending.add(l["href"])
+                deduped.append(l)
+        state.pending_links = deduped
+        if state_path:
+            state.save(state_path)
+
+    state.metrics["confidence"] = strategy.confidence(query_emb, kb_emb)
+    state.metrics["validation_confidence"] = strategy.validate(kb_emb)
+    if state_path:
+        state.save(state_path)
+    return state
+
+
 def _doc_stats_batch(batch: pa.Table) -> pa.Table:
     """Per-document term stats + discovered links, computed in the
     task (only aggregates return to the driver)."""

@@ -254,7 +254,13 @@ class BFSCrawl:
         if resume:
             latest = ckpt.latest_committed_round(self.checkpoint_dir)
             if latest is not None:
-                self.seen.load_all(ckpt.load_seen_shards(self.checkpoint_dir, latest))
+                self.seen.load_all(
+                    ckpt.load_seen_shards(
+                        self.checkpoint_dir,
+                        latest,
+                        expect_manifest=self.seen.config_manifest(),
+                    )
+                )
                 self.pages_visited = sum(
                     m.get("n_visited", 0) for m in ckpt.all_metrics(self.checkpoint_dir)
                 )
@@ -463,7 +469,12 @@ class BFSCrawl:
                 with open(os.path.join(rdir, "host_state.json"), "w") as f:
                     _json.dump(self.host_fail_counts, f)
 
-            ckpt.save_seen_shards(self.checkpoint_dir, round_idx, self.seen.dump_all())
+            ckpt.save_seen_shards(
+                self.checkpoint_dir,
+                round_idx,
+                self.seen.dump_all(),
+                manifest=self.seen.config_manifest(),
+            )
             ckpt.commit_round(
                 self.checkpoint_dir,
                 round_idx,
@@ -479,6 +490,7 @@ class BFSCrawl:
                     # bounds the false-positive loss
                     "seen_mode": cfg.seen_mode,
                     "seen_total": self.seen.total(),
+                    "seen_overflow": self.seen.overflow_total(),
                     "seen_exact_lower_bound": self.pages_visited
                     + (frontier.count() if frontier is not None else 0),
                     "wall_ms": int((time.time() - t0) * 1000),

@@ -87,6 +87,7 @@ class CuckooFilter:
         self.n_buckets = n_buckets
         self.buckets: list[list[int]] = [[] for _ in range(n_buckets)]
         self.count = 0
+        self.overflow_count = 0  # dropped inserts (reported as seen)
 
     def _fingerprint(self, digest: int) -> int:
         fp = (digest >> 48) & 0xFFFF
@@ -110,8 +111,16 @@ class CuckooFilter:
         return fp in self.buckets[self._index2(i1, fp)]
 
     def add(self, digest: int) -> bool:
-        """Insert unless present; True if it was new. Raises
-        RuntimeError when full (callers should size generously)."""
+        """Insert unless present; True if it was new.  On kick
+        exhaustion the insert is DROPPED and reported as already-seen
+        (False) with ``overflow_count`` incremented — a long crawl must
+        never crash mid-round on a full filter, and "treat as seen" is
+        the conservative failure (the url is skipped, like a bloom
+        false positive; the error budget is visible in round metrics).
+        Lossless growth is not possible for a cuckoo filter without
+        the original keys: the i1/i2 pairing changes with table size.
+        Size capacity generously; the counter tells you when you
+        didn't."""
         fp = self._fingerprint(digest)
         i1 = self._index1(digest)
         i2 = self._index2(i1, fp)
@@ -134,7 +143,8 @@ class CuckooFilter:
                 self.buckets[idx].append(fp)
                 self.count += 1
                 return True
-        raise RuntimeError("cuckoo filter full")
+        self.overflow_count += 1
+        return False
 
 
 # ----------------------------------------------------------------- shards
@@ -185,6 +195,9 @@ class SeenShard:
             return self._bloom.approx_count
         return self._cuckoo.count
 
+    def overflow(self) -> int:
+        return self._cuckoo.overflow_count if self.mode == "cuckoo" else 0
+
     def dump(self) -> bytes:
         if self.mode == "exact":
             return pickle.dumps(self._set, protocol=5)
@@ -219,6 +232,8 @@ class UrlSeen:
         self.n_shards = n_shards
         self.shard_bits = n_shards.bit_length() - 1
         self.mode = mode
+        self.capacity_per_shard = capacity_per_shard
+        self.fp_rate = fp_rate
         self.shards = [
             SeenShard.remote(mode=mode, capacity=capacity_per_shard, fp_rate=fp_rate)
             for _ in range(n_shards)
@@ -263,6 +278,19 @@ class UrlSeen:
 
     def total(self) -> int:
         return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def overflow_total(self) -> int:
+        """Dropped (treated-as-seen) inserts across shards — nonzero
+        only in cuckoo mode when capacity was undersized."""
+        return sum(ray.get([s.overflow.remote() for s in self.shards]))
+
+    def config_manifest(self) -> dict:
+        return {
+            "n_shards": self.n_shards,
+            "mode": self.mode,
+            "capacity_per_shard": self.capacity_per_shard,
+            "fp_rate": self.fp_rate,
+        }
 
     def dump_all(self) -> list[bytes]:
         return ray.get([s.dump.remote() for s in self.shards])

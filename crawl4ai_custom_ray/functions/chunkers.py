@@ -114,3 +114,56 @@ def chunk_dataset(ds, chunker, *, id_column: str = "doc_id", text_column: str = 
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def merge_chunks(
+    docs,
+    target_size: int,
+    overlap: int = 0,
+    word_token_ratio: float = 1.0,
+    splitter=None,
+) -> list[str]:
+    """Merge documents into ~target_size-token chunks with optional
+    overlap — the reference's deterministic LLM-stage packer
+    (``utils.py:162-226``), byte-equal semantics:
+
+    - per-doc token counts scale by ``word_token_ratio`` only to SIZE
+      the chunk count (ceil(total/target)); distribution counts real
+      tokens;
+    - tokens stream across doc boundaries into the current chunk,
+      rolling to the next chunk once ``target_size`` tokens are placed
+      (except into the last chunk, which absorbs the remainder);
+    - on rollover the previous chunk's last ``overlap`` tokens seed the
+      next chunk;
+    - empty docs are skipped; empty result for empty input.
+    """
+    splitter = splitter or str.split
+    per_doc_tokens: list[list[str]] = []
+    total_scaled = 0
+    for doc in docs:
+        tokens = splitter(doc)
+        scaled = int(len(tokens) * word_token_ratio)
+        if scaled:
+            per_doc_tokens.append(tokens)
+            total_scaled += scaled
+    if not total_scaled:
+        return []
+
+    num_chunks = max(1, (total_scaled + target_size - 1) // target_size)
+    chunks: list[list[str]] = [[] for _ in range(num_chunks)]
+    cur = 0
+    cur_size = 0
+    for tokens in per_doc_tokens:
+        for tok in tokens:
+            if cur_size >= target_size and cur < num_chunks - 1:
+                if overlap > 0:
+                    carry = chunks[cur][-overlap:]
+                    cur += 1
+                    chunks[cur].extend(carry)
+                    cur_size = len(carry)
+                else:
+                    cur += 1
+                    cur_size = 0
+            chunks[cur].append(tok)
+            cur_size += 1
+    return [" ".join(c) for c in chunks if c]

@@ -23,6 +23,12 @@ def _sitemaps_glob(sf_dir: str) -> str:
 
     return sitemaps_parquet_path(sf_dir) + "/*.parquet"
 
+
+def _cc_index_glob(sf_dir: str) -> str:
+    from .sources.seeder import cc_index_parquet_path
+
+    return cc_index_parquet_path(sf_dir) + "/*.parquet"
+
 _LINKS_CTE = """
 WITH hrefs AS (
     SELECT url AS src_url,
@@ -337,6 +343,19 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             SELECT l.src_url, l.href, h.head_title
             FROM links l JOIN heads h ON h.url = l.href
             WHERE l.internal
+        """,
+        "seed_cc": f"""
+            WITH recs AS (
+                SELECT url,
+                       regexp_replace(url, '^https?://', '') AS canon,
+                       mime, status
+                FROM read_parquet('{_cc_index_glob(sf_dir)}')
+            )
+            SELECT DISTINCT url FROM recs
+            WHERE (canon GLOB '*.example.com/*' OR canon GLOB 'example.com/*')
+              AND status = 200 AND mime GLOB 'text/html*'
+              AND (url GLOB '*/articles/*' OR canon GLOB '*/articles/*')
+            ORDER BY url LIMIT 200
         """,
         "seed_urls": f"""
             WITH locs AS (

@@ -597,13 +597,32 @@ def q_seed_urls(sf_dir: str):
     return seed_urls(smaps, pattern="*/articles/*").select_columns(["url"])
 
 
+def q_seed_cc(sf_dir: str):
+    """Common-Crawl-style index seeding: domain glob + status/mime
+    gate + url pattern + distinct (reference ``_from_cc``,
+    ``async_url_seeder.py:709-764``)."""
+    import ray.data as rd
+
+    from .sources.seeder import cc_index_parquet_path, seed_from_cc_index
+
+    cc = rd.read_parquet(cc_index_parquet_path(sf_dir))
+    return seed_from_cc_index(
+        cc, domain="example.com", pattern="*/articles/*", max_urls=200
+    )
+
+
 def q_adaptive_crawl(sf_dir: str):
-    """Adaptive crawl-until-confident digest (StatisticalStrategy):
-    returns the crawled url set with final metrics columns.  Rows-only
+    """Adaptive crawl-until-confident digest, both strategies
+    (reference StatisticalStrategy and EmbeddingStrategy): returns the
+    crawled url set per strategy with final confidence.  Rows-only
     (iterative, stateful)."""
     import pyarrow.parquet as pq
 
-    from .frontier.adaptive import AdaptiveConfig, adaptive_digest
+    from .frontier.adaptive import (
+        AdaptiveConfig,
+        adaptive_digest,
+        adaptive_digest_embedding,
+    )
     from .sources.pages import pages_parquet_path
 
     pages_path = pages_parquet_path(sf_dir)
@@ -612,19 +631,21 @@ def q_adaptive_crawl(sf_dir: str):
         for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
         if "/private/" not in u
     )[0]
-    state = adaptive_digest(
-        pages_path,
-        start,
-        "batch stream spark merge query",
-        AdaptiveConfig(confidence_threshold=0.9, max_pages=10, top_k_per_iteration=5),
-    )
-    urls = sorted(state.crawled_urls)
+    cfg = AdaptiveConfig(confidence_threshold=0.9, max_pages=10, top_k_per_iteration=5)
+    query = "batch stream spark merge query"
+    stat = adaptive_digest(pages_path, start, query, cfg)
+    emb = adaptive_digest_embedding(pages_path, start, query, cfg)
+    strategies, urls, confs = [], [], []
+    for name, st in (("statistical", stat), ("embedding", emb)):
+        for u in sorted(st.crawled_urls):
+            strategies.append(name)
+            urls.append(u)
+            confs.append(round(st.metrics.get("confidence", 0.0), 4))
     return pa.table(
         {
+            "strategy": pa.array(strategies, pa.string()),
             "url": pa.array(urls, pa.string()),
-            "confidence": pa.array(
-                [round(state.metrics.get("confidence", 0.0), 4)] * len(urls), pa.float64()
-            ),
+            "confidence": pa.array(confs, pa.float64()),
         }
     )
 

@@ -130,6 +130,141 @@ def sitemaps_parquet_path(sf_dir: str) -> str:
     return out_dir
 
 
+# ----------------------------------------------- Common-Crawl-style index
+
+
+def build_cc_index_table(sf_dir: str) -> pa.Table:
+    """Deterministic Common-Crawl-style index records from the pages
+    table: one record per capture, shaped like the CC index API's JSON
+    lines (url, timestamp, mime, status, digest) — the realistic seed
+    source for this engine (reference ``_from_cc``,
+    ``async_url_seeder.py:709-764``).  Adds deterministic non-200 /
+    non-html noise records so filters have something to reject."""
+    import hashlib
+
+    pages_dir = pages_parquet_path(sf_dir)
+    urls = sorted(pq.read_table(pages_dir, columns=["url"])["url"].to_pylist())
+    rec_urls, tss, mimes, statuses, digests = [], [], [], [], []
+    for i, u in enumerate(urls):
+        rec_urls.append(u)
+        tss.append(f"202401{(i % 28) + 1:02d}{(i * 7) % 24:02d}0000")
+        mimes.append("text/html")
+        statuses.append(200)
+        digests.append(hashlib.md5(u.encode()).hexdigest())
+        if i % 7 == 0:  # a dead capture of the same url
+            rec_urls.append(u)
+            tss.append(f"202312{(i % 28) + 1:02d}000000")
+            mimes.append("text/html")
+            statuses.append(404)
+            digests.append(hashlib.md5((u + "#dead").encode()).hexdigest())
+        if i % 11 == 0:  # a non-html asset next to it
+            rec_urls.append(u.rsplit("/", 1)[0] + f"/asset-{i}.css")
+            tss.append(f"202401{(i % 28) + 1:02d}120000")
+            mimes.append("text/css")
+            statuses.append(200)
+            digests.append(hashlib.md5((u + "#css").encode()).hexdigest())
+    return pa.table(
+        {
+            "url": pa.array(rec_urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.string()),
+            "mime": pa.array(mimes, pa.string()),
+            "status": pa.array(statuses, pa.int32()),
+            "digest": pa.array(digests, pa.string()),
+        }
+    )
+
+
+def cc_index_parquet_path(sf_dir: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}_ccindex")
+    if os.path.isdir(out_dir) and any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+        return out_dir
+    os.makedirs(PAGES_CACHE_ROOT, exist_ok=True)
+    table = build_cc_index_table(sf_dir)
+    tmp_dir = tempfile.mkdtemp(dir=PAGES_CACHE_ROOT)
+    try:
+        pq.write_table(table, os.path.join(tmp_dir, "ccindex_00000.parquet"), row_group_size=256)
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.isdir(out_dir):
+            raise
+    return out_dir
+
+
+def _cc_normalize_domain(domain: str) -> str:
+    """Reference's CC domain normalization (:714-716): strip scheme,
+    fragment, query, leading dots."""
+    raw = re.sub(r"^https?://", "", domain).split("#", 1)[0].split("?", 1)[0]
+    return raw.lstrip(".")
+
+
+def match_url_pattern(url: str, pattern: str) -> bool:
+    """Reference ``_match`` (async_url_seeder.py:81-86): glob against
+    the full url, the scheme-stripped form, and the www-stripped
+    form."""
+    if fnmatch.fnmatch(url, pattern):
+        return True
+    canon = url.split("://", 1)[-1]
+    return fnmatch.fnmatch(canon, pattern) or (
+        canon.startswith("www.") and fnmatch.fnmatch(canon[4:], pattern)
+    )
+
+
+def seed_from_cc_index(
+    cc_ds,
+    *,
+    domain: str,
+    pattern: str = "*",
+    only_ok_html: bool = True,
+    max_urls: int = -1,
+):
+    """CC-index table → seed URL Dataset (url), distinct and
+    deterministic.
+
+    Mirrors ``_from_cc`` semantics over a local index table: the
+    domain becomes the CC glob (``*.domain/*`` for bare domains,
+    ``*.domain*`` when a path is present, matched against the
+    scheme-stripped url — the server-side filter), then the user
+    ``pattern`` gates each record like the reference ``_match``.
+    ``only_ok_html`` keeps 200/text-html captures (a live CC reader
+    filters the same way); ``max_urls`` caps deterministically by url
+    order."""
+    raw = _cc_normalize_domain(domain)
+    cc_glob = f"*.{raw}*" if "/" in raw else f"*.{raw}/*"
+    # the CC index matches hosts with or without subdomain — accept
+    # both "site.dom/*" and "*.site.dom/*" forms like the index does
+    alt_glob = f"{raw}*" if "/" in raw else f"{raw}/*"
+
+    def keep(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        mimes = batch["mime"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        mask = []
+        for u, m, st in zip(urls, mimes, statuses):
+            canon = u.split("://", 1)[-1]
+            ok = fnmatch.fnmatch(canon, cc_glob) or fnmatch.fnmatch(canon, alt_glob)
+            if ok and only_ok_html:
+                ok = st == 200 and m.startswith("text/html")
+            if ok:
+                ok = match_url_pattern(u, pattern)
+            mask.append(ok)
+        return batch.filter(pa.array(mask, pa.bool_())).select(["url"])
+
+    # distinct (multiple captures of one url) as a groupby, streaming
+    out = (
+        cc_ds.map_batches(keep, batch_format="pyarrow")
+        .groupby("url")
+        .count()
+        .select_columns(["url"])
+    )
+    if max_urls and max_urls > 0:
+        out = out.sort("url").limit(max_urls)
+    return out
+
+
 # ------------------------------------------------------------ pipeline
 
 

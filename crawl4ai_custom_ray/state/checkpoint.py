@@ -76,18 +76,48 @@ def commit_round(checkpoint_dir: str, round_idx: int, metrics: dict) -> None:
         f.write("")
 
 
-def save_seen_shards(checkpoint_dir: str, round_idx: int, blobs: list[bytes]) -> None:
+def save_seen_shards(
+    checkpoint_dir: str,
+    round_idx: int,
+    blobs: list[bytes],
+    manifest: dict | None = None,
+) -> None:
     seen_dir = os.path.join(round_dir(checkpoint_dir, round_idx), "seen")
     for i, blob in enumerate(blobs):
         with open(os.path.join(seen_dir, f"shard_{i:04d}.bin"), "wb") as f:
             f.write(blob)
+    if manifest is not None:
+        with open(os.path.join(seen_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
 
 
-def load_seen_shards(checkpoint_dir: str, round_idx: int) -> list[bytes]:
+def load_seen_shards(
+    checkpoint_dir: str, round_idx: int, expect_manifest: dict | None = None
+) -> list[bytes]:
+    """Read shard blobs; when ``expect_manifest`` is given, validate the
+    stored seen-set configuration against it so a resume with a
+    different shard count / mode fails with a descriptive error instead
+    of an opaque assertion (or silent misrouting)."""
     seen_dir = os.path.join(round_dir(checkpoint_dir, round_idx), "seen")
+    mpath = os.path.join(seen_dir, "manifest.json")
+    if expect_manifest is not None and os.path.exists(mpath):
+        with open(mpath) as f:
+            stored = json.load(f)
+        mismatches = {
+            k: (stored.get(k), expect_manifest[k])
+            for k in expect_manifest
+            if stored.get(k) != expect_manifest[k]
+        }
+        if mismatches:
+            raise ValueError(
+                "seen-set checkpoint was written with a different "
+                f"configuration: {mismatches} (stored vs current). "
+                "Resume with the original n_seen_shards/seen_mode/"
+                "capacity, or start a fresh checkpoint dir."
+            )
     blobs = []
     for name in sorted(os.listdir(seen_dir)):
-        if name.startswith("shard_"):
+        if name.startswith("shard_") :
             with open(os.path.join(seen_dir, name), "rb") as f:
                 blobs.append(f.read())
     return blobs

@@ -89,3 +89,61 @@ def test_adaptive_digest_runs_and_checkpoints(ray_session, tmp_path):
 
 def test_tokenize():
     assert tokenize("Hello, World! 123") == ["hello", "world", "123"]
+
+
+def test_embedding_strategy_digest(ray_session):
+    from crawl4ai_custom_ray.frontier.adaptive import (
+        AdaptiveConfig,
+        EmbeddingStrategy,
+        adaptive_digest_embedding,
+    )
+    pages_path = pages_parquet_path(SF)
+    start = sorted(
+        u for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        if "/private/" not in u
+    )[0]
+    cfg = AdaptiveConfig(confidence_threshold=0.9, max_pages=8, top_k_per_iteration=4)
+    st = adaptive_digest_embedding(pages_path, start, "batch stream spark merge query", cfg)
+    assert 1 <= len(st.crawled_urls) <= 8
+    assert 0.0 < st.metrics["confidence"] <= 1.0
+    assert "validation_confidence" in st.metrics
+    # deterministic: same inputs -> same crawl set
+    st2 = adaptive_digest_embedding(pages_path, start, "batch stream spark merge query", cfg)
+    assert st2.crawled_urls == st.crawled_urls
+
+
+def test_embedding_strategy_irrelevance_stop(ray_session):
+    from crawl4ai_custom_ray.frontier.adaptive import (
+        AdaptiveConfig,
+        adaptive_digest_embedding,
+    )
+    pages_path = pages_parquet_path(SF)
+    start = sorted(
+        u for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        if "/private/" not in u
+    )[0]
+    cfg = AdaptiveConfig(confidence_threshold=0.9, max_pages=10, top_k_per_iteration=5)
+    st = adaptive_digest_embedding(pages_path, start, "zzqq vvrr kkjj", cfg)
+    assert st.metrics.get("is_irrelevant") is True
+    assert st.metrics.get("stopped_reason") == "below_minimum_relevance_threshold"
+    assert len(st.crawled_urls) <= 5
+
+
+def test_embedding_strategy_gap_scoring():
+    import numpy as np
+
+    from crawl4ai_custom_ray.frontier.adaptive import EmbeddingStrategy
+
+    s = EmbeddingStrategy(dim=32)
+    q = s.map_query_space("alpha beta gamma")
+    assert len(s.val_queries) >= 2
+    # empty KB: every query point is a max-distance gap
+    gaps = s.coverage_gaps(q, np.zeros((0, 32)))
+    assert all(d == 1.0 for _, d in gaps)
+    # a link matching the query scores higher than an unrelated one
+    links = [
+        {"href": "/a", "text": "alpha beta gamma"},
+        {"href": "/b", "text": "unrelated words entirely"},
+    ]
+    scored = dict((l["href"], sc) for l, sc in s.select_links(links, gaps, None))
+    assert scored["/a"] > scored["/b"]

@@ -134,3 +134,44 @@ class TestScorers:
         s = CompositeScorer([PathDepthScorer(2), FreshnessScorer(current_year=2024)])
         urls = ["https://x.com/a/b", "https://x.com/2020/x", "https://x.com"]
         assert s.score_many(urls) == [s.score(u) for u in urls]
+
+
+def test_cuckoo_overflow_degrades_not_crashes():
+    from crawl4ai_custom_ray.frontier.seen import CuckooFilter
+    import random
+
+    cf = CuckooFilter(capacity=64)
+    rng = random.Random(3)
+    for _ in range(1000):
+        cf.add(rng.getrandbits(64))  # must never raise
+    assert cf.overflow_count > 0
+    # accepted fingerprints remain queryable
+    cf2 = CuckooFilter(capacity=64)
+    d = rng.getrandbits(64)
+    assert cf2.add(d) is True
+    assert d in cf2
+
+
+def test_seen_checkpoint_manifest_mismatch(ray_session, tmp_path):
+    import pytest
+
+    from crawl4ai_custom_ray.state import checkpoint as ckpt
+
+    cdir = str(tmp_path / "ck")
+    ckpt.begin_round(cdir, 0)
+    ckpt.save_seen_shards(
+        cdir, 0, [b"x", b"y"],
+        manifest={"n_shards": 2, "mode": "exact", "capacity_per_shard": 10, "fp_rate": 0.01},
+    )
+    # matching manifest loads fine
+    blobs = ckpt.load_seen_shards(
+        cdir, 0,
+        expect_manifest={"n_shards": 2, "mode": "exact", "capacity_per_shard": 10, "fp_rate": 0.01},
+    )
+    assert blobs == [b"x", b"y"]
+    # mismatching shard count raises a descriptive error
+    with pytest.raises(ValueError, match="n_shards"):
+        ckpt.load_seen_shards(
+            cdir, 0,
+            expect_manifest={"n_shards": 4, "mode": "exact", "capacity_per_shard": 10, "fp_rate": 0.01},
+        )

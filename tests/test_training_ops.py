@@ -254,3 +254,20 @@ def test_multimodal_stub(ray_session):
     # real decoders are gated, not silently faked
     with pytest.raises(NotImplementedError):
         ImageFeatureExtractor(decoder="pil")
+
+
+def test_merge_chunks_semantics():
+    from crawl4ai_custom_ray.functions.chunkers import merge_chunks
+
+    docs = ["a b c d e", "f g h", "", "i j"]
+    # no overlap: 10 tokens, target 4 -> ceil(10/4)=3 chunks
+    out = merge_chunks(docs, target_size=4)
+    assert out == ["a b c d", "e f g h", "i j"]
+    # overlap seeds the next chunk with the previous tail
+    out = merge_chunks(docs, target_size=4, overlap=2)
+    assert out[1].startswith("c d")
+    # empty input
+    assert merge_chunks([], 10) == []
+    assert merge_chunks(["", ""], 10) == []
+    # word_token_ratio shrinks the estimated chunk count only
+    assert merge_chunks(["a b c d"], target_size=2, word_token_ratio=0.4) == ["a b c d"]
