@@ -45,6 +45,10 @@ import pyarrow.parquet as pq
 
 PAGES_CACHE_ROOT = "/tmp/graft_pages"
 
+# bump when build_page_html output changes — the /tmp cache key must
+# track generator content or stale corpora leak across versions
+_GEN_VERSION = 2
+
 _EPOCH = datetime(2025, 1, 1)
 
 
@@ -79,6 +83,81 @@ def _mk_table_html(i: int) -> str:
     )
 
 
+def _article_body(i: int, text: str) -> str:
+    """The article body for document *i*: one of seven HTML families,
+    all constructed so the whitespace-normalized extracted text equals
+    ``text`` EXACTLY — the expected value comes from the construction,
+    never from running the extraction kernel.  The families make the
+    invariant non-trivial: entity/charref decoding, nbsp whitespace,
+    nested lists, pre/code with raw newlines, implied/stray closes,
+    exotic whitespace and inline markup all have to be handled
+    correctly for the DuckDB ``extract_text`` oracle to pass.
+
+    Construction rules that keep the invariant airtight:
+    - words only move INTO child elements with explicit spaces kept in
+      the surrounding text nodes (text extraction concatenates text
+      nodes without separators);
+    - everything stays inside <article> (one pruned block, so the
+      block join never splits the text);
+    - structural families keep most words in a plain paragraph so the
+      pruning score of the article stays far above threshold.
+    """
+    words = text.split()
+    fam = i % 7
+    if fam == 1 and len(words) >= 4:
+        # entities: every 5th word leads with a decimal charref, every
+        # 9th gap is &nbsp; (U+00A0 — whitespace for str.split)
+        parts = []
+        for w_idx, w in enumerate(words):
+            w_html = f"&#{ord(w[0])};{w[1:]}" if w_idx % 5 == 0 else w
+            sep = "&nbsp;" if w_idx % 9 == 8 else " "
+            parts.append(w_html + sep)
+        return f"<article><p>{''.join(parts).rstrip()}</p></article>"
+    if fam == 2 and len(words) >= 8:
+        # nested lists: first six words as list items (explicit spaces
+        # inside each li), remainder as a paragraph
+        lead = (
+            "<ul>"
+            f"<li> {words[0]} {words[1]} "
+            f"<ul><li> {words[2]} </li><li> {words[3]} </li></ul>"
+            "</li>"
+            f"<li> {words[4]} {words[5]} </li>"
+            "</ul>"
+        )
+        rest = " ".join(words[6:])
+        return f"<article>{lead}<p>{rest}</p></article>"
+    if fam == 3 and len(words) >= 8:
+        # pre/code: first five words as a raw-newline code block
+        # trailing newline: text nodes concatenate with no separator,
+        # so the code block must end in whitespace before the <p>
+        code = f"{words[0]} {words[1]}\n  {words[2]}\n\t{words[3]} {words[4]}\n"
+        rest = " ".join(words[5:])
+        return f"<article><pre><code>{code}</code></pre><p>{rest}</p></article>"
+    if fam == 4 and len(words) >= 6:
+        # implied closes (p closes p) and a stray </b>
+        half = len(words) // 2
+        first = " ".join(words[:half])
+        second = " ".join(words[half:])
+        return f"<article><p>{first} <p>{second}</b></article>"
+    if fam == 5 and len(words) >= 2:
+        # exotic whitespace between words
+        seps = ["\n", "\t", "  ", " \n ", " "]
+        out = [words[0]]
+        for w_idx, w in enumerate(words[1:]):
+            out.append(seps[w_idx % len(seps)])
+            out.append(w)
+        return f"<article><p>{''.join(out)}</p></article>"
+    if fam == 6 and len(words) >= 6:
+        # inline markup with kept separators + a charref
+        w = words
+        rest = " ".join(w[5:])
+        return (
+            f"<article><p>{w[0]} <b>{w[1]} {w[2]}</b> <i>{w[3]}</i> "
+            f"&#{ord(w[4][0])};{w[4][1:]} {rest}</p></article>"
+        )
+    return f"<article><p>{text}</p></article>"
+
+
 def build_page_html(i: int, n_docs: int, text: str, variant: int = 0) -> str:
     """Deterministic page HTML for document *i*.  The article body's
     whitespace-normalized text equals ``text`` exactly."""
@@ -101,7 +180,7 @@ def build_page_html(i: int, n_docs: int, text: str, variant: int = 0) -> str:
         f'<nav class="nav"><a href="{home}">Home</a> <a href="{home}about">About</a> '
         f'<a href="{home}contact">Contact</a></nav>'
         f'<header class="header"><h1>Doc {i}</h1></header>'
-        f"<article><p>{text}</p></article>"
+        f"{_article_body(i, text)}"
         f'<aside class="extras">{email}{table}</aside>'
         f'<div class="related"><a href="{l1}">Related A</a> <a href="{l2}">Related B</a> '
         f'<a href="{tracking}">Related C</a></div>'
@@ -177,7 +256,7 @@ def pages_parquet_path(sf_dir: str, *, variants: int = 1, paragraphs: int = 1) -
     before this change)."""
     sf_name = os.path.basename(os.path.normpath(sf_dir))
     suffix = "" if (variants == 1 and paragraphs == 1) else f"_v{variants}_p{paragraphs}"
-    out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}{suffix}")
+    out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}{suffix}_g{_GEN_VERSION}")
     if os.path.isdir(out_dir) and any(n.endswith(".parquet") for n in os.listdir(out_dir)):
         return out_dir
     os.makedirs(PAGES_CACHE_ROOT, exist_ok=True)
