@@ -97,34 +97,88 @@ def effective_caps(per_host_cap: int, fail_counts: dict) -> dict:
     }
 
 
+def _driver_cutoffs(kv, caps: dict, default_cap: int) -> dict:
+    """host → cutoff key from a collected (host, key) frame —
+    vectorized rank-within-host; hosts under budget are absent."""
+    kv = kv.sort_values(["host", _KEY_COL], kind="mergesort")
+    rank = kv.groupby("host").cumcount()
+    k = kv["host"].map(lambda h: caps.get(h, default_cap))
+    at_cut = kv[rank == (k - 1)]
+    return dict(zip(at_cut["host"], at_cut[_KEY_COL]))
+
+
 def enforce_politeness(
     frontier_ds,
     *,
     per_host_cap: int,
     fail_counts: dict | None = None,
     num_partitions: int = 16,
+    small_threshold: int = 200_000,
 ):
     """(selected, deferred) datasets under per-host effective caps.
+    Deterministic under any input order: the key is a total order over
+    (score desc, url asc).
 
-    One groupby(host) shuffle of (host, key) pairs to compute cutoffs
-    (one tiny row per host), one hash join to attach them, stateless
-    filters to split.  Deterministic under any input order: the key is
-    a total order over (score desc, url asc)."""
+    Size-adaptive, like an engine choosing broadcast vs shuffle join
+    from stats: a round at or under ``small_threshold`` rows collects
+    only its (host, key) PAIRS to the driver (bounded by the threshold
+    — never the corpus), computes per-host cutoffs vectorized, and
+    broadcasts the tiny cutoff dict into stateless filters — zero
+    shuffles.  Larger rounds run the skew-safe path: groupby(host)
+    bounded-top-k aggregate (one tiny cutoff row per host) + one hash
+    join + the same filters."""
+    import ray
+
     from ..functions.dedup import _coalesce_for_join, _join_partitions
 
     caps = effective_caps(per_host_cap, fail_counts or {})
-    # coalesced: one round's frontier is bounded, and join inputs must
-    # not contain the schema-less empty blocks upstream filters leave
-    keyed, n_rows = _coalesce_for_join(
-        frontier_ds.map_batches(_add_key, batch_format="pyarrow")
-    )
+    keyed = frontier_ds.map_batches(_add_key, batch_format="pyarrow").materialize()
+    n_rows = keyed.count()
     if n_rows == 0:
         return keyed.drop_columns([_KEY_COL]), None
+
+    if n_rows <= small_threshold:
+        kv = keyed.select_columns(["host", _KEY_COL]).to_pandas()
+        cut = _driver_cutoffs(kv, caps, per_host_cap)
+        cut_ref = ray.put(cut)
+
+        def pick_small(batch: pa.Table) -> pa.Table:
+            cmap = ray.get(cut_ref)
+            hosts = batch["host"].to_pylist()
+            keys = batch[_KEY_COL].to_pylist()
+            mask = [cmap.get(h) is None or k <= cmap[h] for h, k in zip(hosts, keys)]
+            return batch.filter(pa.array(mask, pa.bool_())).drop_columns([_KEY_COL])
+
+        def rest_small(batch: pa.Table) -> pa.Table:
+            cmap = ray.get(cut_ref)
+            hosts = batch["host"].to_pylist()
+            keys = batch[_KEY_COL].to_pylist()
+            mask = [cmap.get(h) is not None and k > cmap[h] for h, k in zip(hosts, keys)]
+            return batch.filter(pa.array(mask, pa.bool_())).drop_columns([_KEY_COL])
+
+        return (
+            keyed.map_batches(pick_small, batch_format="pyarrow"),
+            keyed.map_batches(rest_small, batch_format="pyarrow"),
+        )
+
+    # large-round path: shuffle aggregate + join (join inputs must not
+    # contain the schema-less empty blocks upstream stages leave)
+    keyed, n_rows = _coalesce_for_join(keyed)
+
+    def _type_cutoff(batch: pa.Table) -> pa.Table:
+        # an all-under-budget round yields only null cutoffs, typed
+        # `null` by Arrow — Acero rejects null-typed join payloads
+        return batch.set_column(
+            batch.schema.get_field_index("cutoff"),
+            "cutoff",
+            batch["cutoff"].cast(pa.string()),
+        )
 
     cutoffs, n_hosts = _coalesce_for_join(
         keyed.select_columns(["host", _KEY_COL])
         .groupby("host")
         .aggregate(_cutoff_agg(caps, per_host_cap))
+        .map_batches(_type_cutoff, batch_format="pyarrow")
     )
     if n_hosts == 0:
         return keyed.drop_columns([_KEY_COL]), None

@@ -108,6 +108,12 @@ def _explode_pairs_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# Pair tables at or under this row count take the broadcast fast path
+# (driver state bounded by the threshold, never the corpus); larger
+# ones run hash joins.
+SMALL_PAIR_THRESHOLD = 200_000
+
+
 def _coalesce_for_join(ds, *, target_rows_per_block: int = 4096, max_blocks: int = 64):
     """Materialize + repartition a shuffle-produced dataset into a few
     uniformly-filled blocks before using it as a join input.
@@ -208,8 +214,13 @@ def jaccard_pairs(
 ):
     """All pairs (a < b) with token/shingle-set Jaccard ≥ threshold.
     Exact when ``max_df`` is None; see module docstring for the
-    ``max_df`` skew/recall tradeoff.  Set sizes are joined onto the
-    pair table (two hash joins), never broadcast."""
+    ``max_df`` skew/recall tradeoff.
+
+    Set-size attachment is size-adaptive: when the co-occurrence pair
+    table is small, the sizes of just the PAIRED docs are collected
+    and broadcast (bounded by the pair count, never the corpus — the
+    sanctioned small-input fast path); above the threshold two hash
+    joins stream the sizes on."""
     from ray.data.aggregate import Count
 
     # token explode (distinct per doc)
@@ -261,14 +272,49 @@ def jaccard_pairs(
         .aggregate(Count(alias_name="n"))
     ).materialize()
 
-    pair_counts, n_pairs = _coalesce_for_join(
+    pair_counts = (
         grouped.map_batches(_explode_pairs_batch, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_common"))
-    )
+    ).materialize()
+    n_pairs = pair_counts.count()
     if n_pairs == 0:
         return _empty_dataset({"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
 
+    if n_pairs <= SMALL_PAIR_THRESHOLD:
+        import ray
+
+        pair_tbl = pair_counts.to_pandas()
+        wanted = pa.array(
+            sorted(set(pair_tbl["a"]).union(pair_tbl["b"])), pa.int64()
+        )
+        wref = ray.put(wanted)
+        sub = (
+            sizes.map_batches(
+                lambda t: t.filter(pc.is_in(t["id"], value_set=ray.get(wref))),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+        )
+        size_map = dict(zip(sub["id"], sub["n"]))
+        mref = ray.put(size_map)
+
+        def score_small(batch: pa.Table) -> pa.Table:
+            sm = ray.get(mref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            c = batch["n_common"].to_numpy().astype(np.float64)
+            na = np.asarray([sm[x] for x in a], dtype=np.float64)
+            nb = np.asarray([sm[x] for x in b], dtype=np.float64)
+            jac = c / (na + nb - c)
+            out = batch.append_column("jaccard", pa.array(jac, pa.float64()))
+            return out.filter(pc.greater_equal(out["jaccard"], threshold)).select(
+                ["a", "b", "jaccard"]
+            )
+
+        return pair_counts.map_batches(score_small, batch_format="pyarrow")
+
+    pair_counts, _ = _coalesce_for_join(pair_counts)
     with_a = _attach_by_id(
         pair_counts, sizes, "a", {"n": "n_a"}, num_partitions=num_partitions
     )
@@ -440,7 +486,7 @@ def minhash_lsh_pairs(
             }
         )
 
-    candidates, n_cand = _coalesce_for_join(
+    candidates = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
         .groupby(["band", "bucket"])
         .aggregate(_collect_ids_agg("id"))
@@ -448,15 +494,15 @@ def minhash_lsh_pairs(
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
-    )
+    ).materialize()
+    n_cand = candidates.count()
     if n_cand == 0:
         return _empty_dataset({"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
 
-    # Semi-join reduction before the verify joins: only candidate
-    # docs need shingle sets.  The broadcast here is the candidate id
-    # list — the provably-small side (bounded by bucket collisions),
-    # never the corpus.  The reduced per-doc dataset is materialized
-    # once so the two joins don't re-execute its chain.
+    # Semi-join reduction before verification: only candidate docs
+    # need shingle sets.  The broadcast here is the candidate id list —
+    # the provably-small side (bounded by bucket collisions), never the
+    # corpus.
     import ray
 
     cand_tbl = candidates.to_pandas()
@@ -468,24 +514,16 @@ def minhash_lsh_pairs(
     def keep_candidates(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.is_in(batch[id_column], value_set=ray.get(ids_ref)))
 
-    sh = shingle_hash_sets(
+    sh_reduced = shingle_hash_sets(
         docs.map_batches(keep_candidates, batch_format="pyarrow"),
         id_column=id_column,
         text_column=text_column,
         shingle_n=shingle_n,
-    ).materialize()
-    with_a = _attach_by_id(
-        candidates, sh, "a", {"sh": "sh_a"}, num_partitions=num_partitions
-    )
-    with_ab = _attach_by_id(
-        with_a, sh, "b", {"sh": "sh_b"}, num_partitions=num_partitions
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
+    def _verify_from_arrays(a, b, sets_a, sets_b):
         jac = []
-        for sa_b, sb_b in zip(batch["sh_a"].to_pylist(), batch["sh_b"].to_pylist()):
+        for sa_b, sb_b in zip(sets_a, sets_b):
             sa = np.frombuffer(sa_b, dtype="<u8")
             sb = np.frombuffer(sb_b, dtype="<u8")
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
@@ -499,6 +537,40 @@ def minhash_lsh_pairs(
             }
         )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    if n_cand <= SMALL_PAIR_THRESHOLD:
+        # broadcast fast path: the candidate-doc shingle map is bounded
+        # by the candidate count (ADVICE-sanctioned small-input path)
+        sub = sh_reduced.to_pandas()
+        sh_map = dict(zip(sub["id"], sub["sh"]))
+        mref = ray.put(sh_map)
+
+        def verify_small(batch: pa.Table) -> pa.Table:
+            sm = ray.get(mref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            return _verify_from_arrays(
+                a, b, (sm[x] for x in a), (sm[y] for y in b)
+            )
+
+        return candidates.map_batches(verify_small, batch_format="pyarrow")
+
+    candidates, _ = _coalesce_for_join(candidates)
+    sh = sh_reduced.materialize()
+    with_a = _attach_by_id(
+        candidates, sh, "a", {"sh": "sh_a"}, num_partitions=num_partitions
+    )
+    with_ab = _attach_by_id(
+        with_a, sh, "b", {"sh": "sh_b"}, num_partitions=num_partitions
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        return _verify_from_arrays(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["sh_a"].to_pylist(),
+            batch["sh_b"].to_pylist(),
+        )
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
 

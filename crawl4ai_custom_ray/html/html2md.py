@@ -282,7 +282,7 @@ class MarkdownMachine:
             self.emit("[")
             self.auto_href = None
             self.link_empty = False
-        if not self.tick_open and not entity_char:
+        if not self.tick_open and not entity_char and "\\" in data:
             data = _BSLASH.sub(r"\\\1", data)
         self.last_data = data
         self.emit(data, collapse=True)

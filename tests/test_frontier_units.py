@@ -175,3 +175,32 @@ def test_seen_checkpoint_manifest_mismatch(ray_session, tmp_path):
             cdir, 0,
             expect_manifest={"n_shards": 4, "mode": "exact", "capacity_per_shard": 10, "fp_rate": 0.01},
         )
+
+
+def test_politeness_large_path_equals_small_path(ray_session):
+    """The shuffle+join cutoff path must select exactly what the
+    driver-cutoff path selects."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.frontier.politeness import enforce_politeness
+
+    rows = []
+    for h in range(6):
+        for i in range(10 + h * 3):  # uneven host sizes
+            rows.append(
+                {
+                    "url": f"https://h{h}.x/p{i:03d}",
+                    "host": f"h{h}.x",
+                    "score": float((i * 7) % 5),
+                }
+            )
+    ds = rd.from_items(rows)
+    small_sel, small_def = enforce_politeness(ds, per_host_cap=4)
+    large_sel, large_def = enforce_politeness(ds, per_host_cap=4, small_threshold=0)
+    s1 = sorted(r["url"] for r in small_sel.take_all())
+    s2 = sorted(r["url"] for r in large_sel.take_all())
+    d1 = sorted(r["url"] for r in small_def.take_all())
+    d2 = sorted(r["url"] for r in large_def.take_all())
+    assert s1 == s2 and d1 == d2
+    assert len(s1) == 6 * 4 and len(s1) + len(d1) == len(rows)
