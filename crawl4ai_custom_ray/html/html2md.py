@@ -204,7 +204,20 @@ class MarkdownMachine:
         if self.quiet:
             return
         if collapse:
-            data = _WS_RUN.sub(" ", data)
+            # C-speed fast path: an ASCII chunk with no \t\n\r\f\v and
+            # no double space has no whitespace run to collapse (the
+            # regex would be the identity).  Non-ASCII text may hold
+            # exotic Unicode whitespace that \s matches — regex path.
+            if (
+                not data.isascii()
+                or "\n" in data
+                or "\t" in data
+                or "  " in data
+                or "\r" in data
+                or "\x0b" in data
+                or "\x0c" in data
+            ):
+                data = _WS_RUN.sub(" ", data)
             if data and data[0] == " ":
                 self.sp = True
                 data = data[1:]

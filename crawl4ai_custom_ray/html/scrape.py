@@ -191,6 +191,42 @@ def _score_image(img: Element, index: int, total_images: int, threshold: int) ->
     return variants or None
 
 
+def _collect_and_clean(body: Element, remove_tags, wanted) -> dict[str, list]:
+    """ONE pre-order walk of the tree: elements whose tag is in
+    ``remove_tags`` are decomposed (their subtrees are never descended
+    into — identical to removing them in a prior pass), every other
+    element with a tag in ``wanted`` is bucketed.  Replaces the 3-4
+    separate full-tree ``find_all`` walks that dominated kernel
+    profiles."""
+    buckets: dict[str, list] = {t: [] for t in wanted}
+    to_remove: list[Element] = []
+    stack = list(body.children)
+    stack.reverse()
+    while stack:
+        c = stack.pop()
+        if type(c) is Element:
+            t = c.tag
+            if t in remove_tags:
+                to_remove.append(c)
+                continue
+            b = buckets.get(t)
+            if b is not None:
+                b.append(c)
+            grand = c.children
+            for i in range(len(grand) - 1, -1, -1):
+                stack.append(grand[i])
+    for el in to_remove:
+        el.decompose()
+    return buckets
+
+
+def _is_attached(el: Element, root: Element) -> bool:
+    anc = el
+    while anc.parent is not None:
+        anc = anc.parent
+    return anc is root
+
+
 def _process_links_and_media(
     url: str,
     body: Element,
@@ -203,6 +239,7 @@ def _process_links_and_media(
     exclude_domains: set | None = None,
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
     page_context: dict | None = None,
+    buckets: dict[str, list] | None = None,
 ) -> None:
     exclude_domains = exclude_domains or set()
 
@@ -218,21 +255,29 @@ def _process_links_and_media(
         if base_href:
             url = base_href
 
-    # ONE walk for all link/media tags (four per-tag walks showed up
-    # in kernel profiles)
-    anchors: list = []
-    images: list = []
-    videos: list = []
-    audios: list = []
-    _buckets = {"a": anchors, "img": images, "video": videos, "audio": audios}
-    for el in body.find_all(("a", "img", "video", "audio")):
-        _buckets[el.tag].append(el)
+    if buckets is None:
+        buckets = {"a": [], "img": [], "video": [], "audio": []}
+        for el in body.find_all(("a", "img", "video", "audio")):
+            buckets[el.tag].append(el)
+    anchors = buckets["a"]
+    images = buckets["img"]
+    videos = buckets["video"]
+    audios = buckets["audio"]
+
+    # repeated hrefs (nav bars, pagination) dominate pages; memoize the
+    # urlparse-heavy helpers per page
+    norm_cache: dict[str, str | None] = {}
+    dom_cache: dict[str, str] = {}
+    ext_cache: dict[str, bool] = {}
 
     for link in anchors:
         href = (link.get("href") or "").strip()
         if not href:
             continue
-        normalized = normalize_url(href, url)
+        if href in norm_cache:
+            normalized = norm_cache[href]
+        else:
+            normalized = norm_cache[href] = normalize_url(href, url)
         if normalized is None:
             continue
         link_data = {
@@ -253,8 +298,15 @@ def _process_links_and_media(
                 rel_attr=link.get("rel", "") or "",
                 page_context=page_context,
             )
-        if is_external_url(normalized, base_domain):
-            link_base_domain = get_base_domain(normalized)
+        if normalized in ext_cache:
+            is_ext = ext_cache[normalized]
+        else:
+            is_ext = ext_cache[normalized] = is_external_url(normalized, base_domain)
+        if is_ext:
+            if normalized in dom_cache:
+                link_base_domain = dom_cache[normalized]
+            else:
+                link_base_domain = dom_cache[normalized] = get_base_domain(normalized)
             link_data["base_domain"] = link_base_domain
             if exclude_external_links or link_base_domain in exclude_domains:
                 link.decompose()
@@ -293,8 +345,10 @@ def remove_empty_elements(root: Element, word_count_threshold: int = 1) -> None:
         el = stack.pop()
         descendants.append(el)
         stack.extend(el.child_elements())
-    # reference iterates reversed(iterdescendants()) = bottom-up
-    for el in descendants:
+    # reference iterates reversed(iterdescendants()) — children before
+    # parents, so an element emptied by a child's removal is itself
+    # removed in the same pass (cascade)
+    for el in reversed(descendants):
         if el.tag in _EMPTY_BYPASS_TAGS:
             continue
         if el.child_elements():
@@ -387,14 +441,18 @@ def scrape_tree(
     # metadata BEFORE meta/script removal (:676-683)
     metadata = extract_metadata(root)
 
-    _remove_all(body, ("script", "style", "link", "meta", "noscript"))
-
     domains = set(exclude_domains or [])
     if exclude_social_media_links:
         domains.update(SOCIAL_MEDIA_DOMAINS)
 
+    # ONE walk: drop the boilerplate subtrees AND bucket every
+    # link/media/table element (replaces 3 full-tree find_all passes)
+    remove_tags = {"script", "style", "link", "meta", "noscript"}
     if remove_forms:
-        _remove_all(body, "form")
+        remove_tags.add("form")
+    buckets = _collect_and_clean(
+        body, remove_tags, ("a", "img", "video", "audio", "table")
+    )
 
     media: dict = {"images": [], "videos": [], "audios": [], "tables": []}
     internal_links: dict = {}
@@ -410,10 +468,18 @@ def scrape_tree(
         exclude_domains=domains,
         image_score_threshold=image_score_threshold,
         page_context=page_context,
+        buckets=buckets,
     )
 
     if extract_tables_flag and "table" not in excluded:
-        media["tables"] = extract_tables(body, threshold=table_score_threshold)
+        tables = buckets["table"]
+        if (exclude_external_links or domains) and tables:
+            # excluded-external anchors were decomposed above; a table
+            # nested inside one must not be extracted
+            tables = [t for t in tables if _is_attached(t, body)]
+        media["tables"] = extract_tables(
+            body, threshold=table_score_threshold, tables=tables
+        )
 
     # only_text: flatten eligible inline tags to their text
     # (reference :747-755, after the link/media walk)

@@ -19,25 +19,47 @@ def _text(el: Element) -> str:
     return el.get_text().strip()
 
 
+def _survey_table(table: Element):
+    """One pre-order walk of the subtree → (tag-presence/counts,
+    rows, n_elements).  Same element sets the per-tag ``find_all``
+    calls would produce (pre-order, nested tables included)."""
+    has = {"thead": 0, "tbody": 0, "th": 0, "caption": 0, "table": 0}
+    rows: list[Element] = []
+    n_elements = 0
+    stack = list(table.children)
+    stack.reverse()
+    while stack:
+        c = stack.pop()
+        if type(c) is Element:
+            n_elements += 1
+            t = c.tag
+            if t in has:
+                has[t] += 1
+            elif t == "tr":
+                rows.append(c)
+            grand = c.children
+            for i in range(len(grand) - 1, -1, -1):
+                stack.append(grand[i])
+    return has, rows, n_elements
+
+
 def is_data_table(table: Element, threshold: float = 7) -> bool:
     score = 0.0
 
-    has_thead = bool(table.find_all("thead"))
-    has_tbody = bool(table.find_all("tbody"))
-    if has_thead:
+    has, rows, n_elements = _survey_table(table)
+    if has["thead"]:
         score += 2
-    if has_tbody:
+    if has["tbody"]:
         score += 1
 
-    th_count = len(table.find_all("th"))
-    rows = table.find_all("tr")
+    th_count = has["th"]
     if th_count > 0:
         score += 2
         first_row_th = bool(rows and rows[0].find_all("th"))
-        if has_thead or first_row_th:
+        if has["thead"] or first_row_th:
             score += 1
 
-    if table.find_all("table"):
+    if has["table"]:
         score -= 3
 
     if (table.get("role") or "").lower() in {"presentation", "none"}:
@@ -46,20 +68,21 @@ def is_data_table(table: Element, threshold: float = 7) -> bool:
     if not rows:
         return False
 
-    col_counts = [len(r.find_all(("td", "th"))) for r in rows]
+    row_cells = [r.find_all(("td", "th")) for r in rows]
+    col_counts = [len(cells) for cells in row_cells]
     if col_counts:
         avg = sum(col_counts) / len(col_counts)
         variance = sum((c - avg) ** 2 for c in col_counts) / len(col_counts)
         if variance < 1:
             score += 2
 
-    if table.find_all("caption"):
+    if has["caption"]:
         score += 2
     if table.get("summary"):
         score += 1
 
-    total_text = sum(len(_text(cell)) for r in rows for cell in r.find_all(("td", "th")))
-    total_tags = sum(1 for _ in table.iter()) - 1
+    total_text = sum(len(_text(cell)) for cells in row_cells for cell in cells)
+    total_tags = n_elements
     text_ratio = total_text / (total_tags + 1e-5)
     if text_ratio > 20:
         score += 3
@@ -147,9 +170,12 @@ def extract_tables(
     threshold: float = 7,
     min_rows: int = 0,
     min_cols: int = 0,
+    tables: list[Element] | None = None,
 ) -> list[dict]:
+    """``tables``: pre-collected candidate elements (document order) —
+    skips the discovery walk when the caller already walked the tree."""
     out = []
-    for table in element.find_all("table"):
+    for table in element.find_all("table") if tables is None else tables:
         if not is_data_table(table, threshold):
             continue
         data = extract_table_data(table)
