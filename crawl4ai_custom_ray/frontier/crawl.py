@@ -91,6 +91,14 @@ class CrawlConfig:
     # rounds too large to broadcast.
     fetch_strategy: str = "broadcast"
     max_rounds: int = 64
+    # size-adaptive round coordination: a round whose frontier (resp.
+    # discovered-link set) fits these row thresholds is coordinated
+    # driver-side on in-memory Arrow tables — the ONLY Ray execution is
+    # the fetch+parse — while bigger rounds run the distributed
+    # politeness/groupby/seen pipeline.  Driver memory is bounded by
+    # threshold × row width, never by corpus size.
+    driver_round_threshold: int = 100_000
+    driver_links_threshold: int = 1_000_000
     extra: dict = field(default_factory=dict)
 
 
@@ -146,6 +154,33 @@ def _score_many(scorer, urls: list[str]) -> list[float]:
     if scorer is None:
         return [0.0] * len(urls)
     return scorer.score_many(urls)
+
+
+def pq_write_table(table: pa.Table, path: str) -> None:
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(table, path)
+
+
+def _dataset_to_table(ds, schema: pa.Schema | None = FRONTIER_SCHEMA) -> pa.Table:
+    """Fetch an already-small Dataset's blocks to the driver as one
+    Arrow table (used only under the driver-round thresholds)."""
+    tbls = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tbls:
+        return (
+            _frontier_table([], [], [], [], [])
+            if schema is FRONTIER_SCHEMA
+            else pa.table({})
+        )
+    if schema is not None:
+        tbls = [t.select(schema.names).cast(schema) for t in tbls]
+    return pa.concat_tables(tbls, promote_options="default")
+
+
+def _table_from_pandas(df) -> pa.Table:
+    return pa.Table.from_pandas(df, preserve_index=False).select(
+        FRONTIER_SCHEMA.names
+    ).cast(FRONTIER_SCHEMA)
 
 
 class BFSCrawl:
@@ -281,7 +316,7 @@ class BFSCrawl:
                 resume = False
         if not resume:
             seed_table = self._seed_frontier(seeds, robots_ref)
-            frontier = rd.from_arrow(seed_table) if seed_table.num_rows else None
+            frontier = seed_table if seed_table.num_rows else None
 
         gate_fn = self._candidate_gate(robots_ref)
         seen_fn = self._seen_filter()
@@ -289,65 +324,147 @@ class BFSCrawl:
         for round_idx in range(start_round, cfg.max_rounds):
             if frontier is None:
                 break
-            n_frontier = frontier.count()
+            # `frontier` is a pa.Table for driver-coordinated small
+            # rounds, a Dataset for distributed large rounds; a large
+            # frontier that shrinks converts back down next round
+            if isinstance(frontier, pa.Table):
+                f_table = frontier
+                n_frontier = f_table.num_rows
+            else:
+                n_frontier = frontier.count()
+                f_table = (
+                    _dataset_to_table(frontier)
+                    if n_frontier <= cfg.driver_round_threshold
+                    else None
+                )
             if n_frontier == 0:
                 break
             t0 = time.time()
+            # opt-in stage timing: GRAFT_CRAWL_TIMING=1 prints seconds
+            # per round stage (diagnosing fixed Ray execution latency)
+            _timing = os.environ.get("GRAFT_CRAWL_TIMING")
+            _tmark = [time.perf_counter()]
+
+            def _stage(label):
+                if _timing:
+                    now = time.perf_counter()
+                    print(f"  [round {round_idx}] {label}: {now - _tmark[0]:.2f}s", flush=True)
+                    _tmark[0] = now
+
             rdir = ckpt.begin_round(self.checkpoint_dir, round_idx)
 
             # politeness budget: per-host top-k, remainder deferred.
-            # Skip the groupby shuffle when the WHOLE frontier fits the
+            # Skip the selection work when the WHOLE frontier fits the
             # smallest effective cap — no host can exceed it.
+            min_cap = cfg.per_host_cap
             if cfg.per_host_cap is not None:
-                from .politeness import effective_caps
+                from .politeness import effective_caps, select_table
 
                 caps = effective_caps(cfg.per_host_cap, self.host_fail_counts)
                 min_cap = min(caps.values()) if caps else cfg.per_host_cap
-                if n_frontier <= min_cap:
-                    selected, deferred = frontier, None
+
+            if f_table is not None:
+                # ---- driver-coordinated selection (small round):
+                # plain Arrow/pandas, zero Ray executions ----
+                if cfg.per_host_cap is not None and n_frontier > min_cap:
+                    sel_tbl, def_tbl = select_table(
+                        f_table,
+                        per_host_cap=cfg.per_host_cap,
+                        fail_counts=self.host_fail_counts,
+                    )
                 else:
+                    sel_tbl, def_tbl = f_table, None
+
+                if cfg.strategy in ("best_first", "dfs"):
+                    df = sel_tbl.to_pandas()
+                    if cfg.strategy == "best_first":
+                        df = df.sort_values(
+                            ["score", "depth", "url"],
+                            ascending=[False, True, True],
+                            kind="mergesort",
+                        )
+                        take = cfg.best_first_batch_size
+                    else:
+                        df = df.sort_values(
+                            ["depth", "url"], ascending=[False, True], kind="mergesort"
+                        )
+                        take = 1
+                    sel_tbl = _table_from_pandas(df.iloc[:take])
+                    rest = _table_from_pandas(df.iloc[take:])
+                    def_tbl = rest if def_tbl is None else pa.concat_tables([def_tbl, rest])
+
+                if cfg.max_pages is not None:
+                    remaining = cfg.max_pages - self.pages_visited
+                    if remaining <= 0:
+                        break
+                    df = sel_tbl.to_pandas().sort_values(
+                        ["score", "url"], ascending=[False, True], kind="mergesort"
+                    )
+                    sel_tbl = _table_from_pandas(df.iloc[:remaining])
+                    rest = _table_from_pandas(df.iloc[remaining:])
+                    def_tbl = rest if def_tbl is None else pa.concat_tables([def_tbl, rest])
+
+                # visited checkpoint: direct parquet write, no execution
+                os.makedirs(os.path.join(rdir, "visited"), exist_ok=True)
+                pq_write_table(
+                    sel_tbl.append_column(
+                        "round", pa.array([round_idx] * sel_tbl.num_rows, pa.int32())
+                    ),
+                    os.path.join(rdir, "visited", "part-0.parquet"),
+                )
+                sel_table = sel_tbl.select(["url", "host", "depth"])
+                deferred = None  # dataset-path variable, unused here
+                _stage("politeness+select+write_visited(driver)")
+            else:
+                def_tbl = None
+                if cfg.per_host_cap is not None and n_frontier > min_cap:
                     selected, deferred = enforce_politeness(
                         frontier,
                         per_host_cap=cfg.per_host_cap,
                         fail_counts=self.host_fail_counts,
                     )
-            else:
-                selected, deferred = frontier, None
+                else:
+                    selected, deferred = frontier, None
 
-            # strategy selection: priority queue as sort+limit shuffles
-            if cfg.strategy in ("best_first", "dfs"):
-                if cfg.strategy == "best_first":
-                    ordered = selected.sort(
-                        ["score", "depth", "url"], descending=[True, False, False]
+                # strategy selection: priority queue as sort+limit shuffles
+                if cfg.strategy in ("best_first", "dfs"):
+                    if cfg.strategy == "best_first":
+                        ordered = selected.sort(
+                            ["score", "depth", "url"], descending=[True, False, False]
+                        )
+                        take = cfg.best_first_batch_size
+                    else:  # dfs: LIFO ≈ deepest-first, batch of 1
+                        ordered = selected.sort(["depth", "url"], descending=[True, False])
+                        take = 1
+                    split = ordered.split_at_indices([take])
+                    selected = split[0]
+                    deferred = split[1] if deferred is None else deferred.union(split[1])
+
+                # global capacity (reference bfs_strategy.py:131-136)
+                if cfg.max_pages is not None:
+                    remaining = cfg.max_pages - self.pages_visited
+                    if remaining <= 0:
+                        break
+                    ordered = selected.sort(["score", "url"], descending=[True, False])
+                    overflow = ordered.split_at_indices([remaining])
+                    selected = overflow[0]
+                    deferred = (
+                        overflow[1] if deferred is None else deferred.union(overflow[1])
                     )
-                    take = cfg.best_first_batch_size
-                else:  # dfs: LIFO ≈ deepest-first, batch of 1
-                    ordered = selected.sort(["depth", "url"], descending=[True, False])
-                    take = 1
-                split = ordered.split_at_indices([take])
-                selected = split[0]
-                deferred = split[1] if deferred is None else deferred.union(split[1])
 
-            # global capacity (reference bfs_strategy.py:131-136)
-            if cfg.max_pages is not None:
-                remaining = cfg.max_pages - self.pages_visited
-                if remaining <= 0:
-                    break
-                ordered = selected.sort(["score", "url"], descending=[True, False])
-                overflow = ordered.split_at_indices([remaining])
-                selected = overflow[0]
-                deferred = overflow[1] if deferred is None else deferred.union(overflow[1])
-
-            # visit + checkpoint this round's fetch set: ONE execution
-            # (write directly, read the small result back via pyarrow —
-            # no second materialize pass)
-            selected.map_batches(
-                lambda t, r=round_idx: t.append_column(
-                    "round", pa.array([r] * t.num_rows, pa.int32())
-                ),
-                batch_format="pyarrow",
-            ).write_parquet(os.path.join(rdir, "visited"))
-            sel_table = _read_dir_parquet(os.path.join(rdir, "visited"), ["url", "host", "depth"])
+                # visit + checkpoint this round's fetch set: ONE execution
+                # (write directly, read the small result back via pyarrow —
+                # no second materialize pass)
+                selected.map_batches(
+                    lambda t, r=round_idx: t.append_column(
+                        "round", pa.array([r] * t.num_rows, pa.int32())
+                    ),
+                    batch_format="pyarrow",
+                ).write_parquet(os.path.join(rdir, "visited"))
+                _stage("politeness+select+write_visited")
+                sel_table = _read_dir_parquet(
+                    os.path.join(rdir, "visited"), ["url", "host", "depth"]
+                )
             n_selected = sel_table.num_rows
             if n_selected == 0:
                 break
@@ -389,10 +506,13 @@ class BFSCrawl:
                     return sub.append_column("depth", pa.array(depths, pa.int32()))
 
                 fetched = round_read.map_batches(attach_depth, batch_format="pyarrow")
+            _stage("fetch_build")
 
             # discover → gate → dedup → seen, ONE execution of the
             # pages scan (materialize once, then cheap derived counts)
-            new_frontier = None
+            new_frontier = None  # dataset (large-links path)
+            new_tbl = None  # table (driver path)
+            links_tbl = None
             n_links = 0
             if cfg.max_depth > 0:
                 links = fetched.map_batches(
@@ -403,8 +523,29 @@ class BFSCrawl:
                     ),
                     batch_format="pyarrow",
                 ).materialize()
+                _stage("links_materialize")
                 n_links = links.count()
-                if n_links > 0:
+                if 0 < n_links <= cfg.driver_links_threshold:
+                    # ---- driver-coordinated discovery: the link set is
+                    # bounded, so gate → first-wins dedup → seen run on
+                    # one in-memory table (block fetch, no executions).
+                    # Semantics identical to the distributed chain:
+                    # pandas stable sort by (depth, parent) + first-per-
+                    # url ≡ groupby(url).Min(packed (depth,parent) key)
+                    links_tbl = _dataset_to_table(
+                        links, schema=None
+                    )
+                    cand = gate_fn(links_tbl)
+                    if cand.num_rows:
+                        cdf = (
+                            cand.to_pandas()
+                            .sort_values(["depth", "parent"], kind="mergesort")
+                            .drop_duplicates("url", keep="first")
+                        )
+                        dedup_tbl = _table_from_pandas(cdf)
+                        new_tbl = seen_fn(dedup_tbl)
+                    _stage("discover(driver)")
+                elif n_links > 0:
                     # gate → within-round dedup (deterministic
                     # first-wins) → cross-round seen filter: one chain.
                     # Dedup is pure aggregates — min over a sortable
@@ -428,21 +569,45 @@ class BFSCrawl:
             # frontier_{k+1} = new ∪ deferred — checkpointed
             # (deferred size derived, not counted: avoids re-executing
             # the politeness filter chain)
-            n_deferred = (n_frontier - n_selected) if deferred is not None else 0
-            parts = []
-            if new_frontier is not None:
-                parts.append(new_frontier)
-            if deferred is not None and n_deferred > 0:
-                parts.append(deferred)
-            if parts:
-                nxt = parts[0]
-                for p in parts[1:]:
-                    nxt = nxt.union(p)
-                nxt = nxt.materialize()
-                nxt.write_parquet(os.path.join(rdir, "frontier"))
-                frontier = nxt if nxt.count() > 0 else None
+            if def_tbl is not None:
+                n_deferred = def_tbl.num_rows
             else:
-                frontier = None
+                n_deferred = (n_frontier - n_selected) if deferred is not None else 0
+            if new_frontier is None and deferred is None:
+                # everything in hand as tables → next frontier stays
+                # driver-side: direct parquet write, zero executions
+                tparts = [t for t in (new_tbl, def_tbl) if t is not None and t.num_rows]
+                if tparts:
+                    nxt_tbl = pa.concat_tables(tparts)
+                    os.makedirs(os.path.join(rdir, "frontier"), exist_ok=True)
+                    pq_write_table(
+                        nxt_tbl, os.path.join(rdir, "frontier", "part-0.parquet")
+                    )
+                    frontier = nxt_tbl
+                else:
+                    frontier = None
+                _stage("next_frontier_write(driver)")
+            else:
+                parts = []
+                if new_frontier is not None:
+                    parts.append(new_frontier)
+                elif new_tbl is not None and new_tbl.num_rows:
+                    parts.append(rd.from_arrow(new_tbl))
+                if def_tbl is not None and def_tbl.num_rows:
+                    parts.append(rd.from_arrow(def_tbl))
+                elif deferred is not None and n_deferred > 0:
+                    parts.append(deferred)
+                if parts:
+                    nxt = parts[0]
+                    for p in parts[1:]:
+                        nxt = nxt.union(p)
+                    nxt = nxt.materialize()
+                    _stage("next_frontier_materialize")
+                    nxt.write_parquet(os.path.join(rdir, "frontier"))
+                    _stage("next_frontier_write")
+                    frontier = nxt if nxt.count() > 0 else None
+                else:
+                    frontier = None
 
             # host-state update: a host whose selected urls produced no
             # fetches this round backs off (fail_count++ → halved
@@ -450,9 +615,20 @@ class BFSCrawl:
             # RateLimiter: backoff ×2 on failure, ×0.75 decay)
             if cfg.per_host_cap is not None:
                 sel_hosts = sel_table.select(["url", "host"]).to_pandas()
-                fetched_src = (
-                    set(links.unique("src_url")) if (cfg.max_depth > 0 and n_links > 0) else set()
-                )
+                if links_tbl is not None:
+                    fetched_src = set(links_tbl["src_url"].to_pylist())
+                elif cfg.max_depth > 0 and n_links > 0:
+                    # per-block distinct + driver union: map-only over
+                    # the already-materialized links, no Aggregate
+                    # shuffle (unique() is an all-to-all)
+                    src_blocks = links.select_columns(["src_url"]).map_batches(
+                        lambda t: pa.table({"src_url": pa.compute.unique(t["src_url"])}),
+                        batch_format="pyarrow",
+                    ).to_pandas()
+                    fetched_src = set(src_blocks["src_url"])
+                    _stage("host_state_src")
+                else:
+                    fetched_src = set()
                 for host, group in sel_hosts.groupby("host"):
                     ok = any(u in fetched_src for u in group["url"])
                     if ok:
@@ -475,6 +651,15 @@ class BFSCrawl:
                 self.seen.dump_all(),
                 manifest=self.seen.config_manifest(),
             )
+            n_frontier_out = (
+                0
+                if frontier is None
+                else (
+                    frontier.num_rows
+                    if isinstance(frontier, pa.Table)
+                    else frontier.count()
+                )
+            )
             ckpt.commit_round(
                 self.checkpoint_dir,
                 round_idx,
@@ -483,7 +668,7 @@ class BFSCrawl:
                     "n_visited": n_selected,
                     "n_links": n_links,
                     "n_deferred": n_deferred,
-                    "n_frontier_out": frontier.count() if frontier is not None else 0,
+                    "n_frontier_out": n_frontier_out,
                     # approximate-membership accounting (SURVEY §7.4.4):
                     # in bloom/cuckoo mode seen_total is approximate; the
                     # exact lower bound is visited+frontier, so the gap
@@ -491,8 +676,7 @@ class BFSCrawl:
                     "seen_mode": cfg.seen_mode,
                     "seen_total": self.seen.total(),
                     "seen_overflow": self.seen.overflow_total(),
-                    "seen_exact_lower_bound": self.pages_visited
-                    + (frontier.count() if frontier is not None else 0),
+                    "seen_exact_lower_bound": self.pages_visited + n_frontier_out,
                     "wall_ms": int((time.time() - t0) * 1000),
                 },
             )

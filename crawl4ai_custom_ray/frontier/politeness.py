@@ -107,6 +107,35 @@ def _driver_cutoffs(kv, caps: dict, default_cap: int) -> dict:
     return dict(zip(at_cut["host"], at_cut[_KEY_COL]))
 
 
+def select_table(
+    frontier_tbl: pa.Table,
+    *,
+    per_host_cap: int,
+    fail_counts: dict | None = None,
+):
+    """Driver-side politeness selection over an in-memory frontier
+    table (the small-round path of the BSP crawl: when a round's
+    frontier fits the driver threshold, coordination is plain Arrow —
+    zero Ray executions).  Produces exactly the same (selected,
+    deferred) split as :func:`enforce_politeness` on the same rows;
+    differential-tested in tests/test_frontier_units.py."""
+    import pandas as pd
+
+    caps = effective_caps(per_host_cap, fail_counts or {})
+    if frontier_tbl.num_rows == 0:
+        return frontier_tbl, None
+    hosts = frontier_tbl["host"].to_pylist()
+    keys = _sortable_score_desc(frontier_tbl["score"].to_numpy(zero_copy_only=False))
+    packed = [k + u for k, u in zip(keys, frontier_tbl["url"].to_pylist())]
+    kv = pd.DataFrame({"host": hosts, _KEY_COL: packed})
+    cut = _driver_cutoffs(kv, caps, per_host_cap)
+    mask = pa.array(
+        [cut.get(h) is None or k <= cut[h] for h, k in zip(hosts, packed)],
+        pa.bool_(),
+    )
+    return frontier_tbl.filter(mask), frontier_tbl.filter(pc.invert(mask))
+
+
 def enforce_politeness(
     frontier_ds,
     *,
@@ -132,13 +161,19 @@ def enforce_politeness(
     from ..functions.dedup import _coalesce_for_join, _join_partitions
 
     caps = effective_caps(per_host_cap, fail_counts or {})
-    keyed = frontier_ds.map_batches(_add_key, batch_format="pyarrow").materialize()
-    n_rows = keyed.count()
-    if n_rows == 0:
+    keyed = frontier_ds.map_batches(_add_key, batch_format="pyarrow")
+
+    # ONE bounded probe execution (limit pushdown stops the scan at
+    # threshold+1 rows) decides the path AND, on the small path, IS
+    # the cutoff input — no separate materialize+count round-trips
+    probe = keyed.select_columns(["host", _KEY_COL]).take(small_threshold + 1)
+    if not probe:
         return keyed.drop_columns([_KEY_COL]), None
 
-    if n_rows <= small_threshold:
-        kv = keyed.select_columns(["host", _KEY_COL]).to_pandas()
+    if len(probe) <= small_threshold:
+        import pandas as pd
+
+        kv = pd.DataFrame(probe)
         cut = _driver_cutoffs(kv, caps, per_host_cap)
         cut_ref = ray.put(cut)
 
@@ -163,7 +198,7 @@ def enforce_politeness(
 
     # large-round path: shuffle aggregate + join (join inputs must not
     # contain the schema-less empty blocks upstream stages leave)
-    keyed, n_rows = _coalesce_for_join(keyed)
+    keyed, _ = _coalesce_for_join(keyed)
 
     def _type_cutoff(batch: pa.Table) -> pa.Table:
         # an all-under-budget round yields only null cutoffs, typed

@@ -204,3 +204,36 @@ def test_politeness_large_path_equals_small_path(ray_session):
     d2 = sorted(r["url"] for r in large_def.take_all())
     assert s1 == s2 and d1 == d2
     assert len(s1) == 6 * 4 and len(s1) + len(d1) == len(rows)
+
+
+def test_select_table_equals_enforce_politeness(ray_session):
+    """Driver-side politeness must split exactly like the dataset path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.frontier.politeness import enforce_politeness, select_table
+
+    rows = []
+    for h in range(5):
+        for i in range(8 + h * 5):
+            rows.append(
+                {
+                    "url": f"https://s{h}.x/p{i:03d}",
+                    "host": f"s{h}.x",
+                    "depth": 1,
+                    "parent": "",
+                    "score": float((i * 13) % 7),
+                }
+            )
+    tbl = pa.Table.from_pylist(rows)
+    fails = {"s1.x": 2}
+    sel_t, def_t = select_table(tbl, per_host_cap=6, fail_counts=fails)
+    ds_sel, ds_def = enforce_politeness(
+        rd.from_arrow(tbl), per_host_cap=6, fail_counts=fails
+    )
+    assert sorted(sel_t["url"].to_pylist()) == sorted(
+        r["url"] for r in ds_sel.take_all()
+    )
+    assert sorted(def_t["url"].to_pylist()) == sorted(
+        r["url"] for r in ds_def.take_all()
+    )
