@@ -157,36 +157,57 @@ class JsonCssExtractionStrategy:
             return field.get("default")
 
 
-class JsonXPathLikeExtractionStrategy(JsonCssExtractionStrategy):
-    """Placeholder parity for the reference's XPath backend
-    (``JsonXPathExtractionStrategy``, extraction_strategy.py:1797-1889)
-    — translates the basic XPath forms the reference's css→xpath
-    translit covers (``//tag``, ``//tag[@attr='v']``, ``/a/b``) into
-    the CSS engine.  Full XPath is out of scope without lxml."""
+class JsonXPathExtractionStrategy(JsonCssExtractionStrategy):
+    """XPath backend matching the reference's
+    ``JsonXPathExtractionStrategy`` (extraction_strategy.py:1797-1889).
+    The reference delegates to lxml's XPath and converts bare CSS
+    selectors via ``_basic_css_to_xpath`` (:1836-1846); here selectors
+    containing ``/`` evaluate on the in-repo XPath-subset engine
+    (:mod:`..html.xpath` — paths, predicates, functions, union,
+    positional semantics), and bare CSS goes through the same
+    css→xpath transliteration the reference applies."""
 
-    _XPATH_TAG = re.compile(r"^//([\w-]+)(?:\[@([\w-]+)='([^']*)'\])?$")
-
-    def _xpath_to_css(self, xpath: str) -> str:
-        m = self._XPATH_TAG.match(xpath.strip())
-        if m:
-            tag, attr, val = m.groups()
-            if attr is None:
-                return tag
-            if attr == "class":
-                return f"{tag}.{val}"
-            if attr == "id":
-                return f"{tag}#{val}"
-            return f"{tag}[{attr}={val}]"
-        # descendant paths: /html/body/div → html > body > div
-        if xpath.startswith("/") and "//" not in xpath[1:]:
-            return " > ".join(p for p in xpath.strip("/").split("/") if p)
-        raise ValueError(f"unsupported xpath: {xpath}")
+    def _css_to_xpath(self, selector: str) -> str:
+        if "/" in selector:
+            return selector
+        # reference _basic_css_to_xpath: descendant/child combinators
+        if " > " in selector:
+            return "//" + "/".join(selector.split(" > "))
+        if " " in selector:
+            return "//" + "//".join(selector.split(" "))
+        return "//" + selector
 
     def _get_base_elements(self, parsed: Element, selector: str) -> list[Element]:
-        return select(parsed, self._xpath_to_css(selector))
+        from ..html.xpath import xpath_select
+
+        res = xpath_select(parsed, self._css_to_xpath(selector))
+        return [r for r in res if isinstance(r, Element)]
 
     def _get_elements(self, element: Element, selector: str) -> list[Element]:
-        return select(element, self._xpath_to_css(selector))
+        from ..html.xpath import xpath_select
+
+        xpath = self._css_to_xpath(selector)
+        # reference prefixes "." so the path is relative to `element`
+        root = element
+        while isinstance(root.parent, Element):
+            root = root.parent
+        if xpath.startswith("//"):
+            # .//x — descendants of the context element
+            from ..html.xpath import _Parser, _Evaluator
+
+            paths = _Parser(xpath).parse_union()
+            for p in paths:
+                p.absolute = False
+                if p.steps:
+                    p.steps[0].axis = "descendant"
+            res = _Evaluator(root).select(paths, element)
+        else:
+            res = xpath_select(root, xpath, context=element)
+        return [r for r in res if isinstance(r, Element)]
+
+
+# Backwards-compatible alias (round-1 name)
+JsonXPathLikeExtractionStrategy = JsonXPathExtractionStrategy
 
 
 def extract_structured(ds, schema: dict, *, html_column: str = "html", url_column: str = "url"):
