@@ -271,3 +271,64 @@ def test_merge_chunks_semantics():
     assert merge_chunks(["", ""], 10) == []
     # word_token_ratio shrinks the estimated chunk count only
     assert merge_chunks(["a b c d"], target_size=2, word_token_ratio=0.4) == ["a b c d"]
+
+
+class TestTopicSegmentation:
+    """TextTiling-style topic segmentation (reference
+    TopicSegmentationChunking, chunking_strategy.py:92-152)."""
+
+    def _two_topic_text(self):
+        a = (
+            "the cat sat on the mat and the cat chased a mouse around the house "
+            "while kittens played with yarn and felines purred softly near the fire "
+        ) * 6
+        b = (
+            "stock markets rallied today as investors bought shares and bond yields "
+            "fell while traders watched inflation data and the bank rate decision "
+        ) * 6
+        return a.strip() + "\n\n" + b.strip()
+
+    def test_two_topics_split_at_paragraph(self):
+        from crawl4ai_custom_ray.functions.chunkers import TopicSegmentationChunking
+
+        text = self._two_topic_text()
+        segs = TopicSegmentationChunking().chunk(text)
+        assert len(segs) == 2
+        assert "cat" in segs[0] and "cat" not in segs[1]
+        assert "markets" in segs[1] and "markets" not in segs[0]
+        # segmentation is a partition of the text
+        assert "".join(segs) == text
+
+    def test_short_text_single_segment(self):
+        from crawl4ai_custom_ray.functions.chunkers import TopicSegmentationChunking
+
+        c = TopicSegmentationChunking()
+        assert c.chunk("just a few words here") == ["just a few words here"]
+        assert c.chunk("") == []
+        assert c.chunk("   \n ") == []
+
+    def test_deterministic(self):
+        from crawl4ai_custom_ray.functions.chunkers import TopicSegmentationChunking
+
+        text = self._two_topic_text()
+        c = TopicSegmentationChunking()
+        assert c.chunk(text) == c.chunk(text)
+
+    def test_keywords_and_topics(self):
+        from crawl4ai_custom_ray.functions.chunkers import TopicSegmentationChunking
+
+        c = TopicSegmentationChunking(num_keywords=2)
+        text = self._two_topic_text()
+        with_topics = c.chunk_with_topics(text)
+        assert len(with_topics) == 2
+        seg0, kw0 = with_topics[0]
+        assert "cat" in kw0
+        seg1, kw1 = with_topics[1]
+        assert any(k in ("markets", "stock", "investors", "traders") for k in kw1)
+
+    def test_homogeneous_text_stays_whole(self):
+        from crawl4ai_custom_ray.functions.chunkers import TopicSegmentationChunking
+
+        text = ("alpha beta gamma delta epsilon zeta eta theta " * 40).strip()
+        segs = TopicSegmentationChunking().chunk(text)
+        assert "".join(segs) == text
