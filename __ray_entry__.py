@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q.q_dedup_embedding,
         "knn_ivf": q.q_knn_ivf,
         "media_features": q.q_media_features,
+        "pdf_extract": q.q_pdf_extract,
         "events_window": q.q_events_window,
         "sessionize": q.q_sessionize,
         "chunk_fixed": q.q_chunk_fixed,

@@ -325,6 +325,12 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(octet_length(html) AS BIGINT) AS n_bytes
             FROM read_parquet('{path}')
         """,
+        "pdf_extract": """
+            SELECT doc_id,
+                   CAST(1 AS INTEGER) AS n_pages,
+                   regexp_replace(text, '[^\x20-\x7e\n]', '', 'g') AS text
+            FROM documents
+        """,
         "events_window": """
             SELECT event_type,
                    date_trunc('hour', ts) AS window_start,

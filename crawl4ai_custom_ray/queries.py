@@ -368,6 +368,38 @@ def q_media_features(sf_dir: str):
     return feats.select_columns(["url", "width", "height", "n_bytes"])
 
 
+def q_pdf_extract(sf_dir: str):
+    """PDF round-trip over the documents table: each document's text
+    (printable-ASCII + newline filtered, identically in the SQL
+    oracle) is written into a synthetic PDF inside the pipeline by the
+    deterministic mini-writer, parsed back by the stdlib PDF engine,
+    and the extracted text emitted — any writer/parser defect breaks
+    the oracle match."""
+    import ray.data as rd
+
+    from .functions.pdf import build_pdf, process_pdfs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_pdf(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        ids = batch["doc_id"].to_pylist()
+        blobs = [
+            build_pdf([_re.sub(r"[^\x20-\x7e\n]", "", t or "")])
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pdf": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    pdfs = docs.map_batches(to_pdf, batch_format="pyarrow")
+    return process_pdfs(pdfs).select_columns(["doc_id", "n_pages", "text"])
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate per event_type: partial
     aggregation inside map_batches, then a small groupby — the
