@@ -237,3 +237,48 @@ def test_select_table_equals_enforce_politeness(ray_session):
     assert sorted(def_t["url"].to_pylist()) == sorted(
         r["url"] for r in ds_def.take_all()
     )
+
+
+def test_proxy_config_from_string():
+    from crawl4ai_custom_ray.frontier.proxies import ProxyConfig
+
+    p = ProxyConfig.from_string("http://user:pw@10.0.0.1:8080")
+    assert (p.server, p.username, p.password, p.ip) == (
+        "http://10.0.0.1:8080", "user", "pw", "10.0.0.1",
+    )
+    p = ProxyConfig.from_string("socks5://10.0.0.2:1080")
+    assert (p.server, p.username, p.ip) == ("socks5://10.0.0.2:1080", None, "10.0.0.2")
+    p = ProxyConfig.from_string("10.0.0.3:3128:u:s")
+    assert (p.server, p.username, p.password) == ("http://10.0.0.3:3128", "u", "s")
+    p = ProxyConfig.from_string("10.0.0.4:80")
+    assert p.server == "http://10.0.0.4:80"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ProxyConfig.from_string("nonsense")
+
+
+def test_round_robin_strategy():
+    from crawl4ai_custom_ray.frontier.proxies import ProxyConfig, RoundRobinProxyStrategy
+
+    s = RoundRobinProxyStrategy([ProxyConfig("http://a:1"), ProxyConfig("http://b:2")])
+    assert [s.get_next_proxy().server for _ in range(4)] == [
+        "http://a:1", "http://b:2", "http://a:1", "http://b:2",
+    ]
+    assert RoundRobinProxyStrategy().get_next_proxy() is None
+
+
+def test_assign_proxies_hash_deterministic(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.frontier.proxies import assign_proxies
+
+    rows = [{"url": f"https://h{i % 4}.x/p{i}"} for i in range(200)]
+    proxies = ["10.0.0.1:80", "10.0.0.2:80", "10.0.0.3:80"]
+    a = assign_proxies(rd.from_items(rows), proxies).to_pandas()
+    b = assign_proxies(rd.from_items(list(reversed(rows))), proxies).to_pandas()
+    ma = dict(zip(a["url"], a["proxy"]))
+    mb = dict(zip(b["url"], b["proxy"]))
+    assert ma == mb  # stable under input order
+    counts = a["proxy"].value_counts()
+    assert len(counts) == 3 and counts.min() > 20  # roughly uniform
