@@ -23,29 +23,9 @@ def sanitize_input_encode(text: str) -> str:
         return text.encode("ascii", errors="ignore").decode("ascii")
 
 
-def fast_format_html(html_string: str) -> str:
-    """Indentation-only pretty printer via string splitting (reference
-    ``fast_format_html``, ``utils.py:2157-2201``)."""
-    indent = 0
-    indent_str = "  "
-    formatted: list[str] = []
-    parts = html_string.replace(">", ">\n").replace("<", "\n<").split("\n")
-    for part in parts:
-        if not part.strip():
-            continue
-        if part.startswith("</"):
-            indent -= 1
-            formatted.append(indent_str * indent + part)
-        elif part.startswith("<") and part.endswith("/>"):
-            formatted.append(indent_str * indent + part)
-        elif part.startswith("<"):
-            formatted.append(indent_str * indent + part)
-            indent += 1
-        else:
-            content = part.strip()
-            if content:
-                formatted.append(indent_str * indent + content)
-    return "\n".join(formatted)
+# canonical home: html/format.py (differential-tested against the
+# reference formatter); re-exported here for the utils-surface name
+from .format import fast_format_html  # noqa: F401
 
 
 def flatten_inline_tags(root: Element, tags=ONLY_TEXT_ELIGIBLE_TAGS) -> None:
