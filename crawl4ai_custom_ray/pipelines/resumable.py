@@ -52,6 +52,7 @@ def resumable_extract(
     *,
     columns: list[str] | None = None,
     done_urls=None,
+    done_seen=None,
     **extract_kwargs,
 ) -> dict:
     """Extract all pages under ``pages_dir`` into per-shard output
@@ -61,6 +62,12 @@ def resumable_extract(
     ``done_urls``: optional container supporting ``in`` over 64-bit
     url digests (set / BloomFilter / CuckooFilter) — rows whose
     canonical digest is present are filtered out before extraction.
+    Broadcast once via ``ray.put``; bounded inputs only.
+
+    ``done_seen``: optional sharded
+    :class:`~crawl4ai_custom_ray.frontier.seen.UrlSeen` (see
+    :func:`load_done_into_seen`) — the anti-join becomes batched
+    membership RPCs against the shard actors, the 10^10-URL path.
     """
     os.makedirs(out_root, exist_ok=True)
     t0 = time.time()
@@ -90,6 +97,14 @@ def resumable_extract(
                 return batch.filter(pa.array(mask, pa.bool_()))
 
             ds = ds.map_batches(not_done, batch_format="pyarrow")
+        elif done_seen is not None:
+
+            def not_seen(batch: pa.Table, seen=done_seen) -> pa.Table:
+                digests = [url_digest(u) for u in batch["url"].to_pylist()]
+                hit = seen.contains(digests)
+                return batch.filter(pa.array([not h for h in hit], pa.bool_()))
+
+            ds = ds.map_batches(not_seen, batch_format="pyarrow")
         extracted = extract_pages(ds, columns=columns, **extract_kwargs).materialize()
         n_rows = extracted.count()
         os.makedirs(out_dir, exist_ok=True)
@@ -132,6 +147,41 @@ def read_extracted(out_root: str):
 
 def extracted_url_digests(out_root: str) -> set[int]:
     """Digest set of everything already extracted — feed back as
-    ``done_urls`` for the next incremental run."""
+    ``done_urls`` for the next incremental run.
+
+    SMALL-RUN PATH: the set lives on the driver (streamed in batches,
+    never a whole-table pandas copy).  At the 10^10-URL design point
+    use :func:`load_done_into_seen` + ``done_seen=`` instead — the
+    done-set then lives in the sharded seen actors and the driver
+    holds only handles."""
+    out: set[int] = set()
     ds = read_extracted(out_root).select_columns(["url"])
-    return {url_digest(u) for u in ds.to_pandas()["url"]}
+    for batch in ds.iter_batches(batch_format="pyarrow"):
+        out.update(url_digest(u) for u in batch["url"].to_pylist())
+    return out
+
+
+def load_done_into_seen(out_root: str, seen) -> int:
+    """Scale path for incremental resume: insert every
+    already-extracted URL digest into a sharded
+    :class:`~crawl4ai_custom_ray.frontier.seen.UrlSeen` via a
+    distributed pass — worker tasks compute digests and RPC the shard
+    actors directly; nothing corpus-sized touches the driver.
+    Returns the number of digests inserted."""
+
+    def insert(batch: pa.Table) -> pa.Table:
+        digests = [url_digest(u) for u in batch["url"].to_pylist()]
+        seen.check_and_add(digests)
+        return pa.table({"n": pa.array([len(digests)], pa.int64())})
+
+    counts = (
+        read_extracted(out_root)
+        .select_columns(["url"])
+        .map_batches(insert, batch_format="pyarrow")
+    )
+    import pyarrow.compute as pc
+
+    total = 0
+    for batch in counts.iter_batches(batch_format="pyarrow"):
+        total += int(pc.sum(batch["n"]).as_py() or 0)
+    return total

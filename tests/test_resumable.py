@@ -79,3 +79,47 @@ def test_incremental_with_bloom(ray_session, tmp_path):
     out = str(tmp_path / "b2")
     report = resumable_extract(pages_dir, out, columns=["text"], done_urls=bloom)
     assert report["n_rows"] == 0  # no false negatives by construction
+
+
+def test_incremental_via_seen_shards(ray_session, tmp_path):
+    """Scale-path resume: done-set in sharded seen actors, distributed
+    insert, batched membership anti-join (no driver-side URL set)."""
+    from crawl4ai_custom_ray.frontier.seen import UrlSeen
+    from crawl4ai_custom_ray.pipelines.resumable import (
+        load_done_into_seen,
+        read_extracted,
+        resumable_extract,
+    )
+    from crawl4ai_custom_ray.sources.pages import generate_pages_table
+
+    import pyarrow.parquet as pq
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    tbl = generate_pages_table("/root/testdata/sf0.001")
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), pages_dir / "part_000.parquet")
+
+    out1 = tmp_path / "out1"
+    r1 = resumable_extract(str(pages_dir), str(out1), columns=["url", "text"])
+    assert r1["n_rows"] == half
+
+    seen = UrlSeen(n_shards=2, mode="exact")
+    try:
+        inserted = load_done_into_seen(str(out1), seen)
+        assert inserted == half
+
+        # second run over the FULL table, anti-joined via the actors
+        pq.write_table(tbl, pages_dir / "part_001.parquet")
+        out2 = tmp_path / "out2"
+        r2 = resumable_extract(
+            str(pages_dir), str(out2), columns=["url", "text"], done_seen=seen
+        )
+        # part_000 re-extracts nothing new (all done); part_001 only
+        # the second half
+        got = read_extracted(str(out2)).to_pandas()
+        assert len(got) == tbl.num_rows - half
+        first_half_urls = set(tbl["url"].to_pylist()[:half])
+        assert not (set(got["url"]) & first_half_urls)
+    finally:
+        seen.shutdown()
