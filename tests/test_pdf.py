@@ -143,3 +143,37 @@ def test_ray_stage(ray_session):
     assert out["text"][1] == "doc two page a\ndoc two page b"
     assert out["title"][0] == "One"
     assert out["error"][2]
+
+
+def test_fuzz_text_roundtrip():
+    """Random printable text (parens, backslashes, newlines) survives
+    writer→parser byte-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    printable = st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=200,
+    )
+    lines = st.lists(printable, min_size=1, max_size=8)
+
+    @given(lines)
+    @settings(max_examples=150, deadline=None)
+    def check(ls):
+        text = "\n".join(ls)
+        r = NaivePDFProcessorStrategy().process_bytes(build_pdf([text]))
+        assert r.pages[0].raw_text == text
+
+    check()
+
+
+def test_truncated_pdfs_do_not_crash():
+    data = build_pdf(["some text", "more text"], title="T")
+    s = NaivePDFProcessorStrategy()
+    for cut in range(1, len(data), 97):
+        blob = data[:cut]
+        try:
+            r = s.process_bytes(blob)
+            assert r.metadata.pages >= 0  # parsed a prefix, fine
+        except ValueError:
+            pass  # rejected cleanly — also fine

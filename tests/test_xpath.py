@@ -199,3 +199,57 @@ def test_extraction_strategy_css_translit():
     }
     items = JsonXPathExtractionStrategy(schema).extract("http://t/", DOC)
     assert items == [{"first": "Title"}]
+
+
+def test_fuzz_xpath_css_equivalence():
+    """Random small trees: //tag must equal the CSS engine's tag
+    select, and structural paths must agree."""
+    import random
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    TAGS = ["div", "p", "span", "a", "li"]
+
+    def build(depth, rng):
+        tag = rng.choice(TAGS)
+        attrs = ""
+        if rng.random() < 0.4:
+            attrs = f" class='c{rng.randrange(3)}'"
+        if depth == 0 or rng.random() < 0.4:
+            return f"<{tag}{attrs}>t{rng.randrange(10)}</{tag}>"
+        kids = "".join(build(depth - 1, rng) for _ in range(rng.randrange(1, 4)))
+        return f"<{tag}{attrs}>{kids}</{tag}>"
+
+    @given(st.integers(min_value=0, max_value=2**31 - 1))
+    @settings(max_examples=80, deadline=None)
+    def check(seed):
+        rng = random.Random(seed)
+        html = f"<html><body>{build(3, rng)}</body></html>"
+        root = parse(html)
+        for tag in TAGS:
+            a = xpath_select(root, f"//{tag}")
+            b = select(root, tag)
+            assert [id(x) for x in a] == [id(x) for x in b]
+        for cls in ("c0", "c1", "c2"):
+            a = xpath_select(root, f"//div[@class='{cls}']")
+            b = select(root, f"div.{cls}")
+            assert [id(x) for x in a] == [id(x) for x in b]
+
+    check()
+
+
+def test_fuzz_bad_selectors_raise_cleanly():
+    """Arbitrary garbage either parses or raises XPathError — never a
+    different exception type."""
+    import random
+
+    rng = random.Random(7)
+    root = parse("<div><p>x</p></div>")
+    chars = "/[]()@*|.='abc0 "
+    for _ in range(500):
+        s = "".join(rng.choice(chars) for _ in range(rng.randrange(1, 14)))
+        try:
+            xpath_select(root, s)
+        except XPathError:
+            pass
