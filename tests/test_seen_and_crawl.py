@@ -246,3 +246,47 @@ def test_bfs_approximate_seen_matches_exact(ray_session, pages_path, seeds, tmp_
     metrics = all_metrics(str(tmp_path / mode))
     assert metrics[-1]["seen_mode"] == mode
     assert metrics[-1]["seen_exact_lower_bound"] <= metrics[-1]["seen_total"] + 1
+
+
+def test_driver_and_dataset_round_paths_agree(ray_session, tmp_path):
+    """The driver-coordinated small-round path and the distributed
+    dataset path must visit exactly the same rows (bfs + best_first)."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_custom_ray.frontier.crawl import BFSCrawl, CrawlConfig
+    from crawl4ai_custom_ray.sources.pages import pages_parquet_path
+
+    base_pages = pages_parquet_path("/root/testdata/sf0.001")
+    seeds = sorted(
+        u
+        for u in pq.read_table(base_pages, columns=["url"])["url"].to_pylist()
+        if "/private/" not in u
+    )[:15]
+
+    def run(strategy, thr):
+        driver = BFSCrawl(
+            base_pages,
+            CrawlConfig(
+                strategy=strategy,
+                best_first_batch_size=8,
+                max_depth=2,
+                per_host_cap=20,
+                check_robots=True,
+                n_seen_shards=2,
+                max_pages=40 if strategy == "best_first" else None,
+                driver_round_threshold=thr,
+                driver_links_threshold=thr * 10,
+            ),
+            str(tmp_path / f"{strategy}_{thr}"),
+        )
+        try:
+            df = driver.run(seeds).to_pandas()
+        finally:
+            driver.shutdown()
+        return df.sort_values("url").reset_index(drop=True)
+
+    for strategy in ("bfs", "best_first"):
+        a = run(strategy, 100_000)  # driver path
+        b = run(strategy, 0)  # dataset path
+        assert list(a["url"]) == list(b["url"]), strategy
+        assert (a[["depth", "round"]].values == b[["depth", "round"]].values).all()
