@@ -500,22 +500,31 @@ def minhash_lsh_pairs(
         return _empty_dataset({"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
 
     # Semi-join reduction before verification: only candidate docs
-    # need shingle sets.  The broadcast here is the candidate id list —
-    # the provably-small side (bounded by bucket collisions), never the
-    # corpus.
+    # need shingle sets.  Under the threshold the candidate id list is
+    # the provably-small side and broadcasts; above it NOTHING
+    # candidate-sized touches the driver — the reduction is skipped
+    # and every doc's shingle set is hashed (linear, distributed) and
+    # attached by hash join.
     import ray
 
-    cand_tbl = candidates.to_pandas()
-    cand_ids = pa.array(
-        sorted(set(cand_tbl["a"]).union(cand_tbl["b"])), pa.int64()
-    )
-    ids_ref = ray.put(cand_ids)
+    small = n_cand <= SMALL_PAIR_THRESHOLD
+    if small:
+        cand_tbl = candidates.to_pandas()
+        cand_ids = pa.array(
+            sorted(set(cand_tbl["a"]).union(cand_tbl["b"])), pa.int64()
+        )
+        ids_ref = ray.put(cand_ids)
 
-    def keep_candidates(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch[id_column], value_set=ray.get(ids_ref)))
+        def keep_candidates(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch[id_column], value_set=ray.get(ids_ref))
+            )
 
+        sh_source = docs.map_batches(keep_candidates, batch_format="pyarrow")
+    else:
+        sh_source = docs
     sh_reduced = shingle_hash_sets(
-        docs.map_batches(keep_candidates, batch_format="pyarrow"),
+        sh_source,
         id_column=id_column,
         text_column=text_column,
         shingle_n=shingle_n,
@@ -538,7 +547,7 @@ def minhash_lsh_pairs(
         )
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    if n_cand <= SMALL_PAIR_THRESHOLD:
+    if small:
         # broadcast fast path: the candidate-doc shingle map is bounded
         # by the candidate count (ADVICE-sanctioned small-input path)
         sub = sh_reduced.to_pandas()

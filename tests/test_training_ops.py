@@ -332,3 +332,28 @@ class TestTopicSegmentation:
         text = ("alpha beta gamma delta epsilon zeta eta theta " * 40).strip()
         segs = TopicSegmentationChunking().chunk(text)
         assert "".join(segs) == text
+
+
+def test_minhash_large_path_equals_small_path(ray_session, monkeypatch):
+    """Forcing the hash-join (scale) verification path must produce
+    exactly the small broadcast path's pairs."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions import dedup as dd
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    for i in range(40):
+        rows.append({"doc_id": i, "text": base % (i % 7)})
+
+    ds1 = rd.from_items(rows)
+    small = dd.minhash_lsh_pairs(ds1, threshold=0.5, num_perm=32, bands=8).to_pandas()
+    monkeypatch.setattr(dd, "SMALL_PAIR_THRESHOLD", 0)
+    ds2 = rd.from_items(rows)
+    large = dd.minhash_lsh_pairs(ds2, threshold=0.5, num_perm=32, bands=8).to_pandas()
+    key = ["a", "b"]
+    s = small.sort_values(key).reset_index(drop=True)
+    l = large.sort_values(key).reset_index(drop=True)
+    assert len(s) > 0
+    assert s[key].values.tolist() == l[key].values.tolist()
+    assert (abs(s["jaccard"] - l["jaccard"]) < 1e-12).all()
