@@ -20,6 +20,14 @@ from html import unescape
 
 from .dom import Element, RAW_TEXT_ELEMENTS, VOID_ELEMENTS, TextNode, CommentNode, _TreeBuilder
 
+# tag/attr-name interning: one shared str object per distinct name —
+# identity-fast dict/set ops in the hot tree-builder path
+from sys import intern
+
+_RAW_CLOSE_RE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.I) for t in RAW_TEXT_ELEMENTS
+}
+
 # One token per match: comment | declaration/PI | end tag | start tag
 _TOKEN_RE = re.compile(
     r"<!--(?P<comment>.*?)-->"
@@ -57,7 +65,7 @@ def _parse_attrs(raw: str) -> list[tuple[str, str | None]]:
             # divergence risk; force the stdlib fallback
             raise _Unsupported(f"unparsed attr fragment: {raw[covered_end:m.start()]!r}")
         covered_end = m.end()
-        name = m.group(1).lower()
+        name = intern(m.group(1).lower())
         value = m.group(2)
         if value is None:
             out.append((name, None))
@@ -117,9 +125,9 @@ def tokenize_into(builder: _TreeBuilder, html: str) -> None:
         elif m.group("pi") is not None:
             pass  # processing instruction: skipped (as builder)
         elif m.group("end") is not None:
-            builder.handle_endtag(m.group("end").lower())
+            builder.handle_endtag(intern(m.group("end").lower()))
         else:
-            tag = m.group("start").lower()
+            tag = intern(m.group("start").lower())
             attrs = _parse_attrs(m.group("attrs"))
             if m.group("selfclose"):
                 builder.handle_startendtag(tag, attrs)
@@ -134,7 +142,7 @@ def tokenize_into(builder: _TreeBuilder, html: str) -> None:
                     # raw-text element DROPS all remaining input — no
                     # data, no end tag (goahead breaks in cdata mode
                     # and the end-of-feed flush skips cdata).
-                    close = re.compile(rf"</\s*{tag}\s*>", re.I)
+                    close = _RAW_CLOSE_RE[tag]
                     cm = close.search(html, m.end())
                     if cm is None:
                         pos = n
