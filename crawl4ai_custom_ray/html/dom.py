@@ -304,9 +304,9 @@ class _TreeBuilder(HTMLParser):
 
     # implied end tags, so sloppy real-world HTML nests sanely
     def _implied_close(self, tag: str) -> None:
-        open_tags = [e.tag for e in self.stack]
-        if tag in _P_CLOSERS and "p" in open_tags:
-            self._close_until("p")
+        if tag in _P_CLOSERS:
+            if any(e.tag == "p" for e in reversed(self.stack)):
+                self._close_until("p")
         elif tag in _LI_CLOSERS and self.stack[-1].tag == "li":
             self.stack.pop()
         elif tag in _TDTH_CLOSERS and self.stack[-1].tag in ("td", "th"):
