@@ -125,6 +125,15 @@ _PUNCT_CHARS = _string.punctuation
 
 
 def _escape_md(text: str) -> str:
+    # fast path: most urls/titles contain none of \ [ ] ( )
+    if (
+        "\\" not in text
+        and "[" not in text
+        and "]" not in text
+        and "(" not in text
+        and ")" not in text
+    ):
+        return text
     return _MD_CHARS.sub(r"\\\1", text)
 
 
