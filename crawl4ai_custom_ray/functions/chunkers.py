@@ -39,13 +39,64 @@ class RegexChunking:
 
 class RegexSentenceChunking:
     """Stand-in for the reference's NLTK ``NlpSentenceChunking``
-    (chunking_strategy.py:65) — sentence boundaries by punctuation
-    regex instead of punkt."""
+    (chunking_strategy.py:65) — punkt is unavailable, so boundaries
+    come from a deterministic rule set: ``[.!?]`` + space + an
+    upper/digit/quote sentence opener, EXCEPT after common
+    abbreviations, single-letter initials, and decimal numbers.
+    """
 
-    _SENT_RE = re.compile(r"(?<=[.!?])\s+")
+    _ABBREV = frozenset(
+        "mr mrs ms dr prof rev fr st jr sr vs etc inc ltd co corp dept div est"
+        " fig no al e.g i.e u.s u.k a.m p.m".split()
+    )
+    _BOUNDARY = re.compile(r"([.!?][\)\]\"']*)\s+(?=[A-Z0-9\"'(\[])")
+
+    def _is_boundary(self, left: str) -> bool:
+        # left = text up to and including the terminator run
+        m = re.search(r"([\w.]+)[.!?]+[\)\]\"']*$", left)
+        if m is None:
+            return True
+        word = m.group(1).lower().rstrip(".")
+        if word in self._ABBREV:
+            return False
+        if len(word) == 1 and word.isalpha():  # initial: "J. Smith"
+            return False
+        if re.search(r"\d\.\d?$", left[-6:]):  # decimal number
+            return False
+        return True
 
     def chunk(self, text: str) -> list[str]:
-        return [s.strip() for s in self._SENT_RE.split(text) if s.strip()]
+        if not text:
+            return []
+        out: list[str] = []
+        start = 0
+        for m in self._BOUNDARY.finditer(text):
+            end = m.end(1)
+            if self._is_boundary(text[start:end]):
+                seg = text[start:end].strip()
+                if seg:
+                    out.append(seg)
+                start = m.end()
+        tail = text[start:].strip()
+        if tail:
+            out.append(tail)
+        return out
+
+
+class NlpSentenceChunking(RegexSentenceChunking):
+    """Reference surface (chunking_strategy.py:65-83): sentences
+    stripped and deduplicated.  The reference returns
+    ``list(set(...))`` (hash order); a deterministic engine keeps
+    first-occurrence order instead — documented divergence."""
+
+    def chunk(self, text: str) -> list[str]:
+        seen: set[str] = set()
+        out = []
+        for s in super().chunk(text):
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
 
 
 class FixedLengthWordChunking:

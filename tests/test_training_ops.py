@@ -357,3 +357,30 @@ def test_minhash_large_path_equals_small_path(ray_session, monkeypatch):
     assert len(s) > 0
     assert s[key].values.tolist() == l[key].values.tolist()
     assert (abs(s["jaccard"] - l["jaccard"]) < 1e-12).all()
+
+
+def test_sentence_chunking_abbreviation_aware():
+    from crawl4ai_custom_ray.functions.chunkers import (
+        NlpSentenceChunking,
+        RegexSentenceChunking,
+    )
+
+    c = RegexSentenceChunking()
+    assert c.chunk("Hello world. Second one! Third?") == [
+        "Hello world.", "Second one!", "Third?",
+    ]
+    assert c.chunk("Dr. Smith went home. He slept.") == [
+        "Dr. Smith went home.", "He slept.",
+    ]
+    assert c.chunk("Pi is 3.14 today. Next sentence.") == [
+        "Pi is 3.14 today.", "Next sentence.",
+    ]
+    assert c.chunk("J. R. Tolkien wrote it. True.") == [
+        "J. R. Tolkien wrote it.", "True.",
+    ]
+    assert c.chunk('He said "Stop!" Then left.') == ['He said "Stop!"', "Then left."]
+    assert c.chunk("") == []
+    # reference surface: stripped + deduplicated (deterministic order)
+    assert NlpSentenceChunking().chunk("Same one. Same one. Different.") == [
+        "Same one.", "Different.",
+    ]
