@@ -133,3 +133,40 @@ def all_metrics(checkpoint_dir: str) -> list[dict]:
     if latest is None:
         return []
     return [read_metrics(checkpoint_dir, i) for i in range(latest + 1)]
+
+
+def render_monitor(checkpoint_dir: str, max_width: int = 120) -> str:
+    """Terminal dashboard over the committed rounds — the BSP
+    equivalent of the reference ``CrawlerMonitor``'s live task table
+    (``components/crawler_monitor.py:350``): in a batch engine the
+    unit of progress is the round, so the dashboard renders the
+    per-round checkpoint metrics plus run totals.  Pure string; call
+    it between rounds (or from another process — checkpoints are the
+    shared state) and print."""
+    metrics = all_metrics(checkpoint_dir)
+    if not metrics:
+        return f"(no committed rounds under {checkpoint_dir})"
+    cols = [
+        ("round", "round"),
+        ("in", "n_frontier_in"),
+        ("visited", "n_visited"),
+        ("links", "n_links"),
+        ("deferred", "n_deferred"),
+        ("out", "n_frontier_out"),
+        ("seen", "seen_total"),
+        ("ovfl", "seen_overflow"),
+        ("ms", "wall_ms"),
+    ]
+    header = " ".join(f"{h:>8}" for h, _ in cols)
+    lines = [header, "-" * min(len(header), max_width)]
+    for m in metrics:
+        lines.append(" ".join(f"{m.get(k, ''):>8}" for _, k in cols))
+    total_visited = sum(m.get("n_visited", 0) for m in metrics)
+    total_ms = sum(m.get("wall_ms", 0) for m in metrics)
+    rate = total_visited / (total_ms / 1000) if total_ms else 0.0
+    lines.append(
+        f"rounds={len(metrics)} visited={total_visited} "
+        f"wall={total_ms / 1000:.2f}s rate={rate:.1f} pages/s "
+        f"seen_mode={metrics[-1].get('seen_mode', '?')}"
+    )
+    return "\n".join(lines)

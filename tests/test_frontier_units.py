@@ -282,3 +282,25 @@ def test_assign_proxies_hash_deterministic(ray_session):
     assert ma == mb  # stable under input order
     counts = a["proxy"].value_counts()
     assert len(counts) == 3 and counts.min() > 20  # roughly uniform
+
+
+def test_render_monitor(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from crawl4ai_custom_ray.frontier.crawl import BFSCrawl, CrawlConfig
+    from crawl4ai_custom_ray.sources.pages import pages_parquet_path
+    from crawl4ai_custom_ray.state.checkpoint import render_monitor
+
+    base_pages = pages_parquet_path("/root/testdata/sf0.001")
+    seeds = sorted(
+        u for u in pq.read_table(base_pages, columns=["url"])["url"].to_pylist()
+    )[:5]
+    d = str(tmp_path / "ck")
+    driver = BFSCrawl(base_pages, CrawlConfig(max_depth=1, n_seen_shards=2), d)
+    try:
+        driver.run(seeds).count()
+    finally:
+        driver.shutdown()
+    out = render_monitor(d)
+    assert "visited" in out and "rounds=" in out and "pages/s" in out
+    assert len(out.splitlines()) >= 4
