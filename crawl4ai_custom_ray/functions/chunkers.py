@@ -321,9 +321,10 @@ def chunk_dataset(ds, chunker, *, id_column: str = "doc_id", text_column: str = 
                 ids.append(i)
                 idxs.append(j)
                 chunks.append(c)
+        # id column keeps the input's type (int doc ids, string urls…)
         return pa.table(
             {
-                id_column: pa.array(ids, pa.int64()),
+                id_column: pa.array(ids, batch.schema.field(id_column).type),
                 "chunk_index": pa.array(idxs, pa.int32()),
                 "chunk": pa.array(chunks, pa.string()),
             }

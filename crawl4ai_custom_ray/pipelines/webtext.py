@@ -1,0 +1,142 @@
+"""End-to-end web-text curation: crawl → extract → dedup → quality →
+chunk → partitioned parquet.
+
+The composed "reference user journey": what `arun_many` plus a
+dedup/filter post-process does in the reference, expressed as one
+streaming Ray Data flow over the BSP crawl's visited set.  Every
+stage is an existing tested operator; this module wires them and owns
+the output layout:
+
+    out_root/
+      visited/        crawl checkpoint (BSP rounds, resumable)
+      chunks/         final curated chunk table
+      manifest.json   counts per stage
+
+Scale posture: corpus-sized state only ever lives in Datasets — the
+winner-per-content-hash set rejoins the corpus through a hash join
+(never a driver set), and the quality gate is a stateless vectorized
+filter.  The crawl-visited URL list for the fetch pushdown is the one
+driver-side list; it is bounded by the crawl budget (max_pages /
+rounds × politeness caps), the same bound the crawl itself maintains.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..frontier.crawl import BFSCrawl, CrawlConfig
+from ..functions.chunkers import FixedLengthWordChunking, chunk_dataset
+from ..stages.extract import extract_pages
+
+
+def _with_content_hash(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    hashes = [
+        hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
+        for t in batch[text_column].to_pylist()
+    ]
+    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+def crawl_and_curate(
+    pages_path: str,
+    seeds: list[str],
+    out_root: str,
+    *,
+    crawl_cfg: CrawlConfig | None = None,
+    min_words: int = 5,
+    max_punct_ratio: float = 0.3,
+    chunk_words: int = 200,
+) -> dict:
+    """Run the full curation flow; returns the stage-count manifest."""
+    os.makedirs(out_root, exist_ok=True)
+    cfg = crawl_cfg or CrawlConfig(max_depth=2, per_host_cap=200, check_robots=True)
+
+    # 1. BSP crawl — visited set with per-round checkpoints
+    driver = BFSCrawl(pages_path, cfg, os.path.join(out_root, "visited"))
+    try:
+        visited = driver.run(seeds)
+        urls = [r["url"] for r in visited.select_columns(["url"]).iter_rows()]
+    finally:
+        driver.shutdown()
+    n_visited = len(urls)
+
+    # 2. fetch+extract the visited pages (url-pushdown read, same
+    # mechanism the crawl's fetch uses)
+    pages = rd.read_parquet(
+        pages_path, columns=["url", "html"], filter=pc.field("url").isin(urls)
+    )
+
+    def only_success(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch["success"]).drop_columns(["success"])
+
+    extracted = extract_pages(pages, columns=["url", "text", "success"]).map_batches(
+        only_success, batch_format="pyarrow"
+    )
+
+    # 3. exact dedup: min-url winner per content hash, rejoined onto
+    # the corpus as a hash join — no driver-side membership set
+    from ray.data.aggregate import Min
+
+    from ..functions.dedup import _coalesce_for_join
+
+    hashed, n_rows = _coalesce_for_join(
+        extracted.map_batches(_with_content_hash, batch_format="pyarrow")
+    )
+    if n_rows == 0:
+        manifest = {"n_visited": n_visited, "n_curated_docs": 0, "n_chunks": 0}
+        with open(os.path.join(out_root, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        return manifest
+    winners, _ = _coalesce_for_join(
+        hashed.select_columns(["content_hash", "url"])
+        .groupby("content_hash")
+        .aggregate(Min("url", alias_name="url"))
+        .select_columns(["url"])
+    )
+    deduped = hashed.join(
+        winners, join_type="inner", num_partitions=8, on=("url",)
+    ).drop_columns(["content_hash"])
+
+    # 4. quality gate — stateless vectorized stats
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        import re as _re
+
+        keep = []
+        for t in batch["text"].to_pylist():
+            words = (t or "").split()
+            nw = len(words)
+            punct = len(_re.findall(r"[^\w\s]", t or ""))
+            ratio = punct / len(t) if t else 1.0
+            keep.append(nw >= min_words and ratio <= max_punct_ratio)
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    curated = deduped.map_batches(quality_gate, batch_format="pyarrow").materialize()
+    n_curated = curated.count()
+
+    # 5. chunk + write
+    chunks = chunk_dataset(
+        curated,
+        FixedLengthWordChunking(chunk_size=chunk_words),
+        id_column="url",
+        text_column="text",
+    ).materialize()
+    n_chunks = chunks.count()
+    chunk_dir = os.path.join(out_root, "chunks")
+    if n_chunks:
+        chunks.write_parquet(chunk_dir)
+
+    manifest = {
+        "n_visited": n_visited,
+        "n_curated_docs": n_curated,
+        "n_chunks": n_chunks,
+        "chunk_dir": chunk_dir,
+    }
+    with open(os.path.join(out_root, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
