@@ -411,22 +411,28 @@ def q_events_window(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
-        import pandas as pd
 
         window = _pc.floor_temporal(batch["ts"], unit="hour")
-        # sum in integer cents: order-independent exact aggregation
-        cents = [int(round(v * 100)) for v in batch["value"].to_pylist()]
-        df = pd.DataFrame(
+        # sum in integer cents: order-independent exact aggregation,
+        # pure-Arrow (round half-even matches Python round() on the
+        # synthetic 2-decimal values)
+        cents = _pc.cast(
+            _pc.round(_pc.multiply(batch["value"], pa.scalar(100.0)), ndigits=0),
+            pa.int64(),
+        )
+        keyed = pa.table(
             {
-                "event_type": batch["event_type"].to_pylist(),
-                "window_start": window.to_pandas(),
+                "event_type": batch["event_type"],
+                "window_start": window,
                 "cents": cents,
             }
         )
-        agg = df.groupby(["event_type", "window_start"], as_index=False).agg(
-            n_part=("cents", "size"), cents_part=("cents", "sum")
+        agg = pa.TableGroupBy(keyed, ["event_type", "window_start"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return agg.rename_columns(
+            ["event_type", "window_start", "n_part", "cents_part"]
+        )
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     return parts.groupby(["event_type", "window_start"]).aggregate(
