@@ -304,3 +304,60 @@ def test_render_monitor(ray_session, tmp_path):
     out = render_monitor(d)
     assert "visited" in out and "rounds=" in out and "pages/s" in out
     assert len(out.splitlines()) >= 4
+
+
+def test_politeness_paths_property(ray_session):
+    """Random frontiers/caps/backoffs: driver select_table must equal
+    enforce_politeness exactly (hypothesis over the split invariant)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crawl4ai_custom_ray.frontier.politeness import (
+        effective_caps,
+        enforce_politeness,
+        select_table,
+    )
+
+    @given(
+        st.integers(min_value=0, max_value=2**31 - 1),
+        st.integers(min_value=1, max_value=7),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(seed, cap):
+        import random
+
+        rng = random.Random(seed)
+        rows = []
+        for h in range(rng.randrange(1, 5)):
+            for i in range(rng.randrange(0, 12)):
+                rows.append(
+                    {
+                        "url": f"https://h{h}.t/{i:02d}",
+                        "host": f"h{h}.t",
+                        "score": float(rng.randrange(0, 4)),
+                    }
+                )
+        if not rows:
+            return
+        fails = {f"h{h}.t": rng.randrange(0, 3) for h in range(2)}
+        tbl = pa.Table.from_pylist(rows)
+        sel_t, def_t = select_table(tbl, per_host_cap=cap, fail_counts=fails)
+        ds_sel, ds_def = enforce_politeness(
+            rd.from_items(rows), per_host_cap=cap, fail_counts=fails
+        )
+        assert sorted(sel_t["url"].to_pylist()) == sorted(
+            r["url"] for r in ds_sel.take_all()
+        )
+        d_urls = sorted(r["url"] for r in ds_def.take_all()) if ds_def else []
+        assert sorted(def_t["url"].to_pylist() if def_t else []) == d_urls
+        # caps respected
+        caps = effective_caps(cap, fails)
+        import collections
+
+        per_host = collections.Counter(sel_t["host"].to_pylist())
+        for h, n in per_host.items():
+            assert n <= caps.get(h, cap)
+
+    check()
