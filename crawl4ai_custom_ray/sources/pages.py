@@ -47,7 +47,7 @@ PAGES_CACHE_ROOT = "/tmp/graft_pages"
 
 # bump when build_page_html output changes — the /tmp cache key must
 # track generator content or stale corpora leak across versions
-_GEN_VERSION = 2
+_GEN_VERSION = 3
 
 _EPOCH = datetime(2025, 1, 1)
 
@@ -103,7 +103,7 @@ def _article_body(i: int, text: str) -> str:
       pruning score of the article stays far above threshold.
     """
     words = text.split()
-    fam = i % 7
+    fam = i % 8
     if fam == 1 and len(words) >= 4:
         # entities: every 5th word leads with a decimal charref, every
         # 9th gap is &nbsp; (U+00A0 — whitespace for str.split)
@@ -147,6 +147,18 @@ def _article_body(i: int, text: str) -> str:
             out.append(seps[w_idx % len(seps)])
             out.append(w)
         return f"<article><p>{''.join(out)}</p></article>"
+    if fam == 7 and len(words) >= 6:
+        # comment mid-paragraph + a body <script>: neither may leak a
+        # character into the extracted text (comment stripped, script
+        # subtree removed before extraction)
+        half = len(words) // 2
+        first = " ".join(words[:half])
+        second = " ".join(words[half:])
+        return (
+            f"<article><p>{first} <!-- hidden editorial note {i} --> "
+            f"{second}</p>"
+            f'<script>var trap{i} = "{words[0]} leaked?";</script></article>'
+        )
     if fam == 6 and len(words) >= 6:
         # inline markup with kept separators + a charref
         w = words

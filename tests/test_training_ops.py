@@ -245,9 +245,10 @@ def test_multimodal_stub(ray_session):
         extract_media_features,
     )
 
-    items = [{"url": f"https://x.com/{i}", "payload": bytes([i]) * (100 + i)} for i in range(20)]
+    items = [{"url": f"https://x.com/{i:02d}", "payload": bytes([i]) * (100 + i)} for i in range(20)]
     ds = rd.from_items(items)
-    out = extract_media_features(ds).to_pandas()
+    # block order is not an output contract under parallelism — sort
+    out = extract_media_features(ds).to_pandas().sort_values("url").reset_index(drop=True)
     assert len(out) == 20
     assert (out["n_bytes"] == [100 + i for i in range(20)]).all()
     assert out["features"].map(len).eq(8).all()
