@@ -326,7 +326,13 @@ class BFSCrawl:
                 break
             # `frontier` is a pa.Table for driver-coordinated small
             # rounds, a Dataset for distributed large rounds; a large
-            # frontier that shrinks converts back down next round
+            # frontier that shrinks converts back down next round, and
+            # a Table frontier that OUTGROWS the threshold (deferred
+            # accumulation, link bursts) promotes back to a Dataset so
+            # driver memory/sort work stays bounded by the threshold
+            if isinstance(frontier, pa.Table):
+                if frontier.num_rows > cfg.driver_round_threshold:
+                    frontier = rd.from_arrow(frontier)
             if isinstance(frontier, pa.Table):
                 f_table = frontier
                 n_frontier = f_table.num_rows

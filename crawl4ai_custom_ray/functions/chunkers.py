@@ -61,8 +61,10 @@ class RegexSentenceChunking:
             return False
         if len(word) == 1 and word.isalpha():  # initial: "J. Smith"
             return False
-        if re.search(r"\d\.\d?$", left[-6:]):  # decimal number
-            return False
+        # NOTE: no decimal-number guard is needed here — a decimal's
+        # dot is never followed by whitespace, so it can't be a
+        # boundary candidate; guarding `\d\.` would wrongly glue
+        # year/count-final sentences ("It was 1999. Then…")
         return True
 
     def chunk(self, text: str) -> list[str]:

@@ -298,11 +298,11 @@ class PdfDocument:
             length = self.resolve(obj.get("Length"))
             raw = None
             if isinstance(length, int) and 0 <= length <= len(data) - s_start:
-                cand = data[s_start : s_start + length]
-                if data.find(b"endstream", s_start + length, s_start + length + 4) >= 0 or re.match(
-                    rb"\s*endstream", data[s_start + length :]
-                ):
-                    raw = cand
+                # validate with a BOUNDED window (EOL + "endstream"
+                # marker); never slice the whole file tail per stream
+                window = data[s_start + length : s_start + length + 16]
+                if re.match(rb"\s*endstream", window):
+                    raw = data[s_start : s_start + length]
             if raw is None:
                 s_end = data.find(b"endstream", s_start)
                 if s_end < 0:

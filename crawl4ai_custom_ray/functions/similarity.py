@@ -192,9 +192,7 @@ def cosine_neardup_pairs_lsh(
 
     class SignFn:
         def __init__(self):
-            rng = np.random.RandomState(seed)
-            self.planes = None
-            self.rng = rng
+            self.planes = None  # built lazily: needs the vector dim
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _normalize(_matrix(batch, vector_column))
@@ -208,9 +206,7 @@ def cosine_neardup_pairs_lsh(
             for i, did in enumerate(ids):
                 for b in range(bands):
                     seg = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
-                    bucket = int(np.packbits(seg, bitorder="little")[:8].view(np.uint8).sum()) if False else int(
-                        sum(1 << k for k, v in enumerate(seg) if v)
-                    )
+                    bucket = int(sum(1 << k for k, v in enumerate(seg) if v))
                     ids_out.append(did)
                     band_out.append(b)
                     bucket_out.append(bucket)

@@ -177,32 +177,42 @@ class JsonXPathExtractionStrategy(JsonCssExtractionStrategy):
             return "//" + "//".join(selector.split(" "))
         return "//" + selector
 
-    def _get_base_elements(self, parsed: Element, selector: str) -> list[Element]:
-        from ..html.xpath import xpath_select
+    def _evaluator(self, root: Element):
+        # one doc-order index per document — _Evaluator.__init__ walks
+        # the whole tree, so rebuilding it per (element, field) pair
+        # would make extraction quadratic in page size
+        from ..html.xpath import _Evaluator
 
-        res = xpath_select(parsed, self._css_to_xpath(selector))
+        cached = getattr(self, "_eval_cache", None)
+        if cached is not None and cached[0] is root:
+            return cached[1]
+        ev = _Evaluator(root)
+        self._eval_cache = (root, ev)
+        return ev
+
+    def _get_base_elements(self, parsed: Element, selector: str) -> list[Element]:
+        from ..html.xpath import _Parser
+
+        paths = _Parser(self._css_to_xpath(selector)).parse_union()
+        res = self._evaluator(parsed).select(paths, parsed)
         return [r for r in res if isinstance(r, Element)]
 
     def _get_elements(self, element: Element, selector: str) -> list[Element]:
-        from ..html.xpath import xpath_select
+        from ..html.xpath import _Parser
 
         xpath = self._css_to_xpath(selector)
         # reference prefixes "." so the path is relative to `element`
         root = element
         while isinstance(root.parent, Element):
             root = root.parent
+        paths = _Parser(xpath).parse_union()
         if xpath.startswith("//"):
             # .//x — descendants of the context element
-            from ..html.xpath import _Parser, _Evaluator
-
-            paths = _Parser(xpath).parse_union()
             for p in paths:
                 p.absolute = False
                 if p.steps:
                     p.steps[0].axis = "descendant"
-            res = _Evaluator(root).select(paths, element)
-        else:
-            res = xpath_select(root, xpath, context=element)
+        res = self._evaluator(root).select(paths, element)
         return [r for r in res if isinstance(r, Element)]
 
 

@@ -419,10 +419,18 @@ class _Evaluator:
         if op == "num":
             return expr[1]
         if op == "attr":
+            # node-set semantics: [] when absent, [value] when present
+            # — an attribute existing with value "" is still a
+            # non-empty node-set (truthy), unlike Python "" truthiness
             v = node.get(expr[1])
-            return v if v is not None else None
+            return [] if v is None else [v]
         if op == "text":
-            return _string_value(node)
+            # child::text() node-set (all child text nodes verbatim);
+            # string(node-set) = first node's value, comparisons are
+            # any-node semantics — both handled downstream
+            from .dom import TextNode
+
+            return [c.text for c in node.children if isinstance(c, TextNode)]
         if op == "last":
             return float(size)
         if op == "position":

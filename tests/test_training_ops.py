@@ -385,3 +385,15 @@ def test_sentence_chunking_abbreviation_aware():
     assert NlpSentenceChunking().chunk("Same one. Same one. Different.") == [
         "Same one.", "Different.",
     ]
+
+
+def test_sentence_boundary_after_numbers():
+    """Sentences ending in a number still split (review finding: the
+    old decimal guard glued them)."""
+    from crawl4ai_custom_ray.functions.chunkers import RegexSentenceChunking
+
+    c = RegexSentenceChunking()
+    assert c.chunk("It was 1999. Then he left.") == ["It was 1999.", "Then he left."]
+    assert c.chunk("The answer is 42. Next sentence.") == [
+        "The answer is 42.", "Next sentence.",
+    ]

@@ -253,3 +253,23 @@ def test_fuzz_bad_selectors_raise_cleanly():
             xpath_select(root, s)
         except XPathError:
             pass
+
+
+def test_empty_attribute_is_present():
+    """XPath 1.0 node-set semantics: an attribute existing with value
+    "" is a non-empty node-set (review finding)."""
+    r = parse("<form><input disabled=''><input type='text'></form>")
+    got = xpath_select(r, "//input[@disabled]")
+    assert len(got) == 1 and got[0].get("disabled") == ""
+    got = xpath_select(r, "//input[not(@disabled)]")
+    assert len(got) == 1 and got[0].get("type") == "text"
+    # comparing an empty-valued attribute still works
+    assert len(xpath_select(r, "//input[@disabled='']")) == 1
+
+
+def test_text_predicate_node_set_semantics():
+    """[text()='v'] is true if ANY child text node equals v, even in
+    mixed content (review finding)."""
+    r = parse("<div><p>v<b>x</b></p><p>v</p><p>w</p></div>")
+    got = xpath_select(r, "//p[text()='v']")
+    assert len(got) == 2
