@@ -99,6 +99,10 @@ class CrawlConfig:
     # threshold × row width, never by corpus size.
     driver_round_threshold: int = 100_000
     driver_links_threshold: int = 1_000_000
+    # a selected round larger than this is never read back to the
+    # driver: the fetch switches from broadcast pushdown to a hash
+    # join and host-state aggregates run distributed
+    broadcast_fetch_threshold: int = 100_000
     extra: dict = field(default_factory=dict)
 
 
@@ -107,7 +111,13 @@ def _extract_links_batch(batch: pa.Table) -> pa.Table:
     normalizer and first-wins per-page dedup (reference
     ``_process_element``, ``content_scraping_strategy.py:255-307``).
     A dedicated light parser pass — no image scoring / table
-    extraction — because the frontier only needs hrefs."""
+    extraction — because the frontier only needs hrefs.
+
+    Every fetched page ALSO emits one sentinel row (href = null): the
+    fetch-success signal for host backoff must cover pages with zero
+    surviving links (leaf pages, depth-boundary pages), which would
+    otherwise read as fetch failures.  Sentinels are filtered out
+    before the candidate gate."""
     src_urls, hrefs, externals = [], [], []
     for i in range(batch.num_rows):
         url = batch["url"][i].as_py()
@@ -116,6 +126,10 @@ def _extract_links_batch(batch: pa.Table) -> pa.Table:
             html = html.decode("utf-8", errors="replace")
         base_domain = get_base_domain(url)
         root = parse(html)
+        # fetch sentinel — this page WAS fetched
+        src_urls.append(url)
+        hrefs.append(None)
+        externals.append(False)
         seen_page: set[str] = set()
         for a in root.find_all("a"):
             href = (a.get("href") or "").strip()
@@ -258,17 +272,53 @@ class BFSCrawl:
 
         return fn
 
+    def _seen_contains_filter(self):
+        """READ-ONLY variant for retryable Ray tasks: keeps rows whose
+        digest is not yet seen, without marking — marking happens in an
+        idempotent pass after the round's frontier materializes (a
+        retried task that had already marked would otherwise drop its
+        whole batch)."""
+        seen = self.seen
+
+        def fn(batch: pa.Table) -> pa.Table:
+            digests = [url_digest(u) for u in batch["url"].to_pylist()]
+            hit = seen.contains(digests)
+            return batch.filter(pa.array([not h for h in hit], pa.bool_()))
+
+        return fn
+
+    def _seen_add(self):
+        """Idempotent marking pass (identity transform on the rows)."""
+        seen = self.seen
+
+        def fn(batch: pa.Table) -> pa.Table:
+            seen.check_and_add([url_digest(u) for u in batch["url"].to_pylist()])
+            return batch
+
+        return fn
+
     def _seed_frontier(self, seeds: list[str], robots_ref) -> pa.Table:
         cfg = self.cfg
-        hosts = [url_host(u) for u in seeds]
-        keep = [True] * len(seeds)
+        # seeds go through the SAME normalizer as discovered links, so
+        # a seed and its normalized twin share one seen-set identity
+        normed = []
+        for s in seeds:
+            n = normalize_url(s, s)
+            if n:
+                normed.append(n)
+        hosts = [url_host(u) for u in normed]
+        keep = [True] * len(normed)
         if robots_ref is not None:
             gate_obj = ray.get(robots_ref)
-            keep = gate_obj.allowed_many(seeds, hosts)
-        seeds2 = [s for s, k in zip(seeds, keep) if k]
+            keep = gate_obj.allowed_many(normed, hosts)
+        seeds2 = [s for s, k in zip(normed, keep) if k]
         hosts2 = [h for h, k in zip(hosts, keep) if k]
+        # duplicate seeds (or seeds normalizing to the same url) are
+        # admitted once — check_and_add's verdict is authoritative
+        is_new = self.seen.check_and_add([url_digest(u) for u in seeds2])
+        seeds2 = [s for s, n in zip(seeds2, is_new) if n]
+        hosts2 = [h for h, n in zip(hosts2, is_new) if n]
         scores = _score_many(cfg.scorer, seeds2)
-        self.seen.check_and_add([url_digest(u) for u in seeds2])
         return _frontier_table(seeds2, hosts2, [0] * len(seeds2), [""] * len(seeds2), scores)
 
     # -- main loop ----------------------------------------------------
@@ -319,7 +369,9 @@ class BFSCrawl:
             frontier = seed_table if seed_table.num_rows else None
 
         gate_fn = self._candidate_gate(robots_ref)
-        seen_fn = self._seen_filter()
+        seen_fn = self._seen_filter()  # driver path: atomic, no retries
+        seen_contains_fn = self._seen_contains_filter()  # dataset path
+        seen_add_fn = self._seen_add()
 
         for round_idx in range(start_round, cfg.max_rounds):
             if frontier is None:
@@ -468,20 +520,41 @@ class BFSCrawl:
                     batch_format="pyarrow",
                 ).write_parquet(os.path.join(rdir, "visited"))
                 _stage("politeness+select+write_visited")
-                sel_table = _read_dir_parquet(
-                    os.path.join(rdir, "visited"), ["url", "host", "depth"]
-                )
-            n_selected = sel_table.num_rows
+                sel_ds = rd.read_parquet(os.path.join(rdir, "visited"))
+                n_sel_probe = sel_ds.count()
+                if n_sel_probe <= cfg.broadcast_fetch_threshold:
+                    sel_table = _read_dir_parquet(
+                        os.path.join(rdir, "visited"), ["url", "host", "depth"]
+                    )
+                else:
+                    # round too large to read back to the driver — the
+                    # fetch joins and host state aggregates stay
+                    # distributed (sel_table None marks that mode)
+                    sel_table = None
+            if sel_table is not None:
+                n_selected = sel_table.num_rows
+            else:
+                n_selected = n_sel_probe
             if n_selected == 0:
                 break
             self.pages_visited += n_selected
 
-            # "fetch": frontier ⋈ pages on url (the simulated network)
-            if cfg.fetch_strategy == "join":
-                fetched = rd.from_arrow(sel_table.select(["url", "depth"])).join(
+            # "fetch": frontier ⋈ pages on url (the simulated network).
+            # Broadcast pushdown requires the round's url set on the
+            # driver — only sound when the round was small enough to
+            # read back; otherwise (or on request) a bounded hash join.
+            if cfg.fetch_strategy == "join" or sel_table is None:
+                from ..functions.dedup import _join_partitions
+
+                join_side = (
+                    rd.from_arrow(sel_table.select(["url", "depth"]))
+                    if sel_table is not None
+                    else sel_ds.select_columns(["url", "depth"])
+                )
+                fetched = join_side.join(
                     pages,
                     join_type="inner",
-                    num_partitions=cfg.join_partitions,
+                    num_partitions=_join_partitions(cfg.join_partitions),
                     on=("url",),
                 )
             else:
@@ -515,33 +588,39 @@ class BFSCrawl:
             _stage("fetch_build")
 
             # discover → gate → dedup → seen, ONE execution of the
-            # pages scan (materialize once, then cheap derived counts)
+            # pages scan (materialize once, then cheap derived counts).
+            # links_all includes one null-href sentinel per fetched
+            # page — the fetch-success signal for host backoff.
             new_frontier = None  # dataset (large-links path)
             new_tbl = None  # table (driver path)
-            links_tbl = None
+            links_tbl = None  # sentinel-bearing table (driver path)
+            links_all = None
             n_links = 0
             if cfg.max_depth > 0:
-                links = fetched.map_batches(
+                links_all = fetched.map_batches(
                     _with_depth(_extract_links_batch), batch_format="pyarrow"
-                ).map_batches(
-                    lambda t: t.filter(
-                        pa.compute.less_equal(t["depth"], cfg.max_depth)
-                    ),
-                    batch_format="pyarrow",
                 ).materialize()
                 _stage("links_materialize")
-                n_links = links.count()
-                if 0 < n_links <= cfg.driver_links_threshold:
+                n_rows_all = links_all.count()
+
+                def _candidate_filter(t: pa.Table) -> pa.Table:
+                    keep = pa.compute.and_(
+                        t["href"].is_valid(),
+                        pa.compute.less_equal(t["depth"], cfg.max_depth),
+                    )
+                    return t.filter(keep)
+
+                if 0 < n_rows_all <= cfg.driver_links_threshold:
                     # ---- driver-coordinated discovery: the link set is
                     # bounded, so gate → first-wins dedup → seen run on
                     # one in-memory table (block fetch, no executions).
                     # Semantics identical to the distributed chain:
                     # pandas stable sort by (depth, parent) + first-per-
                     # url ≡ groupby(url).Min(packed (depth,parent) key)
-                    links_tbl = _dataset_to_table(
-                        links, schema=None
-                    )
-                    cand = gate_fn(links_tbl)
+                    links_tbl = _dataset_to_table(links_all, schema=None)
+                    cand_rows = _candidate_filter(links_tbl)
+                    n_links = cand_rows.num_rows
+                    cand = gate_fn(cand_rows)
                     if cand.num_rows:
                         cdf = (
                             cand.to_pandas()
@@ -551,14 +630,21 @@ class BFSCrawl:
                         dedup_tbl = _table_from_pandas(cdf)
                         new_tbl = seen_fn(dedup_tbl)
                     _stage("discover(driver)")
-                elif n_links > 0:
+                elif n_rows_all > 0:
                     # gate → within-round dedup (deterministic
-                    # first-wins) → cross-round seen filter: one chain.
-                    # Dedup is pure aggregates — min over a sortable
-                    # (depth, parent) key per url; host and score are
-                    # functions of the url so Min returns them intact
-                    # (no per-url pandas groups: BASELINE.md measured
-                    # tiny-group map_groups at ~0.2 ms/group)
+                    # first-wins) → cross-round READ-ONLY seen filter:
+                    # one chain.  Dedup is pure aggregates — min over a
+                    # sortable (depth, parent) key per url; host and
+                    # score are functions of the url so Min returns
+                    # them intact.  The seen filter here only READS
+                    # (contains) — marking happens after the frontier
+                    # materializes, in an idempotent add pass, so a Ray
+                    # task retry can never drop discovered urls
+                    # (check_and_add inside a retryable task is lossy).
+                    links = links_all.map_batches(
+                        _candidate_filter, batch_format="pyarrow"
+                    )
+                    n_links = links.count()
                     new_frontier = (
                         links.map_batches(gate_fn, batch_format="pyarrow")
                         .map_batches(_pack_dedup_key, batch_format="pyarrow")
@@ -569,7 +655,7 @@ class BFSCrawl:
                             Min("score", alias_name="score"),
                         )
                         .map_batches(_unpack_dedup_key, batch_format="pyarrow")
-                        .map_batches(seen_fn, batch_format="pyarrow")
+                        .map_batches(seen_contains_fn, batch_format="pyarrow")
                     )
 
             # frontier_{k+1} = new ∪ deferred — checkpointed
@@ -609,7 +695,14 @@ class BFSCrawl:
                         nxt = nxt.union(p)
                     nxt = nxt.materialize()
                     _stage("next_frontier_materialize")
-                    nxt.write_parquet(os.path.join(rdir, "frontier"))
+                    # idempotent seen marking rides the write pass: the
+                    # contains-filter above only read the shards, so a
+                    # retried write task merely re-adds the same
+                    # digests (all three shard modes' add are no-ops on
+                    # present digests)
+                    nxt.map_batches(seen_add_fn, batch_format="pyarrow").write_parquet(
+                        os.path.join(rdir, "frontier")
+                    )
                     _stage("next_frontier_write")
                     frontier = nxt if nxt.count() > 0 else None
                 else:
@@ -618,26 +711,56 @@ class BFSCrawl:
             # host-state update: a host whose selected urls produced no
             # fetches this round backs off (fail_count++ → halved
             # budget next round); success decays the count (reference
-            # RateLimiter: backoff ×2 on failure, ×0.75 decay)
-            if cfg.per_host_cap is not None:
-                sel_hosts = sel_table.select(["url", "host"]).to_pandas()
+            # RateLimiter: backoff ×2 on failure, ×0.75 decay).
+            # Success signal: the null-href sentinels in links_all —
+            # every fetched page appears as a src_url even with zero
+            # surviving links.  Host-granular sets keep the driver
+            # state bounded by the host count, not the round size.
+            if cfg.per_host_cap is not None and links_all is not None:
                 if links_tbl is not None:
-                    fetched_src = set(links_tbl["src_url"].to_pylist())
-                elif cfg.max_depth > 0 and n_links > 0:
-                    # per-block distinct + driver union: map-only over
-                    # the already-materialized links, no Aggregate
-                    # shuffle (unique() is an all-to-all)
-                    src_blocks = links.select_columns(["src_url"]).map_batches(
-                        lambda t: pa.table({"src_url": pa.compute.unique(t["src_url"])}),
+                    fetched_hosts = {
+                        url_host(s) for s in set(links_tbl["src_url"].to_pylist())
+                    }
+                else:
+                    # per-block distinct hosts + driver union: map-only
+                    # over materialized links_all, no Aggregate shuffle
+                    host_blocks = links_all.select_columns(["src_url"]).map_batches(
+                        lambda t: pa.table(
+                            {
+                                "host": pa.array(
+                                    sorted(
+                                        {
+                                            url_host(s)
+                                            for s in pa.compute.unique(
+                                                t["src_url"]
+                                            ).to_pylist()
+                                        }
+                                    ),
+                                    pa.string(),
+                                )
+                            }
+                        ),
                         batch_format="pyarrow",
                     ).to_pandas()
-                    fetched_src = set(src_blocks["src_url"])
+                    # an all-failed round leaves a schema-less empty frame
+                    fetched_hosts = (
+                        set(host_blocks["host"]) if "host" in host_blocks.columns else set()
+                    )
                     _stage("host_state_src")
+                if sel_table is not None:
+                    sel_host_set = set(sel_table["host"].to_pylist())
                 else:
-                    fetched_src = set()
-                for host, group in sel_hosts.groupby("host"):
-                    ok = any(u in fetched_src for u in group["url"])
-                    if ok:
+                    sh_blocks = sel_ds.select_columns(["host"]).map_batches(
+                        lambda t: pa.table(
+                            {"host": pa.compute.unique(t["host"])}
+                        ),
+                        batch_format="pyarrow",
+                    ).to_pandas()
+                    sel_host_set = (
+                        set(sh_blocks["host"]) if "host" in sh_blocks.columns else set()
+                    )
+                for host in sorted(sel_host_set):
+                    if host in fetched_hosts:
                         self.host_fail_counts[host] = max(
                             0, self.host_fail_counts.get(host, 0) - 1
                         )

@@ -85,6 +85,8 @@ def _reference_bfs(pages_path: str, seeds, max_depth, disallow_private=False):
         links_t["href"].to_pylist(),
         links_t["external"].to_pylist(),
     ):
+        if href is None:  # fetch sentinel, not a link
+            continue
         if ext:
             continue
         if disallow_private and "/private/" in href:
