@@ -44,33 +44,68 @@ import pyarrow.compute as pc
 # ------------------------------------------------------------------ util
 
 
-def _collect_ids_agg(id_col: str = "id"):
+def _collect_ids_agg(id_col: str = "id", max_members: int | None = None):
     """AggregateFn collecting the group's ids into a list — the
     vectorized replacement for ``map_groups`` when groups are tiny and
-    numerous (per-group pandas overhead dominates otherwise)."""
+    numerous (per-group pandas overhead dominates otherwise).
+
+    ``max_members``: hot-bucket guard for the LSH paths.  A bucket
+    that exceeds the cap finalizes to an EMPTY list (sentinel: list of
+    length cap+1 while accumulating, trimmed at finalize) instead of
+    accumulating a corpus-scale member list whose pair explosion is
+    quadratic.  Recall note: a hot bucket means near-identical
+    content at scale — run :func:`exact_dedup` first so identical
+    docs never reach the LSH stage, then a capped bucket only drops
+    pairs that every OTHER band can still recover."""
     from ray.data.aggregate import AggregateFn
 
-    return AggregateFn(
-        init=lambda k: [],
-        accumulate_block=lambda acc, block: acc
-        + (
+    cap = max_members + 1 if max_members is not None else None
+
+    def acc_block(acc, block):
+        if cap is not None and len(acc) >= cap:
+            return acc
+        ids = (
             block[id_col].to_pylist()
             if hasattr(block, "column_names")
             else list(block[id_col])
-        ),
-        merge=lambda a, b: a + b,
+        )
+        out = acc + ids
+        return out[:cap] if cap is not None else out
+
+    def merge(a, b):
+        out = a + b
+        return out[:cap] if cap is not None else out
+
+    def finalize(acc):
+        if max_members is not None and len(acc) > max_members:
+            return []
+        return acc
+
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=finalize,
         name="ids",
     )
 
 
-def _collect_id_fp_agg(name: str = "members"):
+def _collect_id_fp_agg(name: str = "members", max_members: int | None = None):
     """AggregateFn collecting the group's (id:int64, fp:uint64) rows,
     finalized as packed little-endian bytes (16 B per member) — an
     Arrow-native binary column, so the verify step can run inside the
-    bucket group without consulting any global map."""
+    bucket group without consulting any global map.
+
+    ``max_members``: hot-bucket guard (see :func:`_collect_ids_agg`) —
+    an over-cap bucket finalizes to empty bytes instead of a
+    corpus-scale blob."""
     from ray.data.aggregate import AggregateFn
 
+    cap_bytes = (max_members + 1) * 16 if max_members is not None else None
+
     def acc_block(acc, block):
+        if cap_bytes is not None and sum(len(b) for b in acc) >= cap_bytes:
+            return acc
         if hasattr(block, "column_names"):
             ids = block["id"].to_numpy(zero_copy_only=False)
             fps = block["fp"].to_numpy(zero_copy_only=False)
@@ -83,11 +118,17 @@ def _collect_id_fp_agg(name: str = "members"):
         acc.append(packed.tobytes())
         return acc
 
+    def finalize(acc):
+        blob = b"".join(acc)
+        if max_members is not None and len(blob) > max_members * 16:
+            return b""
+        return blob
+
     return AggregateFn(
         init=lambda k: [],
         accumulate_block=acc_block,
         merge=lambda a, b: a + b,
-        finalize=lambda acc: b"".join(acc),
+        finalize=finalize,
         name=name,
     )
 
@@ -441,6 +482,7 @@ def minhash_lsh_pairs(
     ds,
     *,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
     id_column: str = "doc_id",
     text_column: str = "text",
     num_perm: int = 64,
@@ -489,7 +531,7 @@ def minhash_lsh_pairs(
     candidates = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
         .groupby(["band", "bucket"])
-        .aggregate(_collect_ids_agg("id"))
+        .aggregate(_collect_ids_agg("id", max_members=max_bucket))
         .map_batches(_explode_pairs_batch, batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
@@ -609,6 +651,7 @@ def simhash_pairs(
     ds,
     *,
     max_hamming: int = 3,
+    max_bucket: int | None = None,
     id_column: str = "doc_id",
     text_column: str = "text",
 ):
@@ -680,7 +723,7 @@ def simhash_pairs(
         .map_batches(fingerprints, batch_format="pyarrow")
         .map_batches(explode_segments, batch_format="pyarrow")
         .groupby(["seg", "val"])
-        .aggregate(_collect_id_fp_agg())
+        .aggregate(_collect_id_fp_agg(max_members=max_bucket))
         .map_batches(verify_bucket, batch_format="pyarrow")
     )
     # distinct (a pair can collide in several segments)

@@ -27,6 +27,14 @@ def _matrix(batch: pa.Table, column: str) -> np.ndarray:
         chunk = arr.chunk(0)
     else:
         chunk = arr.combine_chunks()
+    if chunk.null_count:
+        # flatten() silently drops null entries, which would misalign
+        # ids with vectors (or reshape to a wrong width when the count
+        # happens to divide) — refuse loudly instead
+        raise ValueError(
+            f"{column!r} contains {chunk.null_count} null embedding(s); "
+            "filter or impute them before similarity ops"
+        )
     flat = chunk.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(chunk)
     return flat.reshape(n, -1)
@@ -179,6 +187,7 @@ def cosine_neardup_pairs_lsh(
     n_planes: int = 16,
     bands: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ):
     """Sub-quadratic near-dup pairs via random-hyperplane LSH: sign
     signatures over ``n_planes`` seeded hyperplanes, banded into
@@ -222,24 +231,35 @@ def cosine_neardup_pairs_lsh(
 
     from ray.data.aggregate import AggregateFn, Max
 
+    cap = max_bucket + 1 if max_bucket is not None else None
+
     def acc_block(acc, block):
+        if cap is not None and len(acc) >= cap:
+            return acc
         ids = block["id"].to_pylist() if hasattr(block, "column_names") else list(block["id"])
         vecs = block["vec"].to_pylist() if hasattr(block, "column_names") else list(block["vec"])
         acc.extend(zip(ids, vecs))
-        return acc
+        return acc[:cap] if cap is not None else acc
 
-    members_agg = AggregateFn(
-        init=lambda k: [],
-        accumulate_block=acc_block,
-        merge=lambda a, b: a + b,
+    def finalize(acc):
+        # hot-bucket guard: an over-cap bucket contributes no pairs
+        # (quadratic blow-up guard; see dedup._collect_ids_agg)
+        if max_bucket is not None and len(acc) > max_bucket:
+            return b""
         # each member is a self-describing record:
         # [n_vec_bytes:8][id:8][vec bytes]
-        finalize=lambda acc: b"".join(
+        return b"".join(
             len(v).to_bytes(8, "little")
             + int(i).to_bytes(8, "little", signed=True)
             + v
             for i, v in acc
-        ),
+        )
+
+    members_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=lambda a, b: (a + b)[:cap] if cap is not None else a + b,
+        finalize=finalize,
         name="members",
     )
 

@@ -80,7 +80,9 @@ def _main() -> None:
                 if args.pages
                 else read_pages(args.sf_dir)
             )
-            extracted = extract_pages(ds, columns=columns)
+            # materialize once: write + count on the lazy chain would
+            # re-execute the whole read+extract (measured 2× the work)
+            extracted = extract_pages(ds, columns=columns).materialize()
             extracted.write_parquet(args.out)
             print(json.dumps({"rows": extracted.count(), "out": args.out}))
     finally:

@@ -31,6 +31,8 @@ from ..urls import url_digest
 
 
 def list_shards(pages_dir: str) -> list[str]:
+    if os.path.isfile(pages_dir):  # single-file input = one shard
+        return [pages_dir]
     return sorted(
         os.path.join(pages_dir, n)
         for n in os.listdir(pages_dir)
@@ -171,8 +173,8 @@ def load_done_into_seen(out_root: str, seen) -> int:
 
     def insert(batch: pa.Table) -> pa.Table:
         digests = [url_digest(u) for u in batch["url"].to_pylist()]
-        seen.check_and_add(digests)
-        return pa.table({"n": pa.array([len(digests)], pa.int64())})
+        is_new = seen.check_and_add(digests)
+        return pa.table({"n": pa.array([sum(is_new)], pa.int64())})
 
     counts = (
         read_extracted(out_root)

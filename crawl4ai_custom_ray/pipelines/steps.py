@@ -143,10 +143,34 @@ def _chunk(kind: str = "fixed", **options):
 
 
 @register_step("dedup_exact")
-def _dedup_exact(**options):
-    from ..functions.dedup import exact_dedup
+def _dedup_exact(id_column: str = "url", text_column: str = "text", **options):
+    """Composable exact dedup: keeps each content hash's winner ROW
+    with all its columns (a semi-join of the input against the
+    winner ids), so downstream steps keep working."""
 
-    return lambda ds: exact_dedup(ds, **options)
+    def step(ds):
+        from ..functions.dedup import (
+            _coalesce_for_join,
+            _join_partitions,
+            exact_dedup,
+        )
+
+        winners, n = _coalesce_for_join(
+            exact_dedup(
+                ds, id_column=id_column, text_column=text_column, **options
+            ).select_columns([id_column])
+        )
+        if n == 0:
+            return winners
+        src, _ = _coalesce_for_join(ds)
+        return src.join(
+            winners,
+            join_type="inner",
+            num_partitions=_join_partitions(8),
+            on=(id_column,),
+        )
+
+    return step
 
 
 @register_step("media_features")
@@ -158,6 +182,8 @@ def _media_features(**options):
 
 @register_step("select")
 def _select(columns=None, **_):
+    if not columns:
+        raise ValueError("select step requires columns=[...]")
     return lambda ds: ds.select_columns(list(columns))
 
 

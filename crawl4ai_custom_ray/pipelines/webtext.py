@@ -22,7 +22,6 @@ rounds × politeness caps), the same bound the crawl itself maintains.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 
@@ -33,14 +32,6 @@ import ray.data as rd
 from ..frontier.crawl import BFSCrawl, CrawlConfig
 from ..functions.chunkers import FixedLengthWordChunking, chunk_dataset
 from ..stages.extract import extract_pages
-
-
-def _with_content_hash(batch: pa.Table, text_column: str = "text") -> pa.Table:
-    hashes = [
-        hashlib.blake2b((t or "").encode("utf-8"), digest_size=16).hexdigest()
-        for t in batch[text_column].to_pylist()
-    ]
-    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
 
 
 def crawl_and_curate(
@@ -79,29 +70,34 @@ def crawl_and_curate(
         only_success, batch_format="pyarrow"
     )
 
-    # 3. exact dedup: min-url winner per content hash, rejoined onto
-    # the corpus as a hash join — no driver-side membership set
-    from ray.data.aggregate import Min
+    # 3. exact dedup: min-url winner per content hash (the dedup
+    # module's canonical hashing), rejoined onto the corpus as a
+    # bounded hash join — no driver-side membership set
+    from ..functions.dedup import _coalesce_for_join, _join_partitions, exact_dedup
 
-    from ..functions.dedup import _coalesce_for_join
+    chunk_dir = os.path.join(out_root, "chunks")
+    os.makedirs(chunk_dir, exist_ok=True)
 
-    hashed, n_rows = _coalesce_for_join(
-        extracted.map_batches(_with_content_hash, batch_format="pyarrow")
-    )
+    src, n_rows = _coalesce_for_join(extracted)
     if n_rows == 0:
-        manifest = {"n_visited": n_visited, "n_curated_docs": 0, "n_chunks": 0}
+        manifest = {
+            "n_visited": n_visited,
+            "n_curated_docs": 0,
+            "n_chunks": 0,
+            "chunk_dir": chunk_dir,
+        }
         with open(os.path.join(out_root, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         return manifest
     winners, _ = _coalesce_for_join(
-        hashed.select_columns(["content_hash", "url"])
-        .groupby("content_hash")
-        .aggregate(Min("url", alias_name="url"))
-        .select_columns(["url"])
+        exact_dedup(src, id_column="url", text_column="text").select_columns(["url"])
     )
-    deduped = hashed.join(
-        winners, join_type="inner", num_partitions=8, on=("url",)
-    ).drop_columns(["content_hash"])
+    deduped = src.join(
+        winners,
+        join_type="inner",
+        num_partitions=_join_partitions(8),
+        on=("url",),
+    )
 
     # 4. quality gate — stateless vectorized stats
     def quality_gate(batch: pa.Table) -> pa.Table:
@@ -127,7 +123,6 @@ def crawl_and_curate(
         text_column="text",
     ).materialize()
     n_chunks = chunks.count()
-    chunk_dir = os.path.join(out_root, "chunks")
     if n_chunks:
         chunks.write_parquet(chunk_dir)
 

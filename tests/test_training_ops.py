@@ -397,3 +397,46 @@ def test_sentence_boundary_after_numbers():
     assert c.chunk("The answer is 42. Next sentence.") == [
         "The answer is 42.", "Next sentence.",
     ]
+
+
+def test_lsh_hot_bucket_cap(ray_session):
+    """max_bucket guards quadratic pair explosion: an over-cap bucket
+    contributes nothing, other buckets still pair (review finding)."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import minhash_lsh_pairs, simhash_pairs
+
+    # 30 identical docs (one mega-bucket) + one planted near-dup pair
+    rows = [{"doc_id": i, "text": "identical hot content words " * 8} for i in range(30)]
+    base = " ".join(f"tok{k}" for k in range(60))
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base.replace("tok30", "CHANGED")})
+    ds = rd.from_items(rows)
+    capped = minhash_lsh_pairs(
+        ds, threshold=0.5, num_perm=32, bands=8, max_bucket=10
+    ).to_pandas()
+    pairs = set(zip(capped["a"], capped["b"]))
+    assert (100, 101) in pairs  # small bucket unaffected
+    assert not any(a < 30 and b < 30 for a, b in pairs)  # hot bucket dropped
+
+    sh = simhash_pairs(ds, max_hamming=3, max_bucket=10).to_pandas()
+    sh_pairs = set(zip(sh["a"], sh["b"])) if "a" in sh.columns else set()
+    assert not any(a < 30 and b < 30 for a, b in sh_pairs)
+
+
+def test_steps_dedup_exact_composable(ray_session):
+    """dedup_exact step keeps full rows so downstream steps compose
+    (review finding)."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.pipelines.steps import build_pipeline
+
+    rows = [
+        {"url": "https://a/1", "text": "same body", "extra": 1},
+        {"url": "https://a/2", "text": "same body", "extra": 2},
+        {"url": "https://a/3", "text": "unique body", "extra": 3},
+    ]
+    pipe = build_pipeline([("dedup_exact", {}), ("select", {"columns": ["url", "text"]})])
+    out = pipe(rd.from_items(rows)).to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(out["url"]) == ["https://a/1", "https://a/3"]
+    assert set(out.columns) == {"url", "text"}
