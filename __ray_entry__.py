@@ -59,6 +59,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q.q_events_window,
         "sessionize": q.q_sessionize,
         "chunk_fixed": q.q_chunk_fixed,
+        # curation ops (PII / decontamination / repetition gate)
+        "pii_scrub": q.q_pii_scrub,
+        "decontaminate": q.q_decontaminate,
+        "gopher_quality": q.q_gopher_quality,
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,

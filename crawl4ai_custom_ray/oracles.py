@@ -423,4 +423,88 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     # knn_ivf probes every cluster in the driver query, so its result
     # is exactly the brute-force top-k
     sql["knn_ivf"] = sql["knn_topk"]
+
+    # --------------------------------------------------- curation ops
+    # (plain-string concatenation: the regexes carry {m,n} quantifiers
+    # that an f-string would eat)
+    _email = r"[\w.+-]+@[\w-]+\.[\w.-]+"
+    _phone = r"\(?\d{3}\)?[ -. ]?\d{3}[ -. ]?\d{4}"
+    _ip = r"(?:\d{1,3}\.){3}\d{1,3}"
+    sql["pii_scrub"] = (
+        "WITH p AS (SELECT url, decode(html) AS t FROM read_parquet('"
+        + path
+        + "'))\n"
+        "SELECT url,\n"
+        "  regexp_replace(regexp_replace(regexp_replace(t,\n"
+        "     '" + _email + "', '[EMAIL]', 'g'),\n"
+        "     '" + _phone + "', '[PHONE]', 'g'),\n"
+        "     '" + _ip + "', '[IP]', 'g') AS scrubbed,\n"
+        "  len(regexp_extract_all(t, '" + _email + "')) AS n_email,\n"
+        "  len(regexp_extract_all(t, '" + _phone + "')) AS n_phone,\n"
+        "  len(regexp_extract_all(t, '" + _ip + "')) AS n_ip\n"
+        "FROM p"
+    )
+    # 4-word-shingle CTE shared by decontaminate (same tokenization as
+    # the jaccard family: split on a single space)
+    sql["decontaminate"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+        zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+        w AS (SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz),
+        sh AS (
+            SELECT DISTINCT a.doc_id,
+                   a.w || ' ' || b.w || ' ' || c.w || ' ' || e.w AS s
+            FROM w a
+            JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            JOIN w e ON e.doc_id = a.doc_id AND e.i = a.i + 3
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        ov AS (
+            SELECT sh.doc_id, COUNT(*) AS n
+            FROM sh JOIN bench USING (s)
+            WHERE sh.doc_id % 17 <> 0
+            GROUP BY sh.doc_id
+        )
+        SELECT c.doc_id,
+               COALESCE(ov.n, 0) AS n_overlap,
+               COALESCE(ov.n, 0) >= 10 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) c
+        LEFT JOIN ov ON ov.doc_id = c.doc_id
+    """
+    sql["gopher_quality"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+        zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+        w AS (SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz),
+        stats AS (
+            SELECT doc_id, COUNT(*) AS nw, COUNT(DISTINCT w) AS nd
+            FROM w GROUP BY doc_id
+        ),
+        g2 AS (
+            SELECT a.doc_id, a.w || ' ' || b.w AS g, COUNT(*) AS cnt
+            FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            GROUP BY 1, 2
+        ),
+        g2c AS (SELECT doc_id, MAX(cnt) AS mx, SUM(cnt) AS tot FROM g2 GROUP BY doc_id),
+        g3 AS (
+            SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g, COUNT(*) AS cnt
+            FROM w a
+            JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            GROUP BY 1, 2
+        ),
+        g3c AS (SELECT doc_id, MAX(cnt) AS mx, SUM(cnt) AS tot FROM g3 GROUP BY doc_id)
+        SELECT s.doc_id,
+               s.nw AS n_words,
+               1 - CAST(s.nd AS DOUBLE) / s.nw AS dup_word_frac,
+               COALESCE(CAST(g2c.mx AS DOUBLE) / g2c.tot, 0.0) AS top_2gram_frac,
+               COALESCE(CAST(g3c.mx AS DOUBLE) / g3c.tot, 0.0) AS top_3gram_frac,
+               (COALESCE(CAST(g2c.mx AS DOUBLE) / g2c.tot, 0.0) <= 0.20
+                AND COALESCE(CAST(g3c.mx AS DOUBLE) / g3c.tot, 0.0) <= 0.18
+                AND 1 - CAST(s.nd AS DOUBLE) / s.nw <= 0.6) AS keep
+        FROM stats s
+        LEFT JOIN g2c ON g2c.doc_id = s.doc_id
+        LEFT JOIN g3c ON g3c.doc_id = s.doc_id
+    """
     return sql

@@ -702,3 +702,45 @@ def q_semantic_cluster(sf_dir: str):
         )
 
     return semantic_cluster(docs.map_batches(with_url, batch_format="pyarrow"))
+
+
+# ----------------------------------------------------------- curation ops
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction over raw page HTML (email/phone/ip → tokens),
+    with per-rule match counts measured on the original text."""
+    from .functions.curation import pii_scrub
+
+    pages = read_pages(sf_dir)
+    return pii_scrub(pages, text_column="html", id_column="url")
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing ≥10
+    distinct 4-word shingles with the benchmark split (doc_id %
+    17 == 0).  Benchmark shingle set broadcast once; corpus streams."""
+    from .functions.curation import decontaminate
+
+    def split(want_bench: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            is_bench = batch["doc_id"].to_numpy(zero_copy_only=False) % 17 == 0
+            return batch.filter(pa.array(is_bench if want_bench else ~is_bench))
+
+        return fn
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench, shingle_n=4, threshold=10)
+
+
+def q_gopher_quality(sf_dir: str):
+    """Gopher-style repetition gate (word-level: dup-word fraction,
+    top-2/3-gram fractions).  ``dup_word_max=0.6`` instead of the
+    paper's line-level defaults so the gate discriminates on this
+    line-less corpus (median dup_word_frac ≈ 0.54)."""
+    from .functions.curation import repetition_quality
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    return repetition_quality(docs, dup_word_max=0.6)

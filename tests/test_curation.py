@@ -1,0 +1,124 @@
+"""Unit tests for the curation operators (PII scrub, benchmark
+decontamination, repetition quality) — planted-signal corpora, exact
+expectations."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from crawl4ai_custom_ray.functions.curation import (
+    decontaminate,
+    pii_scrub,
+    pii_scrub_batch,
+    repetition_quality,
+    repetition_quality_batch,
+)
+
+
+def test_pii_scrub_kernel_redacts_and_counts():
+    batch = pa.table(
+        {
+            "url": ["u1", "u2", "u3"],
+            "text": [
+                "mail bob.smith+x@example.co.uk now",
+                "call (415) 555-2671 or 10.0.0.1",
+                "clean text with no pii at all",
+            ],
+        }
+    )
+    out = pii_scrub_batch(batch)
+    rows = out.to_pylist()
+    assert rows[0]["scrubbed"] == "mail [EMAIL] now"
+    assert rows[0]["n_email"] == 1 and rows[0]["n_phone"] == 0
+    assert "[PHONE]" in rows[1]["scrubbed"] and "[IP]" in rows[1]["scrubbed"]
+    assert rows[1]["n_phone"] == 1 and rows[1]["n_ip"] == 1
+    assert rows[2]["scrubbed"] == rows[2]["text" if False else "scrubbed"]
+    assert rows[2]["scrubbed"] == "clean text with no pii at all"
+    assert rows[2]["n_email"] == rows[2]["n_phone"] == rows[2]["n_ip"] == 0
+
+
+def test_pii_scrub_counts_on_original_not_sequential():
+    """Counts are measured per-rule on the ORIGINAL text, so an
+    earlier rule's replacement can't hide a later rule's match from
+    the tally."""
+    # the ip is also the tail of no other pattern; email consumed first
+    batch = pa.table({"url": ["u"], "text": ["a@b.cd 1.2.3.4"]})
+    row = pii_scrub_batch(batch).to_pylist()[0]
+    assert row["n_email"] == 1 and row["n_ip"] == 1
+    assert row["scrubbed"] == "[EMAIL] [IP]"
+
+
+def test_pii_scrub_bytes_input():
+    batch = pa.table({"url": ["u"], "text": [b"x a@b.cd y"]})
+    assert pii_scrub_batch(batch).to_pylist()[0]["scrubbed"] == "x [EMAIL] y"
+
+
+def test_decontaminate_flags_planted_copy(ray_session):
+    bench_text = " ".join(f"b{i}" for i in range(40))
+    rows = [
+        # contaminated: embeds a 20-word benchmark run (17 shared 4-grams)
+        {"doc_id": 1, "text": "pre " + " ".join(f"b{i}" for i in range(20)) + " post"},
+        # clean: disjoint vocabulary
+        {"doc_id": 2, "text": " ".join(f"c{i}" for i in range(40))},
+        # borderline-clean: only 4 words shared → 1 shingle < threshold
+        {"doc_id": 3, "text": "b0 b1 b2 b3 " + " ".join(f"d{i}" for i in range(30))},
+    ]
+    corpus = rd.from_items(rows)
+    bench = rd.from_items([{"doc_id": 100, "text": bench_text}])
+    out = (
+        decontaminate(corpus, bench, shingle_n=4, threshold=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert bool(out.loc[1, "contaminated"]) is True
+    assert int(out.loc[1, "n_overlap"]) == 17
+    assert bool(out.loc[2, "contaminated"]) is False
+    assert int(out.loc[2, "n_overlap"]) == 0
+    assert bool(out.loc[3, "contaminated"]) is False
+    assert int(out.loc[3, "n_overlap"]) == 1
+
+
+def test_repetition_quality_kernel():
+    # the clean doc must be long enough that unique grams give small
+    # fractions (a 6-word doc has top_3gram_frac 1/4 > 0.18 even with
+    # zero repetition — the thresholds assume real-document lengths)
+    clean_text = " ".join(f"w{i}" for i in range(20))
+    batch = pa.table(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "spam spam spam spam spam spam",  # maximally repetitive
+                clean_text,  # 20 distinct words
+            ],
+        }
+    )
+    out = repetition_quality_batch(
+        batch, top_2gram_max=0.2, top_3gram_max=0.18, dup_word_max=0.8
+    ).to_pylist()
+    rep, clean = out
+    assert rep["n_words"] == 6
+    assert rep["dup_word_frac"] == 1 - 1 / 6
+    assert rep["top_2gram_frac"] == 1.0 and rep["top_3gram_frac"] == 1.0
+    assert rep["keep"] is False
+    assert clean["dup_word_frac"] == 0.0
+    assert clean["top_2gram_frac"] == 1 / 19  # every 2-gram unique
+    assert clean["keep"] is True
+
+
+def test_repetition_quality_short_docs():
+    """Docs shorter than the gram width get frac 0.0, not a crash."""
+    batch = pa.table({"doc_id": [1, 2], "text": ["solo", "two words"]})
+    out = repetition_quality_batch(
+        batch, top_2gram_max=0.2, top_3gram_max=0.18, dup_word_max=0.8
+    ).to_pylist()
+    assert out[0]["top_2gram_frac"] == 0.0 and out[0]["top_3gram_frac"] == 0.0
+    assert out[1]["top_2gram_frac"] == 1.0  # one 2-gram, occurring once
+    assert out[1]["top_3gram_frac"] == 0.0
+
+
+def test_repetition_quality_dataset(ray_session):
+    ds = rd.from_items(
+        [{"doc_id": i, "text": "a b c d e f g h"} for i in range(5)]
+    )
+    out = repetition_quality(ds).to_pandas()
+    assert len(out) == 5
+    assert out["keep"].all()

@@ -70,40 +70,28 @@ def _oracle_sql_for_sf(sf_dir):
     return oracle_sql_for(sf_dir)
 
 
-QUERY_NAMES = [
-    "extract_text",
-    "extract_links",
-    "link_stats",
-    "page_metadata",
-    "link_head_preview",
-    "page_tables",
-    "regex_emails",
-    "frontier_bfs",
-    "top_k_per_host",
-    "robots_filter",
-    "dedup_exact",
-    "jaccard_pairs",
-    "token_count",
-    "quality_score",
-    "knn_topk",
-    "dedup_embedding",
-    "media_features",
-    "events_window",
-    "sessionize",
-    "chunk_fixed",
-    "structured_extract",
-    "seed_urls",
-]
+# Derived from the contract itself so a new queries()/oracle_sql()
+# entry is covered without touching this file: every query with an
+# oracle gets the full three-way compare, the rest get the rows-only
+# check (mirroring the driver exactly).
+def _query_partition():
+    import sys
 
-ROWS_ONLY_QUERIES = [
-    "dedup_minhash",
-    "dedup_simhash",
-    "lang_id",
-    "fingerprint",
-    "knn_ivf",
-    "semantic_cluster",
-    "adaptive_crawl",
-]
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    qs = set(e.queries())
+    oracled = qs & set(_oracle_sql_for_sf(SF_DIR))
+    return sorted(oracled), sorted(qs - oracled)
+
+
+QUERY_NAMES, ROWS_ONLY_QUERIES = _query_partition()
+
+
+def test_rows_only_is_the_known_two():
+    """Only the two model-state pipelines may lack an oracle — a new
+    query landing here by accident is a missing-oracle bug."""
+    assert ROWS_ONLY_QUERIES == ["adaptive_crawl", "semantic_cluster"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
