@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q.q_pii_scrub,
         "decontaminate": q.q_decontaminate,
         "gopher_quality": q.q_gopher_quality,
+        "split_assign": q.q_split_assign,
+        "dsir_select": q.q_dsir_select,
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,

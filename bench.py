@@ -146,6 +146,27 @@ def run_bench() -> dict:
 
     queries["link_stats"] = _timed(links)
 
+    # curation: repetition gate + benchmark decontamination over documents
+    from crawl4ai_custom_ray.functions.curation import decontaminate, repetition_quality
+
+    def curation():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        repetition_quality(docs).count()
+        import pyarrow as pa
+
+        def split(want_bench):
+            def fn(batch: pa.Table) -> pa.Table:
+                m = batch["doc_id"].to_numpy(zero_copy_only=False) % 17 == 0
+                return batch.filter(pa.array(m if want_bench else ~m))
+
+            return fn
+
+        bench_side = docs.map_batches(split(True), batch_format="pyarrow")
+        corpus = docs.map_batches(split(False), batch_format="pyarrow")
+        decontaminate(corpus, bench_side, shingle_n=4, threshold=10).count()
+
+    queries["curation"] = _timed(curation)
+
     ray.shutdown()
 
     headline_sec = queries["extract"]

@@ -228,3 +228,182 @@ def repetition_quality(
         ),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------------- split assignment
+
+
+def _md5_u64(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+
+
+def split_assign_batch(
+    batch: pa.Table,
+    *,
+    id_column: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> pa.Table:
+    """Deterministic train/val/test assignment: bucket =
+    md5(str(id))[:16 hex] % 100 — stable under repartitioning,
+    resharding and re-runs (never ``random()``: a retried task must
+    land every row in the same split).  Matches DuckDB's
+    ``('0x' || substr(md5(id), 1, 16))::UBIGINT % 100`` exactly."""
+    ids = batch[id_column].to_pylist()
+    buckets = [_md5_u64(str(i)) % 100 for i in ids]
+    splits = [
+        "train" if b < train_pct else ("val" if b < train_pct + val_pct else "test")
+        for b in buckets
+    ]
+    return pa.table(
+        {
+            id_column: batch[id_column],
+            "bucket": pa.array(buckets, pa.int64()),
+            "split": pa.array(splits, pa.string()),
+        }
+    )
+
+
+def split_assign(ds, *, id_column: str = "doc_id", train_pct: int = 80, val_pct: int = 10):
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            split_assign_batch,
+            id_column=id_column,
+            train_pct=train_pct,
+            val_pct=val_pct,
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ------------------------------------------- DSIR-style importance select
+
+N_FEATURE_BUCKETS = 65536
+
+
+def _gram_buckets(text: str) -> list[int]:
+    """Hashed word-2-gram feature stream (every occurrence, not
+    distinct).  md5 is kept (not a cheap polynomial hash) so the
+    DuckDB oracle replicates the buckets bit-for-bit; at 100 TB the
+    hash is a per-gram CPU cost worth swapping for a vectorized
+    rolling hash."""
+    words = text.split(" ")
+    return [
+        _md5_u64(words[i] + " " + words[i + 1]) % N_FEATURE_BUCKETS
+        for i in range(len(words) - 1)
+    ]
+
+
+def feature_counts(ds, *, is_target_fn, text_column: str = "text"):
+    """Global hashed-2-gram bucket counts, split target vs raw:
+    per-batch partial ``bincount`` vectors first (the combiner), then
+    ONE small shuffle of ≤ 2 × 65536 rows — never a per-gram
+    all-to-all."""
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ct = np.zeros(N_FEATURE_BUCKETS, np.int64)
+        cr = np.zeros(N_FEATURE_BUCKETS, np.int64)
+        for i, t in zip(
+            batch["doc_id"].to_pylist(), batch[text_column].to_pylist()
+        ):
+            b = _gram_buckets(t or "")
+            acc = ct if is_target_fn(i) else cr
+            if b:
+                np.add.at(acc, b, 1)
+        nz = np.flatnonzero(ct + cr)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "ct": pa.array(ct[nz], pa.int64()),
+                "cr": pa.array(cr[nz], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("ct", alias_name="ct"), Sum("cr", alias_name="cr"))
+    )
+
+
+class DsirScorer:
+    """Actor-pool stage scoring raw docs against broadcast global
+    bucket counts (two int64[65536] arrays ≈ 1 MB — the classic
+    small-side broadcast).  A gram occurrence is 'target-like' when
+    the target's relative bucket frequency exceeds the raw pool's,
+    compared by integer cross-multiplication (ct[b]·Nr > cr[b]·Nt) so
+    the score is exact integer arithmetic the SQL oracle reproduces
+    bit-for-bit — the DSIR selection shape (Xie et al. 2023) without
+    float log-ratios."""
+
+    def __init__(self, counts_ref):
+        import ray
+
+        self.ct, self.cr, self.nt, self.nr = ray.get(counts_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_grams, n_like, selected = [], [], []
+        for t in batch["text"].to_pylist():
+            b = _gram_buckets(t or "")
+            ng = len(b)
+            nl = sum(
+                1 for x in b if int(self.ct[x]) * self.nr > int(self.cr[x]) * self.nt
+            )
+            n_grams.append(ng)
+            n_like.append(nl)
+            selected.append(2 * nl >= ng)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_target_like": pa.array(n_like, pa.int64()),
+                "selected": pa.array(selected, pa.bool_()),
+            }
+        )
+
+
+def dsir_select(
+    ds,
+    *,
+    is_target_fn,
+    text_column: str = "text",
+    concurrency: int = 2,
+):
+    """Importance-based data selection: build global target/raw
+    hashed-n-gram counts (one combiner-first aggregate), broadcast
+    them once, and stream the raw pool through a scoring actor pool.
+    Returns (doc_id, n_grams, n_target_like, selected) for raw docs."""
+    import numpy as np
+    import ray
+
+    counts = feature_counts(ds, is_target_fn=is_target_fn, text_column=text_column)
+    ct = np.zeros(N_FEATURE_BUCKETS, np.int64)
+    cr = np.zeros(N_FEATURE_BUCKETS, np.int64)
+    for b in counts.iter_batches(batch_format="pyarrow"):
+        idx = b["bucket"].to_numpy(zero_copy_only=False)
+        ct[idx] += b["ct"].to_numpy(zero_copy_only=False)
+        cr[idx] += b["cr"].to_numpy(zero_copy_only=False)
+    counts_ref = ray.put((ct, cr, int(ct.sum()), int(cr.sum())))
+
+    def raw_only(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        keep = _np.array(
+            [not is_target_fn(i) for i in batch["doc_id"].to_pylist()], bool
+        )
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(raw_only, batch_format="pyarrow").map_batches(
+        DsirScorer,
+        fn_constructor_args=(counts_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=0.5,
+    )

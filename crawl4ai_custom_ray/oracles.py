@@ -507,4 +507,49 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         LEFT JOIN g2c ON g2c.doc_id = s.doc_id
         LEFT JOIN g3c ON g3c.doc_id = s.doc_id
     """
+    sql["split_assign"] = """
+        SELECT doc_id, bucket,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                        % 100 AS BIGINT) AS bucket
+            FROM documents
+        )
+    """
+    sql["dsir_select"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+        zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+        w AS (SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz),
+        g AS (
+            SELECT a.doc_id,
+                   ('0x' || substr(md5(a.w || ' ' || b.w), 1, 16))::UBIGINT
+                       % 65536 AS bucket
+            FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        ),
+        bc AS (
+            SELECT bucket,
+                   SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS ct,
+                   SUM(CASE WHEN doc_id % 17 <> 0 THEN 1 ELSE 0 END) AS cr
+            FROM g GROUP BY bucket
+        ),
+        tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bc),
+        scored AS (
+            SELECT g.doc_id, COUNT(*) AS n_grams,
+                   SUM(CASE WHEN bc.ct * tot.nr > bc.cr * tot.nt
+                       THEN 1 ELSE 0 END) AS n_target_like
+            FROM g JOIN bc USING (bucket) CROSS JOIN tot
+            WHERE g.doc_id % 17 <> 0
+            GROUP BY g.doc_id
+        )
+        SELECT r.doc_id,
+               CAST(COALESCE(s.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(s.n_target_like, 0) AS BIGINT) AS n_target_like,
+               2 * COALESCE(s.n_target_like, 0) >= COALESCE(s.n_grams, 0) AS selected
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
+        LEFT JOIN scored s ON s.doc_id = r.doc_id
+    """
     return sql

@@ -744,3 +744,21 @@ def q_gopher_quality(sf_dir: str):
 
     docs = _documents(sf_dir, ["doc_id", "text"])
     return repetition_quality(docs, dup_word_max=0.6)
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic md5-bucket train/val/test assignment (80/10/10)."""
+    from .functions.curation import split_assign
+
+    return split_assign(_documents(sf_dir, ["doc_id"]))
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR-style importance selection: global hashed-2-gram counts
+    (target = the doc_id % 17 == 0 split vs the raw rest), broadcast
+    once, raw pool scored by integer cross-multiplied relative
+    frequency — exact vs the SQL oracle."""
+    from .functions.curation import dsir_select
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    return dsir_select(docs, is_target_fn=lambda i: i % 17 == 0)
