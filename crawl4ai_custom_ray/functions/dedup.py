@@ -728,3 +728,191 @@ def simhash_pairs(
     )
     # distinct (a pair can collide in several segments)
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ------------------------------------------------ connected components
+
+
+def _union_find_labels(a_ids, b_ids) -> dict:
+    """Driver-side union-find over an edge list → {node: min id in its
+    component}.  Exact; used as the bounded small-input fast path of
+    :func:`connected_components` and as the differential oracle for
+    the distributed label-propagation path in tests."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(a_ids, b_ids):
+        a, b = int(a), int(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component's min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+        parent.setdefault(a, find(a))
+        parent.setdefault(b, find(b))
+    return {n: find(n) for n in parent}
+
+
+def connected_components(
+    pairs,
+    *,
+    max_iters: int = 50,
+    num_partitions: int = 16,
+    small_threshold: int | None = None,
+):
+    """Edge table (a:int64, b:int64) → (node, cluster_id) where
+    ``cluster_id`` is the MIN node id reachable from ``node`` — the
+    canonical way to finish near-dedup at scale: LSH emits pairs, this
+    groups them into duplicate clusters so one representative per
+    cluster survives.
+
+    Size-adaptive like the other dedup verifiers: at or under
+    ``small_threshold`` edges (default :data:`SMALL_PAIR_THRESHOLD`)
+    the edge list is pulled to the driver and solved with union-find
+    (driver state bounded by the threshold).  Above it, distributed
+    min-label propagation: labels start as each node's own id and one
+    round does  labels ∪ (edges ⋈ labels) → groupby(node).min  —
+    per-round cost is one hash join + one groupby over (node, label)
+    pairs only, never document payloads.  Converges in O(cluster
+    diameter) rounds; near-dup clusters are near-cliques (every member
+    pairs with most others), so diameter is small by construction.
+    Convergence is detected by the label-sum fixpoint (labels are
+    monotonically non-increasing, so an unchanged sum means no label
+    moved); raises after ``max_iters`` without convergence.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    if small_threshold is None:
+        small_threshold = SMALL_PAIR_THRESHOLD
+
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    n_edges = pairs.count()
+    if n_edges == 0:
+        return _empty_dataset({"node": pa.int64(), "cluster_id": pa.int64()})
+
+    if n_edges <= small_threshold:
+        df = pairs.to_pandas()
+        labels = _union_find_labels(df["a"].to_numpy(), df["b"].to_numpy())
+        nodes = sorted(labels)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.int64()),
+                    "cluster_id": pa.array([labels[n] for n in nodes], pa.int64()),
+                }
+            )
+        )
+
+    def both_directions(batch: pa.Table) -> pa.Table:
+        a = batch["a"]
+        b = batch["b"]
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(both_directions, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch["src"], "label": batch["src"]}
+        )
+
+    labels = (
+        edges.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    n_parts = _join_partitions(num_partitions)
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=n_parts,
+            on=("src",),
+            right_on=("node",),
+        ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
+        labels = (
+            labels.union(prop)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    return labels.rename_columns({"label": "cluster_id"})
+
+
+def near_dedup_clusters(
+    ds,
+    pairs=None,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    num_partitions: int = 16,
+    small_threshold: int | None = None,
+):
+    """Full near-dedup decision over ALL documents: near-dup pairs
+    (MinHash-LSH by default, or a caller-supplied (a, b) edge table) →
+    connected components → (doc_id, cluster_id, keep).  Docs in no
+    pair are singletons (cluster_id = own id); ``keep`` marks the
+    min-id representative of each cluster — filtering on it IS the
+    dedup."""
+    ids = ds.select_columns([id_column])
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            ds,
+            threshold=threshold,
+            id_column=id_column,
+            text_column=text_column,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_n=shingle_n,
+            num_partitions=num_partitions,
+        )
+    comp = connected_components(
+        pairs, num_partitions=num_partitions, small_threshold=small_threshold
+    ).materialize()
+
+    joined = ids.join(
+        comp,
+        join_type="left_outer",
+        num_partitions=_join_partitions(num_partitions),
+        on=(id_column,),
+        right_on=("node",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cluster = pc.coalesce(batch["cluster_id"], batch[id_column])
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "cluster_id": cluster,
+                "keep": pc.equal(cluster, batch[id_column]),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -208,6 +208,47 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM fp x JOIN fp y ON x.doc_id < y.doc_id
             WHERE bit_count(xor(x.f, y.f)) <= 3
         """,
+        # reachability closure over the exact-Jaccard >= 0.5 pair set
+        # (identical to the dedup_minhash oracle's pair semantics);
+        # cluster_id = min doc_id reachable, keep = is-representative.
+        "dedup_cluster": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+            zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+            w AS (
+                SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz
+            ),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM w a
+                JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT inter.a, inter.b FROM inter
+                JOIN counts ca ON ca.doc_id = inter.a
+                JOIN counts cb ON cb.doc_id = inter.b
+                WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= 0.5
+            ),
+            edges AS (
+                SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            walk(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, k.lbl FROM edges e JOIN walk k ON k.node = e.b
+            )
+            SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+                   MIN(lbl) = node AS keep
+            FROM walk GROUP BY node
+        """,
         "lang_id": """
             WITH w AS (
                 SELECT doc_id, text,

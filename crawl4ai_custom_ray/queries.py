@@ -762,3 +762,17 @@ def q_dsir_select(sf_dir: str):
 
     docs = _documents(sf_dir, ["doc_id", "text"])
     return dsir_select(docs, is_target_fn=lambda i: i % 17 == 0)
+
+
+def q_dedup_cluster(sf_dir: str):
+    """Near-dedup finished: MinHash-LSH pairs → connected components
+    (size-adaptive union-find / distributed min-label propagation) →
+    one row per document with its duplicate-cluster id and the
+    keep-the-min-id representative decision.  Oracle: recursive-CTE
+    reachability over the exact-Jaccard pair set."""
+    from .functions.dedup import near_dedup_clusters
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return near_dedup_clusters(
+        ds, threshold=0.5, num_perm=64, bands=32, shingle_n=3
+    )

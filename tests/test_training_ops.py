@@ -440,3 +440,91 @@ def test_steps_dedup_exact_composable(ray_session):
     out = pipe(rd.from_items(rows)).to_pandas().sort_values("url").reset_index(drop=True)
     assert list(out["url"]) == ["https://a/1", "https://a/3"]
     assert set(out.columns) == {"url", "text"}
+
+
+# ------------------------------------------------ connected components
+
+
+def test_union_find_labels_crafted():
+    from crawl4ai_custom_ray.functions.dedup import _union_find_labels
+
+    # chain 1-2-3-4, star 10-(11,12,13), pair 20-21
+    labels = _union_find_labels([1, 2, 3, 10, 10, 10, 20], [2, 3, 4, 11, 12, 13, 21])
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_distributed_equals_union_find(ray_session):
+    """Differential: the scale path (min-label propagation over hash
+    joins) must equal the driver union-find on a random graph."""
+    import random
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(500)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([a for a, _ in edges], pa.int64()),
+                "b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    small = (
+        connected_components(pairs).to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        connected_components(pairs, small_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert small.equals(dist)
+
+
+def test_near_dedup_clusters_planted(ray_session, dup_corpus):
+    """Planted near-dup groups must land in one cluster each, with the
+    min id kept; unrelated docs stay singletons."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import near_dedup_clusters
+
+    ids = [d["doc_id"] for d in dup_corpus]
+    texts = [d["text"] for d in dup_corpus]
+    planted = [(j, 100 + j) for j in range(5)]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+    )
+    out = near_dedup_clusters(ds, threshold=0.5).to_pandas()
+    by_id = dict(zip(out["doc_id"], out["cluster_id"]))
+    for group in planted:
+        lbls = {by_id[i] for i in group}
+        assert len(lbls) == 1, f"planted group {group} split into {lbls}"
+        assert lbls == {min(group)}
+    kept = set(out[out["keep"]]["doc_id"])
+    for group in planted:
+        assert kept.intersection(group) == {min(group)}
+    assert len(out) == len(ids)
+
+
+def test_connected_components_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import connected_components
+
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    assert connected_components(pairs).count() == 0
