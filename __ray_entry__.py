@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "dedup_cluster": q.q_dedup_cluster,
+        "line_dedup": q.q_line_dedup,
         "token_count": q.q_token_count,
         "quality_score": q.q_quality_score,
         "lang_id": q.q_lang_id,

@@ -916,3 +916,170 @@ def near_dedup_clusters(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ line-level dedup
+
+
+def _assemble_lines_agg(name: str = "text"):
+    """AggregateFn collecting the group's (pos, line) rows, finalized
+    as the newline-joined text in position order.  Accumulated state
+    is one document's lines — doc-sized, never corpus-sized."""
+    from ray.data.aggregate import AggregateFn
+
+    # state is a list of "{pos:08d}|{line}" strings (Arrow-friendly);
+    # the fixed-width prefix makes lexicographic sort == position sort
+    # and slicing recovers the line even if it contains the separator
+    def acc_block(acc, block):
+        if hasattr(block, "column_names"):
+            pairs = zip(block["pos"].to_pylist(), block["line"].to_pylist())
+        else:
+            pairs = zip(list(block["pos"]), list(block["line"]))
+        acc.extend(f"{p:08d}|{l}" for p, l in pairs)
+        return acc
+
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=lambda a, b: a + b,
+        finalize=lambda acc: "\n".join(s[9:] for s in sorted(acc)),
+        name=name,
+    )
+
+
+_LINE_POS_BITS = 20  # max 2^20 lines per document (packed first-occurrence key)
+
+
+def line_dedup(
+    ds,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    min_line_len: int = 1,
+    num_partitions: int = 16,
+):
+    """Corpus-level duplicated-line removal (the CCNet / RefinedWeb
+    line-dedup pass): split every document into lines, remove every
+    line that occurred earlier ANYWHERE in the corpus (first occurrence
+    wins, ordered by (id, line position)), reassemble the survivors.
+    Returns (id, text, n_removed).
+
+    Lines shorter than ``min_line_len`` are exempt (always kept) — the
+    CCNet convention that boilerplate detection shouldn't eat empty /
+    trivial lines' structure.
+
+    Scale shape: explode → groupby(line md5) over (hash, packed
+    first-occurrence key) only → winners joined back onto the exploded
+    lines (hash join, no broadcast) → per-document reassembly
+    aggregate whose state is one document's lines.  The only
+    corpus-sized shuffles carry (16 B hash, 8 B key) pairs.  Ids must
+    be int64 with < 2^20 lines per document (packed key); a corpus
+    with longer documents raises rather than silently misordering.
+    """
+    from ray.data.aggregate import AggregateFn, Count, Max
+
+    docs = ds.select_columns([id_column, text_column])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, poss, lines, keys, eligs, hashes, nlines = [], [], [], [], [], [], []
+        for i, t in zip(
+            batch[id_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            parts = (t or "").split("\n")
+            if len(parts) >= (1 << _LINE_POS_BITS):
+                raise ValueError(
+                    f"document {i}: {len(parts)} lines exceeds the "
+                    f"2^{_LINE_POS_BITS} packed-position limit"
+                )
+            n = len(parts)
+            for p, line in enumerate(parts):
+                ids.append(i)
+                poss.append(p)
+                lines.append(line)
+                keys.append((i << _LINE_POS_BITS) | p)
+                eligs.append(len(line) >= min_line_len)
+                hashes.append(hashlib.md5(line.encode("utf-8")).hexdigest())
+                nlines.append(n)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int32()),
+                "line": pa.array(lines, pa.large_string()),
+                "key": pa.array(keys, pa.int64()),
+                "elig": pa.array(eligs, pa.bool_()),
+                "h": pa.array(hashes, pa.string()),
+                "n_lines": pa.array(nlines, pa.int32()),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Min
+
+    winners = (
+        exploded.filter(expr="elig")
+        .select_columns(["h", "key"])
+        .groupby("h")
+        .aggregate(Min("key", alias_name="keep_key"))
+    )
+    winners, _ = _coalesce_for_join(winners)
+
+    # ineligible (shorter than min_line_len) lines bypass the winners
+    # join entirely — they are always kept
+    keep_cols = ["id", "pos", "line", "n_lines"]
+    inelig = exploded.filter(expr="elig == False").select_columns(keep_cols)
+
+    joined = exploded.filter(expr="elig").join(
+        winners,
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=("h",),
+        right_on=("h",),
+    )
+
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["key"], batch["keep_key"])).select(
+            keep_cols
+        )
+
+    kept = joined.map_batches(keep_filter, batch_format="pyarrow").union(inelig)
+
+    assembled = kept.groupby("id").aggregate(
+        _assemble_lines_agg(text_column),
+        Count(alias_name="n_kept"),
+        Max("n_lines", alias_name="n_lines"),
+    )
+    assembled, _ = _coalesce_for_join(assembled)
+
+    # documents whose every line was removed are absent from `kept`;
+    # re-attach them with empty text via a left join from the id table
+    ids_only = exploded.select_columns(["id", "n_lines"]).groupby("id").aggregate(
+        Max("n_lines", alias_name="n_total")
+    )
+    ids_only, _ = _coalesce_for_join(ids_only)
+    full = ids_only.join(
+        assembled,
+        join_type="left_outer",
+        num_partitions=_join_partitions(num_partitions),
+        on=("id",),
+        right_on=("id",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        text = pc.coalesce(
+            pc.cast(batch[text_column], pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        n_kept = pc.coalesce(batch["n_kept"], pa.scalar(0, pa.int64()))
+        removed = pc.subtract(
+            pc.cast(batch["n_total"], pa.int64()), pc.cast(n_kept, pa.int64())
+        )
+        return pa.table(
+            {
+                id_column: batch["id"],
+                text_column: text,
+                "n_removed": removed,
+            }
+        )
+
+    return full.map_batches(finish, batch_format="pyarrow")

@@ -249,6 +249,43 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    MIN(lbl) = node AS keep
             FROM walk GROUP BY node
         """,
+        # pages = one doc each, lines = its 16-word chunks; first
+        # occurrence of each line by (page_id, pos) survives, pages
+        # reassembled.  1048576 = 2^20 packed-position base
+        # (dedup._LINE_POS_BITS); DuckDB list slice is 1-based
+        # end-inclusive so ws[s+1 : s+16] == python words[s : s+16].
+        "line_dedup": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            idx AS (
+                SELECT doc_id, ws, unnest(range(0, len(ws), 16)) AS s FROM d
+            ),
+            lines AS (
+                SELECT doc_id AS page_id,
+                       (s // 16)::INTEGER AS pos,
+                       array_to_string(ws[s + 1 : s + 16], ' ') AS line
+                FROM idx
+            ),
+            keyed AS (
+                SELECT page_id, pos, line,
+                       page_id * 1048576 + pos AS k,
+                       length(line) >= 1 AS elig
+                FROM lines
+            ),
+            mins AS (SELECT line, MIN(k) AS mk FROM keyed WHERE elig GROUP BY line),
+            kept AS (
+                SELECT x.page_id, x.pos, x.line
+                FROM keyed x JOIN mins m ON x.line = m.line
+                WHERE x.k = m.mk
+                UNION ALL
+                SELECT page_id, pos, line FROM keyed WHERE NOT elig
+            ),
+            tot AS (SELECT page_id, COUNT(*) AS n_total FROM keyed GROUP BY 1)
+            SELECT t.page_id,
+                   COALESCE(string_agg(kp.line, chr(10) ORDER BY kp.pos), '') AS text,
+                   t.n_total - COUNT(kp.line) AS n_removed
+            FROM tot t LEFT JOIN kept kp USING (page_id)
+            GROUP BY t.page_id, t.n_total
+        """,
         "lang_id": """
             WITH w AS (
                 SELECT doc_id, text,

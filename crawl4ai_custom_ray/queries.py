@@ -776,3 +776,36 @@ def q_dedup_cluster(sf_dir: str):
     return near_dedup_clusters(
         ds, threshold=0.5, num_perm=64, bands=32, shingle_n=3
     )
+
+
+def q_line_dedup(sf_dir: str):
+    """Corpus-level duplicated-line removal (CCNet/RefinedWeb pass)
+    over a derived multi-line corpus: each document becomes a page
+    whose lines are its 16-word chunks, so the corpus' planted
+    near-dups (one word changed) share most lines verbatim.  Every
+    line that occurred earlier anywhere in the corpus is dropped
+    (first occurrence by (page, position) wins), pages reassembled."""
+    from .functions.dedup import line_dedup
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def to_pages(batch):
+        import pyarrow as _pa
+
+        texts = []
+        for t in batch["text"].to_pylist():
+            words = t.split(" ")
+            texts.append(
+                "\n".join(
+                    " ".join(words[s : s + 16]) for s in range(0, len(words), 16)
+                )
+            )
+        return _pa.table(
+            {
+                "page_id": batch["doc_id"],
+                "text": _pa.array(texts, _pa.large_string()),
+            }
+        )
+
+    pages = docs.map_batches(to_pages, batch_format="pyarrow")
+    return line_dedup(pages, id_column="page_id")

@@ -528,3 +528,68 @@ def test_connected_components_empty(ray_session):
         pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     )
     assert connected_components(pairs).count() == 0
+
+
+# --------------------------------------------------------- line dedup
+
+
+def test_line_dedup_semantics(ray_session):
+    """First occurrence (by id, pos) of each line survives; ineligible
+    (sub-min_line_len, incl. empty) lines are always kept; fully-
+    duplicated docs come back as empty text; counts are per-doc."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import line_dedup
+
+    docs = [
+        (0, "alpha\nbeta\ngamma"),
+        (1, "beta\ndelta\n\nepsilon"),
+        (2, "gamma\nbeta\nzeta"),
+        (3, "alpha\nbeta\ngamma"),
+        (4, ""),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        )
+    )
+    out = line_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    expected = {
+        0: ("alpha\nbeta\ngamma", 0),
+        1: ("delta\n\nepsilon", 1),
+        2: ("zeta", 2),
+        3: ("", 3),
+        4: ("", 0),
+    }
+    for row in out.itertuples():
+        assert (row.text, row.n_removed) == expected[row.doc_id], row
+
+
+def test_line_dedup_min_line_len(ray_session):
+    """Lines under min_line_len are exempt from dedup."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import line_dedup
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["ab\nlong line here", "ab\nlong line here"], pa.string()),
+            }
+        )
+    )
+    out = (
+        line_dedup(ds, min_line_len=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "text"] == "ab\nlong line here"
+    assert out.loc[1, "text"] == "ab"  # short line exempt, long line deduped
+    assert list(out["n_removed"]) == [0, 1]
