@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": q.q_gopher_quality,
         "split_assign": q.q_split_assign,
         "dsir_select": q.q_dsir_select,
+        "domain_filter": q.q_domain_filter,
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,

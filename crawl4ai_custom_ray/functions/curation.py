@@ -407,3 +407,165 @@ def dsir_select(
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+# ------------------------------------------------------- domain filter
+
+# Domain-stat tables at or under this row count broadcast via ray.put;
+# larger ones attach by hash join (the web has ~10^8 registrable
+# domains — far smaller than the corpus, but not driver-sized).
+SMALL_DOMAIN_THRESHOLD = 200_000
+
+
+def domain_stats(
+    ds,
+    *,
+    group_column: str = "source",
+    text_column: str = "text",
+):
+    """Per-domain integer aggregates — (domain, n_docs, n_words,
+    n_stopwords) — with in-batch pre-aggregation (combiner) before the
+    groupby shuffle, so the all-to-all moves one row per (batch,
+    domain), not one per document.  Integer sums only: the single
+    final division happens at the consumer, keeping the arithmetic
+    bit-exact against a SQL oracle regardless of summation order."""
+    from ray.data.aggregate import Sum
+
+    from .textstats import STOPWORDS
+
+    stop = set(STOPWORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg: dict[str, list[int]] = {}
+        for g, t in zip(
+            batch[group_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            words = (t or "").split(" ")
+            row = agg.setdefault(g, [0, 0, 0])
+            row[0] += 1
+            row[1] += len(words)
+            row[2] += sum(1 for w in words if w in stop)
+        keys = sorted(agg)
+        return pa.table(
+            {
+                group_column: pa.array(keys, pa.string()),
+                "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "n_words": pa.array([agg[k][1] for k in keys], pa.int64()),
+                "n_stopwords": pa.array([agg[k][2] for k in keys], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([group_column, text_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group_column)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_stopwords", alias_name="n_stopwords"),
+        )
+    )
+
+
+def domain_filter(
+    ds,
+    *,
+    group_column: str = "source",
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    min_docs: int = 1,
+    min_stopword_ratio: float = 0.0,
+    num_partitions: int = 16,
+    small_threshold: int | None = None,
+):
+    """Domain-level quality gate (the RefinedWeb/C4 'judge the site,
+    not just the page' pass): aggregate per-domain stats, then mark
+    every document of a failing domain.  Returns one row per document:
+    (id, domain, domain_n_docs, domain_stopword_ratio, keep).
+
+    keep = domain has ≥ ``min_docs`` documents AND its corpus-level
+    stopword ratio (Σ stopwords / Σ words, one exact division) ≥
+    ``min_stopword_ratio``.
+
+    Size-adaptive attach: a small domain table broadcasts once via
+    ``ray.put`` (read in every task, never re-shipped per batch);
+    above the threshold it attaches by hash join on the domain key."""
+    import ray
+
+    if small_threshold is None:
+        small_threshold = SMALL_DOMAIN_THRESHOLD
+
+    stats = domain_stats(
+        ds, group_column=group_column, text_column=text_column
+    ).materialize()
+    n_domains = stats.count()
+
+    docs = ds.select_columns([id_column, group_column])
+
+    def decide(n_docs_arr, n_words_arr, n_stop_arr):
+        import pyarrow.compute as pc
+
+        ratio = pc.divide(
+            pc.cast(n_stop_arr, pa.float64()), pc.cast(n_words_arr, pa.float64())
+        )
+        keep = pc.and_(
+            pc.greater_equal(n_docs_arr, min_docs),
+            pc.greater_equal(ratio, min_stopword_ratio),
+        )
+        return ratio, keep
+
+    if n_domains <= small_threshold:
+        tbl = stats.to_pandas()
+        lookup = {
+            g: (int(d), int(w), int(s))
+            for g, d, w, s in zip(
+                tbl[group_column], tbl["n_docs"], tbl["n_words"], tbl["n_stopwords"]
+            )
+        }
+        lookup_ref = ray.put(lookup)
+
+        def attach_small(batch: pa.Table) -> pa.Table:
+            lk = ray.get(lookup_ref)
+            rows = [lk[g] for g in batch[group_column].to_pylist()]
+            nd = pa.array([r[0] for r in rows], pa.int64())
+            nw = pa.array([r[1] for r in rows], pa.int64())
+            ns = pa.array([r[2] for r in rows], pa.int64())
+            ratio, keep = decide(nd, nw, ns)
+            return pa.table(
+                {
+                    id_column: batch[id_column],
+                    group_column: batch[group_column],
+                    "domain_n_docs": nd,
+                    "domain_stopword_ratio": ratio,
+                    "keep": keep,
+                }
+            )
+
+        return docs.map_batches(attach_small, batch_format="pyarrow")
+
+    from .dedup import _coalesce_for_join, _join_partitions
+
+    stats, _ = _coalesce_for_join(stats)
+    joined = docs.join(
+        stats,
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=(group_column,),
+        right_on=(group_column,),
+    )
+
+    def attach_join(batch: pa.Table) -> pa.Table:
+        ratio, keep = decide(
+            batch["n_docs"], batch["n_words"], batch["n_stopwords"]
+        )
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                group_column: batch[group_column],
+                "domain_n_docs": batch["n_docs"],
+                "domain_stopword_ratio": ratio,
+                "keep": keep,
+            }
+        )
+
+    return joined.map_batches(attach_join, batch_format="pyarrow")

@@ -286,6 +286,28 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM tot t LEFT JOIN kept kp USING (page_id)
             GROUP BY t.page_id, t.n_total
         """,
+        # per-source integer sums; ONE final double division keeps the
+        # ratio bit-exact vs the Ray side regardless of summation order
+        "domain_filter": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       len(string_split(text, ' ')) AS nw,
+                       len(list_filter(string_split(text, ' '),
+                           w -> list_contains(['the','a','of','and','to','in','is'], w))) AS ns
+                FROM documents
+            ),
+            d AS (
+                SELECT source, COUNT(*) AS n_docs,
+                       SUM(nw) AS tw, SUM(ns) AS ts
+                FROM s GROUP BY source
+            )
+            SELECT s.doc_id, s.source,
+                   d.n_docs AS domain_n_docs,
+                   CAST(d.ts AS DOUBLE) / CAST(d.tw AS DOUBLE) AS domain_stopword_ratio,
+                   (d.n_docs >= 10 AND
+                    CAST(d.ts AS DOUBLE) / CAST(d.tw AS DOUBLE) >= 0.06) AS keep
+            FROM s JOIN d USING (source)
+        """,
         "lang_id": """
             WITH w AS (
                 SELECT doc_id, text,

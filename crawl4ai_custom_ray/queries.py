@@ -809,3 +809,14 @@ def q_line_dedup(sf_dir: str):
 
     pages = docs.map_batches(to_pages, batch_format="pyarrow")
     return line_dedup(pages, id_column="page_id")
+
+
+def q_domain_filter(sf_dir: str):
+    """Domain-level quality gate: per-source integer aggregates
+    (combiner-first), one exact division for the corpus-level
+    stopword ratio, keep decision joined back onto every document
+    (broadcast under the domain threshold, hash join above)."""
+    from .functions.curation import domain_filter
+
+    ds = _documents(sf_dir, ["doc_id", "source", "text"])
+    return domain_filter(ds, min_docs=10, min_stopword_ratio=0.06)

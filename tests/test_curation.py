@@ -165,3 +165,48 @@ def test_dsir_select_prefers_target_like_docs(ray_session):
     assert bool(out.loc[2, "selected"]) is False
     assert int(out.loc[1, "n_target_like"]) == int(out.loc[1, "n_grams"])
     assert int(out.loc[2, "n_target_like"]) == 0
+
+
+# ------------------------------------------------------- domain filter
+
+
+def test_domain_filter_paths_equal(ray_session):
+    """Broadcast fast path == hash-join scale path, and both match a
+    hand-computed keep decision."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import domain_filter
+
+    rows = []
+    # good domain: stopword-rich; bad domain: no stopwords; tiny domain: too few docs
+    for i in range(12):
+        rows.append((i, "good", "the cat is in the house and it is fine"))
+    for i in range(12, 24):
+        rows.append((i, "bad", "lorem ipsum dolor sit amet consectetur"))
+    rows.append((24, "tiny", "the the the the"))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    kw = dict(min_docs=10, min_stopword_ratio=0.1)
+    small = (
+        domain_filter(ds, **kw).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    large = (
+        domain_filter(ds, small_threshold=0, **kw)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert small.equals(large[small.columns].astype(small.dtypes.to_dict()))
+    by_src = small.groupby("source")["keep"].all()
+    assert bool(by_src["good"]) is True
+    assert bool(by_src["bad"]) is False      # ratio 0
+    assert bool(by_src["tiny"]) is False     # min_docs
+    assert len(small) == 25
