@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster": q.q_dedup_cluster,
         "line_dedup": q.q_line_dedup,
         "token_count": q.q_token_count,
+        "vocab_topk": q.q_vocab_topk,
+        "pack_sequences": q.q_pack_sequences,
         "quality_score": q.q_quality_score,
         "lang_id": q.q_lang_id,
         "fingerprint": q.q_fingerprint,

@@ -161,3 +161,96 @@ def fingerprint_batch(batch: pa.Table, *, text_column: str = "text") -> pa.Table
             "fp_hash": pa.array(hashes, pa.uint64()),
         }
     )
+
+
+# ----------------------------------------------------------- vocabulary
+
+
+def vocab_topk(
+    ds,
+    *,
+    k: int = 100,
+    text_column: str = "text",
+):
+    """Global vocabulary by document frequency: top-``k`` tokens by
+    (df desc, token asc).  The per-batch combiner counts each token
+    once per document BEFORE the shuffle, so the groupby moves one
+    (token, partial-df) row per batch instead of one per occurrence;
+    the final sort runs over the vocabulary-sized aggregate, never the
+    corpus."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch[text_column].to_pylist():
+            c.update(set((t or "").split(" ")))
+        toks = sorted(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df_part": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    df = (
+        ds.select_columns([text_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+    # top-k with deterministic ties: df desc, token asc.  sort+limit
+    # gets limit pushdown into the sort's merge, and the input here is
+    # vocabulary-sized (post-aggregate), not corpus-sized.
+    return df.sort(["df", "token"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def pack_sequences(
+    ds,
+    *,
+    budget: int,
+    group_column: str = "source",
+    id_column: str = "doc_id",
+    text_column: str = "text",
+):
+    """GPT-style sequence packing assignment: within each
+    ``group_column`` partition, documents (in ``id_column`` order) are
+    concatenated into training sequences of ``budget`` tokens;
+    ``seq_index`` = which sequence a document starts in (exclusive
+    running token count // budget) — the deterministic cut-at-boundary
+    policy that lets every shard pack independently.  Returns
+    (group, id, n_tokens, seq_index).
+
+    Partitioning assumption: packing is per-group by design (a shard =
+    a group), so the shuffle is one groupby on the group key and each
+    group's state is its (id, n_tokens) list — never document text."""
+    import numpy as np
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_column: batch[group_column],
+                id_column: batch[id_column],
+                "n_tokens": pa.array(
+                    [len((t or "").split(" ")) for t in batch[text_column].to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    counted = ds.select_columns(
+        [group_column, id_column, text_column]
+    ).map_batches(count_tokens, batch_format="pyarrow")
+
+    def pack_group(grp):
+        grp = grp.sort_values(id_column).reset_index(drop=True)
+        toks = grp["n_tokens"].to_numpy()
+        prev = np.concatenate(([0], np.cumsum(toks)[:-1]))
+        grp["seq_index"] = prev // budget
+        return grp
+
+    return counted.groupby(group_column).map_groups(pack_group, batch_format="pandas")

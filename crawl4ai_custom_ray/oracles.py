@@ -378,6 +378,27 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,
+        "vocab_topk": """
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                FROM documents
+            ),
+            df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token)
+            SELECT token, df FROM df ORDER BY df DESC, token ASC LIMIT 100
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT source, doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT source, doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 1024 AS seq_index
+            FROM t
+        """,
         "quality_score": """
             WITH t AS (
                 SELECT doc_id, text, len(string_split(text, ' ')) AS nw FROM documents

@@ -820,3 +820,23 @@ def q_domain_filter(sf_dir: str):
 
     ds = _documents(sf_dir, ["doc_id", "source", "text"])
     return domain_filter(ds, min_docs=10, min_stopword_ratio=0.06)
+
+
+def q_vocab_topk(sf_dir: str):
+    """Global top-100 vocabulary by document frequency (combiner-first
+    df counting; ties broken token-asc so the result is total-ordered
+    and oracle-exact)."""
+    from .functions.textstats import vocab_topk
+
+    return vocab_topk(_documents(sf_dir, ["doc_id", "text"]), k=100)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Training sequence packing: per-source doc_id-ordered exclusive
+    token cumsum // 1024 — the deterministic cut-at-boundary packing
+    assignment every shard can compute independently."""
+    from .functions.textstats import pack_sequences
+
+    return pack_sequences(
+        _documents(sf_dir, ["doc_id", "source", "text"]), budget=1024
+    )

@@ -593,3 +593,59 @@ def test_line_dedup_min_line_len(ray_session):
     assert out.loc[0, "text"] == "ab\nlong line here"
     assert out.loc[1, "text"] == "ab"  # short line exempt, long line deduped
     assert list(out["n_removed"]) == [0, 1]
+
+
+# --------------------------------------------- vocab / sequence packing
+
+
+def test_vocab_topk_df_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.textstats import vocab_topk
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                # "b" appears twice in doc 0 but df counts docs, not occurrences
+                "text": pa.array(["a b b", "b c", "c a"], pa.string()),
+            }
+        )
+    )
+    out = vocab_topk(ds, k=2).to_pandas()
+    # df: a=2, b=2, c=2 → ties broken token-asc → [a, b]
+    assert list(out["token"]) == ["a", "b"]
+    assert list(out["df"]) == [2, 2]
+
+
+def test_pack_sequences_assignment(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.textstats import pack_sequences
+
+    rows = [
+        (0, "s", "w " * 5),   # 6 tokens (trailing empty token from split)
+        (1, "s", "x x x"),    # 3 tokens
+        (2, "s", "y y"),      # 2 tokens
+        (3, "t", "z"),        # separate group restarts at seq 0
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "source": pa.array([r[1] for r in rows], pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = (
+        pack_sequences(ds, budget=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # prev cumsums in group s: 0, 6, 9 → seq 0, 0, 1; group t: 0 → seq 0
+    assert list(out["seq_index"]) == [0, 0, 1, 0]
+    assert list(out["n_tokens"]) == [6, 3, 2, 1]
