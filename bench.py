@@ -121,6 +121,16 @@ def run_bench() -> dict:
 
     queries["dedup_minhash"] = _timed(dedup)
 
+    # dedup finished to a decision: pairs → connected components →
+    # per-doc keep flag (union-find fast path at this scale)
+    from crawl4ai_custom_ray.functions.dedup import near_dedup_clusters
+
+    def dedup_finish():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        near_dedup_clusters(docs, threshold=0.5, num_perm=64, bands=16, shingle_n=3).count()
+
+    queries["dedup_cluster"] = _timed(dedup_finish)
+
     # similarity: brute-force cosine top-10 for 20 queries
     from crawl4ai_custom_ray.functions.similarity import knn_brute_force
     import numpy as np

@@ -897,6 +897,31 @@ def near_dedup_clusters(
         pairs, num_partitions=num_partitions, small_threshold=small_threshold
     ).materialize()
 
+    # Size-adaptive attach: the components table is bounded by the
+    # edge count, so whenever the union-find fast path ran (edges ≤
+    # threshold) it is provably driver-small — broadcast the node→
+    # cluster map once instead of paying a join shuffle's fixed cost.
+    thresh = SMALL_PAIR_THRESHOLD if small_threshold is None else small_threshold
+    if comp.count() <= thresh:
+        import ray
+
+        cdf = comp.to_pandas()
+        cmap_ref = ray.put(dict(zip(cdf["node"], cdf["cluster_id"])))
+
+        def attach_small(batch: pa.Table) -> pa.Table:
+            cmap = ray.get(cmap_ref)
+            own = batch[id_column].to_pylist()
+            cluster = pa.array([cmap.get(i, i) for i in own], pa.int64())
+            return pa.table(
+                {
+                    id_column: batch[id_column],
+                    "cluster_id": cluster,
+                    "keep": pc.equal(cluster, batch[id_column]),
+                }
+            )
+
+        return ids.map_batches(attach_small, batch_format="pyarrow")
+
     joined = ids.join(
         comp,
         join_type="left_outer",

@@ -516,6 +516,18 @@ def test_near_dedup_clusters_planted(ray_session, dup_corpus):
     for group in planted:
         assert kept.intersection(group) == {min(group)}
     assert len(out) == len(ids)
+    # broadcast attach == join attach (small_threshold=0 forces the
+    # distributed components + left-join path)
+    out2 = (
+        near_dedup_clusters(ds, threshold=0.5, small_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    assert a[["doc_id", "cluster_id", "keep"]].equals(
+        out2[["doc_id", "cluster_id", "keep"]].astype(a.dtypes.to_dict())
+    )
 
 
 def test_connected_components_empty(ray_session):
