@@ -20,12 +20,16 @@ from __future__ import annotations
 
 import hashlib
 
-from .dom import CommentNode, Element, TextNode, parse
+from .dom import CommentNode, Element, TextNode
+from .fastparse import parse_fast
 
 _REMOVE_TAGS = (
     "script", "style", "noscript", "iframe", "canvas", "svg",
     "video", "audio", "source", "track", "map", "area",
 )
+# one fused walk removes head + all stripped tags (frozenset: O(1)
+# membership per element instead of 13 separate traversals)
+_REMOVE_WITH_HEAD = frozenset(_REMOVE_TAGS) | {"head"}
 _ATTRS_TO_KEEP = frozenset({"id", "class", "name", "type", "value"})
 
 
@@ -36,13 +40,10 @@ def preprocess_html_for_schema(
     max_size: int = 100_000,
 ) -> str:
     try:
-        root = parse(html_content)
+        root = parse_fast(html_content)
 
-        for head in root.find_all("head"):
-            head.decompose()
-        for tag in _REMOVE_TAGS:
-            for el in root.find_all(tag):
-                el.decompose()
+        for el in root.find_all(_REMOVE_WITH_HEAD):
+            el.decompose()
 
         # strip comments, clean attributes, truncate text
         stack: list[Element] = [root]
