@@ -41,7 +41,30 @@ def preprocess_html_for_schema(
 ) -> str:
     try:
         root = parse_fast(html_content)
+    except Exception:
+        return html_content[:max_size] if len(html_content) > max_size else html_content
+    return preprocess_tree_for_schema(
+        root,
+        html_content,
+        text_threshold=text_threshold,
+        attr_value_threshold=attr_value_threshold,
+        max_size=max_size,
+    )
 
+
+def preprocess_tree_for_schema(
+    root: Element,
+    html_content: str,
+    *,
+    text_threshold: int = 100,
+    attr_value_threshold: int = 200,
+    max_size: int = 100_000,
+) -> str:
+    """Tree-level ``preprocess_html_for_schema``: MUTATES ``root`` (pass a
+    ``copy_tree()`` if the original is still needed) so the extract kernel
+    can reuse its pristine parse instead of re-tokenizing the raw html.
+    ``html_content`` is only the fallback payload on internal error."""
+    try:
         for el in root.find_all(_REMOVE_WITH_HEAD):
             el.decompose()
 

@@ -32,7 +32,7 @@ import json
 from .html.fastparse import parse_fast as parse
 from .html.markdown import convert_links_to_citations, markdown_from_tree
 from .html.pruning import PruningContentFilter
-from .html.schema_html import preprocess_html_for_schema
+from .html.schema_html import preprocess_tree_for_schema
 from .html.scrape import scrape_tree
 
 _WS_BLOCK_SEP = "\n\n"
@@ -107,6 +107,12 @@ def extract_page(
         if not html:
             raise ValueError("empty html")
 
+        # snapshot the pristine tree for fit_html BEFORE scrape mutates it:
+        # a node copy (~0.1 ms/page) replaces a second full tokenize (~0.3)
+        schema_root = (
+            root.copy_tree() if compute_fit_html and "fit_html" in need else None
+        )
+
         scraped = scrape_tree(
             url,
             root,
@@ -150,8 +156,10 @@ def extract_page(
                 text = _WS_BLOCK_SEP.join(parts)
 
         schema_html = (
-            preprocess_html_for_schema(html, text_threshold=500, max_size=300_000)
-            if compute_fit_html and "fit_html" in need
+            preprocess_tree_for_schema(
+                schema_root, html, text_threshold=500, max_size=300_000
+            )
+            if schema_root is not None
             else ""
         )
 
