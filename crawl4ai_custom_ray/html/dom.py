@@ -134,22 +134,36 @@ class Element:
         tags = (tag,) if isinstance(tag, str) else tag
         if recursive:
             out = []
-            stack = list(self.children)
+            stack = [c for c in self.children if type(c) is Element]
             stack.reverse()
             while stack:
                 c = stack.pop()
-                if type(c) is Element:
-                    if c.tag in tags:
-                        out.append(c)
-                    grand = c.children
-                    for i in range(len(grand) - 1, -1, -1):
-                        stack.append(grand[i])
+                if c.tag in tags:
+                    out.append(c)
+                grand = c.children
+                for i in range(len(grand) - 1, -1, -1):
+                    g = grand[i]
+                    if type(g) is Element:
+                        stack.append(g)
             return out
         return [c for c in self.children if isinstance(c, Element) and c.tag in tags]
 
     def find(self, tag):
-        matches = self.find_all(tag)
-        return matches[0] if matches else None
+        # early-exit walk: `find` is hot (head/base/title probes per
+        # page) and must not pay for a full-tree find_all
+        tags = (tag,) if isinstance(tag, str) else tag
+        stack = [c for c in self.children if type(c) is Element]
+        stack.reverse()
+        while stack:
+            c = stack.pop()
+            if c.tag in tags:
+                return c
+            grand = c.children
+            for i in range(len(grand) - 1, -1, -1):
+                g = grand[i]
+                if type(g) is Element:
+                    stack.append(g)
+        return None
 
     def child_elements(self) -> list:
         return [c for c in self.children if isinstance(c, Element)]
