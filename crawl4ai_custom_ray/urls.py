@@ -45,6 +45,89 @@ _SECOND_LEVEL = frozenset(
 
 _WWW_RE = re.compile(r"^www\.")
 
+# ----------------------------------------------------------- fast paths
+# urlparse/urljoin dominate the scrape kernel's link loop (~15% of
+# extract_page).  The helpers below handle only the overwhelmingly
+# common shapes — absolute http(s) URLs and simple relative hrefs with
+# no dot segments — and return None for anything else so callers fall
+# back to the stdlib (differential-tested equivalence in
+# tests/test_urls.py).
+
+_CTRL = ("\t", "\r", "\n")  # urlsplit strips these anywhere; we bail
+
+
+def _fast_netloc(url: str) -> str | None:
+    """netloc of a plain absolute http(s) URL, else None."""
+    if url.startswith("http://"):
+        start = 7
+    elif url.startswith("https://"):
+        start = 8
+    else:
+        return None
+    for ch in _CTRL:
+        if ch in url:
+            return None
+    end = len(url)
+    for ch in "/?#":
+        i = url.find(ch, start)
+        if i != -1 and i < end:
+            end = i
+    return url[start:end]
+
+
+# base_url → (scheme, netloc, dirpath) or None (unsupported base);
+# pages share one base so this stays tiny — cleared past 1024 entries.
+_BASE_SPLIT_CACHE: dict[str, tuple[str, str, str] | None] = {}
+
+
+def _fast_join(base: str, href: str) -> str | None:
+    """urljoin for the common cases; None = caller must use urljoin."""
+    if not href:
+        return None
+    # urlsplit strips edge whitespace/controls and elides a bare
+    # trailing '?'/'#'; those shapes go to the stdlib
+    if href[0] <= " " or href[-1] <= " " or href[-1] in "?#":
+        return None
+    for ch in _CTRL:
+        if ch in href:
+            return None
+    cached = _BASE_SPLIT_CACHE.get(base, "")
+    if cached == "":
+        if len(_BASE_SPLIT_CACHE) > 1024:
+            _BASE_SPLIT_CACHE.clear()
+        parsed = urlparse(base)
+        if (
+            parsed.scheme in ("http", "https")
+            and parsed.netloc
+            and not parsed.params
+            and "./" not in parsed.path
+        ):
+            path = parsed.path or "/"
+            d = path.rfind("/")
+            dirpath = path[: d + 1] if d >= 0 else "/"
+            cached = (parsed.scheme, parsed.netloc, dirpath)
+        else:
+            cached = None
+        _BASE_SPLIT_CACHE[base] = cached
+    if cached is None:
+        return None
+    scheme, netloc, dirpath = cached
+    if href.startswith("//"):
+        # need a real netloc char ('//', '///x' resolve oddly)
+        if len(href) < 3 or href[2] in "/?#":
+            return None
+        return scheme + ":" + href
+    # shared guards for both path branches: '//' (stdlib collapses
+    # empty segments), '?#' (a bare '?' before '#' is elided), '/.'
+    # (covers /./  /..  and dot segments cut by '?' '#' or end)
+    if "//" in href or "?#" in href or "/." in href:
+        return None
+    if href.startswith("/"):
+        return scheme + "://" + netloc + href
+    if ":" in href or href[0] in "?#.":
+        return None
+    return scheme + "://" + netloc + dirpath + href
+
 
 def normalize_url(
     href: str | None,
@@ -69,7 +152,9 @@ def normalize_url(
     if href.startswith(("http://", "https://")) and "/." not in href:
         full_url = href
     else:
-        full_url = urljoin(base_url, href)
+        full_url = _fast_join(base_url, href)
+        if full_url is None:
+            full_url = urljoin(base_url, href)
     parsed = urlparse(full_url)
 
     netloc = parsed.netloc.lower()
@@ -119,7 +204,10 @@ def get_base_domain(url: str) -> str:
     """Registrable base domain (handles ``co.uk``-style suffixes with a
     small hardcoded second-level set, like the reference)."""
     try:
-        domain = urlparse(url).netloc.lower()
+        netloc = _fast_netloc(url)
+        if netloc is None:
+            netloc = urlparse(url).netloc
+        domain = netloc.lower()
         if not domain:
             return ""
         domain = domain.split(":")[0]
@@ -138,10 +226,12 @@ def is_external_url(url: str, base_domain: str) -> bool:
     if any(low.startswith(p) for p in _SPECIAL_SCHEMES):
         return True
     try:
-        parsed = urlparse(url)
-        if not parsed.netloc:
+        netloc = _fast_netloc(url)
+        if netloc is None:
+            netloc = urlparse(url).netloc
+        if not netloc:
             return False
-        url_domain = parsed.netloc.lower().replace("www.", "")
+        url_domain = netloc.lower().replace("www.", "")
         base = base_domain.lower().replace("www.", "")
         return not url_domain.endswith(base)
     except Exception:
@@ -153,7 +243,10 @@ def url_host(url: str) -> str:
     matching the reference rate limiter's ``urlparse(url).netloc``
     (``async_dispatcher.py:42-43``)."""
     try:
-        return urlparse(url).netloc.lower()
+        netloc = _fast_netloc(url)
+        if netloc is None:
+            netloc = urlparse(url).netloc
+        return netloc.lower()
     except Exception:
         return ""
 

@@ -148,3 +148,85 @@ class TestReferenceGoldens:
             normalize_url("another.doc", base)
             == "http://example.com/zwgk/fdzdgk/zdxx/spaq/another.doc"
         )
+
+
+class TestFastPathEquivalence:
+    """The `_fast_join` / `_fast_netloc` fast paths must agree with the
+    stdlib byte-for-byte whenever they claim a result (None = fallback,
+    always safe).  Goldens cover every guard class the fuzzer found."""
+
+    GOLDEN_BASES = [
+        "http://example.com",
+        "http://example.com/",
+        "https://Example.COM/a/b/c.html",
+        "http://example.com/a/b/?q=1",
+        "https://user:pw@ex.com:8080/p/q",
+        "http://example.com/a;param/b",
+        "http://example.com/./a/b",
+        "ftp://x/y",
+        "//nos/scheme",
+        "relative/base",
+        "https://example.com/a/b#frag",
+        "HTTP://example.com/x",
+        "http://example.com/a%20b/c",
+    ]
+    GOLDEN_HREFS = [
+        "", "x", "x/y", "dir/", "/abs", "/abs/x?q=2", "//other.com/z",
+        "//h", "//", "///x", "//?q", "?q=3", "#frag", "./rel", "../up",
+        "a/./b", "a/../b", ".", "..", "x.", "a./b", "x#f", "x?a=1&b=2",
+        "mailto:a@b", "http://abs.com/p", "a:b", "a/b:c", "x y",
+        " lead", "trail ", "/", "p?", "p#", "p?#f", "te/.?r", "%7Ex",
+        "\tx", "x\ny", "..//x", "x;param", "x?q=#f", "/.?i", "/.#j",
+        "a//b", ".#m", ".?n", "p##", "p#?",
+    ]
+
+    def test_fast_join_golden_equivalence(self):
+        from urllib.parse import urljoin
+        from crawl4ai_custom_ray.urls import _fast_join
+
+        for base in self.GOLDEN_BASES:
+            for href in self.GOLDEN_HREFS:
+                got = _fast_join(base, href)
+                if got is not None:
+                    assert got == urljoin(base, href), (base, href)
+
+    def test_fast_join_fuzz_equivalence(self):
+        import random
+        import string
+        from urllib.parse import urljoin
+        from crawl4ai_custom_ray.urls import _fast_join
+
+        rng = random.Random(20260817)
+        alpha = string.ascii_lowercase + "/.?#:&=%~_- "
+        for _ in range(8000):
+            base = rng.choice(self.GOLDEN_BASES)
+            href = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 24)))
+            got = _fast_join(base, href)
+            if got is not None:
+                assert got == urljoin(base, href), (base, href)
+
+    def test_fast_join_hits_common_shapes(self):
+        # the shapes that dominate real pages MUST take the fast path
+        from crawl4ai_custom_ray.urls import _fast_join
+
+        base = "http://example.com/a/b/index.html"
+        for href in ("page2.html", "img/x.png", "/about", "//cdn.ex.com/x.js",
+                     "page?x=1", "page#sec"):
+            assert _fast_join(base, href) is not None, href
+
+    def test_fast_netloc_equivalence(self):
+        from urllib.parse import urlparse
+        from crawl4ai_custom_ray.urls import _fast_netloc
+
+        urls = [
+            f"{s}{h}{p}{q}{f}"
+            for s in ("http://", "https://", "ftp://", "", "HTTP://")
+            for h in ("a.com", "WWW.B.co.uk:8080", "user@h.io", "")
+            for p in ("", "/", "/x/y", "/x?y", ";p")
+            for q in ("", "?a=1", "?a=1#f")
+            for f in ("", "#z")
+        ] + ["http://", "https://#", "http://\thost/x", "http://h\nost"]
+        for u in urls:
+            got = _fast_netloc(u)
+            if got is not None:
+                assert got == urlparse(u).netloc, u
