@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": q.q_pdf_extract,
         "events_window": q.q_events_window,
         "sessionize": q.q_sessionize,
+        "asof_join": q.q_asof_join,
         "chunk_fixed": q.q_chunk_fixed,
         # curation ops (PII / decontamination / repetition gate)
         "pii_scrub": q.q_pii_scrub,

@@ -1,0 +1,152 @@
+"""As-of (temporal) join over two event streams.
+
+Ray Data has no as-of join and neither does the reference engine —
+this is one of the custom temporal-alignment operators a large-scale
+training-data pipeline needs (attach the most recent state row —
+snapshot, purchase, config change — at or before each observation).
+
+Shape (scale-first): both sides are bucketed by a *mixed* hash of the
+``by`` key into ``n_buckets`` fat buckets (NOT per-key groups),
+unioned with a side tag, and hash-shuffled ONCE by bucket; each
+bucket group then runs one vectorized ``pandas.merge_asof(by=...)``
+over thousands of keys.  One all-to-all moves both sides; the group
+count is ``n_buckets`` — independent of key cardinality — so the
+per-group pandas overhead measured in BASELINE.md (tiny-group
+``map_groups`` poison) never appears, and key skew is spread by the
+mixing hash.  Partitioning assumption: no single bucket (both sides
+summed) exceeds a worker's heap; raise ``n_buckets`` with cluster
+size.
+
+Tie semantics (deterministic, mirrored in the SQL oracle): right
+rows are first deduped to one per ``(by, on)`` keeping the largest
+``id_column`` value; a left row matches the latest right row with
+``on_right <= on_left`` (backward search, exact matches allowed) —
+the semantics of DuckDB ``ASOF JOIN ... ON l.k = r.k AND l.t >= r.t``.
+Unmatched left rows are dropped (inner as-of).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# golden-ratio multiplicative mixing (Knuth); spreads sequential ids
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    mixed = keys.astype(np.uint64, copy=False) * _MIX
+    return ((mixed >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset whose blocks may be pandas-backed
+    (``from_pandas``) — numpy dtypes are mapped through pyarrow."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, dt in zip(base.names, base.types):
+        if isinstance(dt, pa.DataType):
+            typ = dt
+        else:
+            typ = pa.from_numpy_dtype(np.dtype(dt))
+        fields.append(pa.field(name, typ))
+    return pa.schema(fields)
+
+
+def asof_join(
+    left,
+    right,
+    *,
+    by: str = "user_id",
+    on: str = "ts",
+    id_column: str = "event_id",
+    right_payload: dict[str, str] | None = None,
+    n_buckets: int = 64,
+):
+    """Inner as-of join of two ``ray.data.Dataset`` event streams.
+
+    ``right_payload`` maps right-side column → output column name
+    (default: ``{id_column: "match_<id_column>"}``).  The result keeps
+    every left column plus the renamed right payload columns.
+    """
+    if right_payload is None:
+        right_payload = {id_column: f"match_{id_column}"}
+
+    left_cols = [c for c in left.schema().names]
+    l_payload = [c for c in left_cols if c not in (by, on)]
+    # right payload columns are RENAMED before the union so they can
+    # never collide with left column names (e.g. both sides carrying
+    # `event_id`)
+    renamed = [right_payload[c] for c in right_payload]
+    renamed_id = right_payload.get(id_column)
+
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch[by].to_numpy(zero_copy_only=False)
+        cols = {name: batch[name] for name in left_cols}
+        for src, dst in right_payload.items():
+            cols[dst] = pa.nulls(len(batch), r_schema.field(src).type)
+        cols["_bucket"] = pa.array(_bucket_of(keys, n_buckets), pa.int32())
+        cols["_side"] = pa.array(np.full(len(batch), 0, dtype=np.int8))
+        return pa.table(cols)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch[by].to_numpy(zero_copy_only=False)
+        # same column ORDER as _tag_left so union blocks share one schema
+        cols = {}
+        for name in left_cols:
+            if name in (by, on):
+                cols[name] = batch[name]
+            else:
+                cols[name] = pa.nulls(len(batch), l_schema.field(name).type)
+        for src, dst in right_payload.items():
+            cols[dst] = batch[src]
+        cols["_bucket"] = pa.array(_bucket_of(keys, n_buckets), pa.int32())
+        cols["_side"] = pa.array(np.full(len(batch), 1, dtype=np.int8))
+        return pa.table(cols)
+
+    tagged_l = left.map_batches(_tag_left, batch_format="pyarrow")
+    tagged_r = right.map_batches(_tag_right, batch_format="pyarrow")
+    both = tagged_l.union(tagged_r)
+
+    out_order = left_cols + renamed
+    # the union carries each side's payload as nulls on the other
+    # side, so int columns float-upcast in the pandas group block —
+    # restore every output column to its declared dtype at the end
+    want_dtype = {c: l_schema.field(c).type.to_pandas_dtype() for c in left_cols}
+    for src, dst in right_payload.items():
+        want_dtype[dst] = r_schema.field(src).type.to_pandas_dtype()
+
+    def _join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df.loc[df["_side"] == 0, left_cols]
+        rdf = df.loc[df["_side"] == 1, [by, on] + renamed]
+        if len(ldf) == 0 or len(rdf) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=want_dtype[c]) for c in out_order}
+            )
+        ldf = ldf.sort_values([on, by], kind="stable")
+        rdf = rdf.sort_values(
+            [on] + ([renamed_id] if renamed_id else []), kind="stable"
+        )
+        # dedup ties: one right row per (by, on), max id wins
+        rdf = rdf.drop_duplicates([by, on], keep="last")
+        merged = pd.merge_asof(
+            ldf,
+            rdf,
+            on=on,
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        merged = merged.dropna(subset=renamed[:1])
+        for c in out_order:
+            if merged[c].dtype != want_dtype[c]:
+                merged[c] = merged[c].astype(want_dtype[c])
+        return merged[out_order]
+
+    return both.groupby("_bucket").map_groups(_join_bucket, batch_format="pandas")

@@ -452,6 +452,26 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    regexp_replace(text, '[^\x20-\x7e\n]', '', 'g') AS text
             FROM documents
         """,
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+            ),
+            r0 AS (
+                SELECT event_id, ts, user_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, ts ORDER BY event_id DESC
+                       ) AS rn
+                FROM events WHERE event_type = 'purchase'
+            ),
+            r AS (SELECT * FROM r0 WHERE rn = 1)
+            SELECT l.event_id AS event_id,
+                   l.ts AS ts,
+                   l.user_id AS user_id,
+                   r.event_id AS match_event_id,
+                   r.value AS match_value
+            FROM l ASOF JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
         "events_window": """
             SELECT event_type,
                    date_trunc('hour', ts) AS window_start,

@@ -400,6 +400,44 @@ def q_pdf_extract(sf_dir: str):
     return process_pdfs(pdfs).select_columns(["doc_id", "n_pages", "text"])
 
 
+def q_asof_join(sf_dir: str):
+    """For each ``click`` event, the user's most recent ``purchase``
+    at or before the click (inner as-of semantics) — the bucketed
+    ``merge_asof`` operator from ``functions/asof.py``; one hash
+    shuffle for both streams, fat buckets, DuckDB ``ASOF JOIN``
+    oracle."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from .functions.asof import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def _only(kind: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(_pc.equal(batch["event_type"], kind)).drop_columns(
+                ["event_type"]
+            )
+
+        return fn
+
+    clicks = ev.map_batches(_only("click"), batch_format="pyarrow").drop_columns(
+        ["value"]
+    )
+    purchases = ev.map_batches(_only("purchase"), batch_format="pyarrow")
+    return asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        on="ts",
+        id_column="event_id",
+        right_payload={"event_id": "match_event_id", "value": "match_value"},
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate per event_type: partial
     aggregation inside map_batches, then a small groupby — the

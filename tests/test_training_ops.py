@@ -661,3 +661,132 @@ def test_pack_sequences_assignment(ray_session):
     # prev cumsums in group s: 0, 6, 9 → seq 0, 0, 1; group t: 0 → seq 0
     assert list(out["seq_index"]) == [0, 0, 1, 0]
     assert list(out["n_tokens"]) == [6, 3, 2, 1]
+
+
+class TestAsofJoin:
+    """Bucketed merge_asof operator (functions/asof.py): semantics vs
+    a per-row brute force, tie handling, and bucket-count invariance."""
+
+    @staticmethod
+    def _mk(ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        # left: observations; right: state rows (some shared ts, ties)
+        left = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5, 6],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 10:30", "2024-01-01 09:00",
+                     "2024-01-02 00:00", "2024-01-01 10:00", "2024-01-03 12:00"]
+                ).astype("datetime64[us]"),
+                "user_id": [7, 7, 7, 8, 8, 9],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "event_id": [11, 12, 13, 14, 15, 16],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:00", "2024-01-01 10:00", "2024-01-01 09:30",
+                     "2024-01-01 23:59", "2024-01-01 10:00", "2024-01-04 00:00"]
+                ).astype("datetime64[us]"),
+                "user_id": [7, 7, 7, 8, 8, 9],
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+            }
+        )
+        return rd.from_pandas(left), rd.from_pandas(right)
+
+    def test_semantics_and_ties(self, ray_session):
+        from crawl4ai_custom_ray.functions.asof import asof_join
+
+        left, right = self._mk(ray_session)
+        out = (
+            asof_join(
+                left, right, by="user_id", on="ts", id_column="event_id",
+                right_payload={"event_id": "match_event_id", "value": "match_value"},
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        got = dict(zip(out["event_id"], out["match_event_id"]))
+        # event 1 @10:00 user7: rights 11,12 tie @10:00 → max id 12 wins
+        assert got[1] == 12
+        # event 2 @10:30 user7: latest ≤ is the 10:00 tie winner
+        assert got[2] == 12
+        # event 3 @09:00 user7: no right ≤ 09:00 → dropped (inner)
+        assert 3 not in got
+        # event 4 user8 @Jan2 00:00: right 14 @23:59 Jan1
+        assert got[4] == 14
+        # event 5 user8 @10:00: right 15 exact ts allowed
+        assert got[5] == 15
+        # event 6 user9 @Jan3: only right is Jan4 (future) → dropped
+        assert 6 not in got
+        assert out["match_value"].dtype == "float64"
+        assert out["match_event_id"].dtype == "int64"
+
+    def test_bucket_count_invariance(self, ray_session):
+        from crawl4ai_custom_ray.functions.asof import asof_join
+
+        left, right = self._mk(ray_session)
+        outs = []
+        for nb in (1, 4, 64):
+            o = (
+                asof_join(
+                    left, right, by="user_id", on="ts", id_column="event_id",
+                    right_payload={"event_id": "match_event_id"}, n_buckets=nb,
+                )
+                .to_pandas()
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+            outs.append(o)
+        assert outs[0].equals(outs[1])
+        assert outs[1].equals(outs[2])
+
+    def test_brute_force_random(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from crawl4ai_custom_ray.functions.asof import asof_join
+
+        rng = np.random.default_rng(20260817)
+        n_l, n_r = 400, 300
+        left = pd.DataFrame(
+            {
+                "event_id": np.arange(n_l),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10_000, n_l), unit="s"),
+                "user_id": rng.integers(0, 25, n_l),
+            }
+        )
+        left["ts"] = left["ts"].astype("datetime64[us]")
+        right = pd.DataFrame(
+            {
+                "event_id": np.arange(1000, 1000 + n_r),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10_000, n_r), unit="s"),
+                "user_id": rng.integers(0, 25, n_r),
+                "value": rng.random(n_r),
+            }
+        )
+        right["ts"] = right["ts"].astype("datetime64[us]")
+        out = (
+            asof_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                by="user_id", on="ts", id_column="event_id",
+                right_payload={"event_id": "match_event_id"}, n_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        # brute force: per left row, latest right ≤ ts for user; ties → max id
+        expect = {}
+        for _, lr in left.iterrows():
+            cand = right[(right["user_id"] == lr["user_id"]) & (right["ts"] <= lr["ts"])]
+            if len(cand):
+                best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+                expect[lr["event_id"]] = best["event_id"]
+        got = dict(zip(out["event_id"], out["match_event_id"]))
+        assert got == expect
