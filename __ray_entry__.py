@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q.q_events_window,
         "sessionize": q.q_sessionize,
         "asof_join": q.q_asof_join,
+        "range_join": q.q_range_join,
         "chunk_fixed": q.q_chunk_fixed,
         # curation ops (PII / decontamination / repetition gate)
         "pii_scrub": q.q_pii_scrub,

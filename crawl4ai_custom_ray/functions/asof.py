@@ -150,3 +150,113 @@ def asof_join(
         return merged[out_order]
 
     return both.groupby("_bucket").map_groups(_join_bucket, batch_format="pandas")
+
+
+def range_join(
+    left,
+    right,
+    *,
+    by: str = "user_id",
+    on: str = "ts",
+    lower_us: int = 0,
+    upper_us: int = 3_600_000_000,
+    right_payload: dict[str, str] | None = None,
+    n_buckets: int = 64,
+):
+    """Bounded temporal range join: every (left, right) pair with the
+    same ``by`` key and ``lower_us <= ts_right - ts_left <= upper_us``
+    (timestamps in microseconds).  Inner semantics; one output row per
+    matching pair.
+
+    Scale shape (interval-join sharding, as in streaming systems):
+    time is cut into epochs of width ``upper_us - lower_us``; each
+    RIGHT row lands in exactly one ``(key-bucket, epoch)`` group, and
+    each LEFT row is replicated into the (at most two) epochs its
+    window ``[ts+lower, ts+upper]`` overlaps, so every matching pair
+    meets in exactly one group and no group sees unrelated time
+    ranges.  Join work per group is bounded by key×epoch locality —
+    the classic per-hot-key quadratic hazard of a range join is capped
+    by the epoch width.  Partitioning assumption: one (bucket, epoch)
+    fits a worker's heap; raise ``n_buckets`` with cluster size.
+    """
+    if right_payload is None:
+        right_payload = {"event_id": "match_event_id"}
+    if upper_us <= lower_us:
+        raise ValueError("upper_us must exceed lower_us")
+    width = upper_us - lower_us
+
+    left_cols = [c for c in left.schema().names]
+    l_payload = [c for c in left_cols if c not in (by, on)]
+    renamed = [right_payload[c] for c in right_payload]
+
+    l_schema = _arrow_schema(left)
+    r_schema = _arrow_schema(right)
+
+    def _epoch(ts_us: np.ndarray) -> np.ndarray:
+        return np.floor_divide(ts_us, width)
+
+    def _gkey(keys: np.ndarray, epochs: np.ndarray) -> np.ndarray:
+        bucket = _bucket_of(keys, n_buckets).astype(np.int64)
+        return bucket * np.int64(1 << 40) + epochs.astype(np.int64)
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        keys = batch[by].to_numpy(zero_copy_only=False)
+        ts_us = batch[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e0 = _epoch(ts_us + lower_us)
+        e1 = _epoch(ts_us + upper_us)
+        # replicate each left row into every epoch its window overlaps
+        # (≤2 because window length == epoch width)
+        idx = np.concatenate([np.arange(len(batch)), np.nonzero(e1 != e0)[0]])
+        epochs = np.concatenate([e0, e1[e1 != e0]])
+        rep = batch.take(pa.array(idx))
+        cols = {name: rep[name] for name in left_cols}
+        for src, dst in right_payload.items():
+            cols[dst] = pa.nulls(len(rep), r_schema.field(src).type)
+        cols["_gkey"] = pa.array(
+            _gkey(keys[idx], epochs), pa.int64()
+        )
+        cols["_side"] = pa.array(np.full(len(rep), 0, dtype=np.int8))
+        return pa.table(cols)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch[by].to_numpy(zero_copy_only=False)
+        ts_us = batch[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {}
+        for name in left_cols:
+            if name in (by, on):
+                cols[name] = batch[name]
+            else:
+                cols[name] = pa.nulls(len(batch), l_schema.field(name).type)
+        for src, dst in right_payload.items():
+            cols[dst] = batch[src]
+        cols["_gkey"] = pa.array(_gkey(keys, _epoch(ts_us)), pa.int64())
+        cols["_side"] = pa.array(np.full(len(batch), 1, dtype=np.int8))
+        return pa.table(cols)
+
+    both = left.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow")
+    )
+
+    out_order = left_cols + renamed
+    want_dtype = {c: l_schema.field(c).type.to_pandas_dtype() for c in left_cols}
+    for src, dst in right_payload.items():
+        want_dtype[dst] = r_schema.field(src).type.to_pandas_dtype()
+
+    def _join_group(df: pd.DataFrame) -> pd.DataFrame:
+        ldf = df.loc[df["_side"] == 0, left_cols]
+        rdf = df.loc[df["_side"] == 1, [by, on] + renamed]
+        if len(ldf) == 0 or len(rdf) == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=want_dtype[c]) for c in out_order}
+            )
+        merged = ldf.merge(rdf, on=by, suffixes=("", "_r"))
+        on_r = on + "_r"
+        delta = (merged[on_r] - merged[on]).dt.total_seconds() * 1_000_000
+        merged = merged[(delta >= lower_us) & (delta <= upper_us)]
+        merged = merged.drop(columns=[on_r])
+        for c in out_order:
+            if merged[c].dtype != want_dtype[c]:
+                merged[c] = merged[c].astype(want_dtype[c])
+        return merged[out_order]
+
+    return both.groupby("_gkey").map_groups(_join_group, batch_format="pandas")

@@ -472,6 +472,18 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM l ASOF JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
+        "range_join": """
+            SELECT l.event_id AS event_id,
+                   l.ts AS ts,
+                   l.user_id AS user_id,
+                   r.event_id AS match_event_id,
+                   r.value AS match_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id
+             AND r.ts >= l.ts
+             AND r.ts <= l.ts + INTERVAL 1 HOUR
+        """,
         "events_window": """
             SELECT event_type,
                    date_trunc('hour', ts) AS window_start,

@@ -438,6 +438,44 @@ def q_asof_join(sf_dir: str):
     )
 
 
+def q_range_join(sf_dir: str):
+    """Every (click, purchase) pair of the same user with the purchase
+    0–1 h after the click — the epoch-sharded bounded range join from
+    ``functions/asof.py`` (each left row replicated into ≤2 epoch
+    groups; plain inequality-join oracle)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from .functions.asof import range_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def _only(kind: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.filter(_pc.equal(batch["event_type"], kind)).drop_columns(
+                ["event_type"]
+            )
+
+        return fn
+
+    clicks = ev.map_batches(_only("click"), batch_format="pyarrow").drop_columns(
+        ["value"]
+    )
+    purchases = ev.map_batches(_only("purchase"), batch_format="pyarrow")
+    return range_join(
+        clicks,
+        purchases,
+        by="user_id",
+        on="ts",
+        lower_us=0,
+        upper_us=3_600_000_000,
+        right_payload={"event_id": "match_event_id", "value": "match_value"},
+    )
+
+
 def q_events_window(sf_dir: str):
     """Tumbling 1-hour windowed aggregate per event_type: partial
     aggregation inside map_batches, then a small groupby — the

@@ -790,3 +790,115 @@ class TestAsofJoin:
                 expect[lr["event_id"]] = best["event_id"]
         got = dict(zip(out["event_id"], out["match_event_id"]))
         assert got == expect
+
+
+class TestRangeJoin:
+    """Epoch-sharded bounded range join (functions/asof.py:range_join):
+    pair semantics vs brute force, epoch-boundary replication, and
+    bucket-count invariance."""
+
+    @staticmethod
+    def _pairs(out):
+        return set(zip(out["event_id"], out["match_event_id"]))
+
+    def test_epoch_boundary_and_bounds(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from crawl4ai_custom_ray.functions.asof import range_join
+
+        # window = 1h; rights placed exactly at lower bound, upper bound,
+        # just past upper, before lower, and across an epoch boundary
+        # relative to the left ts (10:30 window straddles the 11:00 epoch cut).
+        left = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": pd.to_datetime(["2024-01-01 10:30", "2024-01-01 10:30"])
+                .astype("datetime64[us]"),
+                "user_id": [7, 8],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "event_id": [11, 12, 13, 14, 15],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 10:30:00", # delta 0 → in (lower inclusive)
+                     "2024-01-01 11:30:00", # delta = 1h → in (upper inclusive)
+                     "2024-01-01 11:30:01", # just past upper → out
+                     "2024-01-01 10:29:00", # before left → out
+                     "2024-01-01 11:15:00"] # other epoch than left ts → in
+                ).astype("datetime64[us]"),
+                "user_id": [7, 7, 7, 7, 7],
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+        out = range_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            by="user_id", on="ts",
+            lower_us=0, upper_us=3_600_000_000,
+            right_payload={"event_id": "match_event_id", "value": "match_value"},
+        ).to_pandas()
+        assert self._pairs(out) == {(1, 11), (1, 12), (1, 15)}
+        # no duplicate pairs despite left-row epoch replication
+        assert len(out) == 3
+
+    def test_brute_force_random(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from crawl4ai_custom_ray.functions.asof import range_join
+
+        rng = np.random.default_rng(20260818)
+        n_l, n_r = 300, 300
+        lower_us, upper_us = 0, 1_800_000_000  # 30 min
+        left = pd.DataFrame(
+            {
+                "event_id": np.arange(n_l),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 20_000, n_l), unit="s"),
+                "user_id": rng.integers(0, 15, n_l),
+            }
+        )
+        left["ts"] = left["ts"].astype("datetime64[us]")
+        right = pd.DataFrame(
+            {
+                "event_id": np.arange(1000, 1000 + n_r),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 20_000, n_r), unit="s"),
+                "user_id": rng.integers(0, 15, n_r),
+                "value": rng.random(n_r),
+            }
+        )
+        right["ts"] = right["ts"].astype("datetime64[us]")
+
+        expect = set()
+        for _, lr in left.iterrows():
+            lo = lr["ts"] + pd.to_timedelta(lower_us, unit="us")
+            hi = lr["ts"] + pd.to_timedelta(upper_us, unit="us")
+            cand = right[
+                (right["user_id"] == lr["user_id"])
+                & (right["ts"] >= lo)
+                & (right["ts"] <= hi)
+            ]
+            for rid in cand["event_id"]:
+                expect.add((lr["event_id"], rid))
+
+        for nb in (1, 8):
+            out = range_join(
+                rd.from_pandas(left), rd.from_pandas(right),
+                by="user_id", on="ts",
+                lower_us=lower_us, upper_us=upper_us,
+                right_payload={"event_id": "match_event_id"},
+                n_buckets=nb,
+            ).to_pandas()
+            assert self._pairs(out) == expect
+            assert len(out) == len(expect)
+
+    def test_bad_bounds_raise(self, ray_session):
+        import ray.data as rd
+
+        from crawl4ai_custom_ray.functions.asof import range_join
+
+        left, right = TestAsofJoin._mk(ray_session)
+        with pytest.raises(ValueError):
+            range_join(left, right, lower_us=10, upper_us=10)
