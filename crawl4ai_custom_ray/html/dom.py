@@ -210,13 +210,17 @@ class Element:
     def decompose(self) -> None:
         """Remove this element from its parent and destroy its
         contents (BeautifulSoup ``decompose`` semantics — a decomposed
-        node must not yield children afterwards)."""
+        node must not yield children afterwards).  The detached
+        subtree is ``dissolve``d so it frees by refcount alone: the
+        extract hot path runs with the cyclic GC disabled, and
+        un-dissolved dead subtrees would pile up until a full
+        ``gc.collect``."""
         if self.parent is not None:
             try:
                 self.parent.children.remove(self)
             except ValueError:
                 pass
-            self.parent = None
+        dissolve(self)
         self.children = []
 
     def clear_children(self) -> None:
@@ -265,6 +269,28 @@ class Element:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"Element(<{self.tag}>, {len(self.children)} children)"
+
+
+def dissolve(node) -> None:
+    """Break every parent↔child reference cycle in this subtree so it
+    is freed by reference counting alone.  The extract hot path runs
+    with the cyclic GC disabled (DOM trees are cycle-rich and the
+    collector re-traces them constantly); dissolving dead trees as
+    they are dropped keeps worker heaps flat without full collections.
+    The subtree stays readable top-down — only ``parent`` pointers are
+    cleared — but must be treated as discarded."""
+    if type(node) is not Element:
+        node.parent = None
+        return
+    stack = [node]
+    while stack:
+        el = stack.pop()
+        el.parent = None
+        for c in el.children:
+            if type(c) is Element:
+                stack.append(c)
+            else:
+                c.parent = None
 
 
 def _escaped_text_length(s: str) -> int:

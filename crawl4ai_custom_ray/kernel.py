@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 
+from .html.dom import dissolve
 from .html.fastparse import parse_fast as parse
 from .html.markdown import convert_links_to_citations, markdown_from_tree
 from .html.pruning import PruningContentFilter
@@ -102,6 +103,8 @@ def extract_page(
     )
     need_prune = bool(need & {"fit_markdown", "text"})
 
+    root = None
+    schema_root = None
     try:
         root = parse(html)
         if not html:
@@ -188,3 +191,12 @@ def extract_page(
         rec["url"] = url
         rec["error_message"] = f"{type(exc).__name__}: {exc}"
         return rec
+    finally:
+        # break parent↔child cycles so the page's trees free by
+        # refcount right here — the batch fn runs with cyclic GC
+        # disabled, and without this every dead tree survives until a
+        # full gc.collect (measured ~0.24 ms/page of collect time)
+        if schema_root is not None:
+            dissolve(schema_root)
+        if root is not None:
+            dissolve(root)

@@ -138,7 +138,12 @@ def make_extract_batch_fn(
         result = pa.table(
             {f.name: pa.array(cols[f.name], f.type) for f in out_fields}, schema=out_schema
         )
-        gc.collect()
+        # dead DOM trees are dissolved (refcount-freed) inside the
+        # kernel, so a full collect has nothing big left to find; a
+        # gen-0 sweep only scans this batch's surviving allocations
+        # and reaps the frame↔traceback cycles of caught fallback
+        # exceptions (hostile-page paths raise per page)
+        gc.collect(0)
         return result
 
     return extract_batch
