@@ -25,6 +25,11 @@ candidate-pair table back onto per-doc datasets.
   a per-doc shingle-hash dataset (two hash joins; candidates are the
   small side by construction).  The 100 TB path: cost is linear in
   corpus size + bucket collisions.
+- :func:`substring_dedup` — exact repeated-substring removal (Lee et
+  al. 2021's suffix-array dedup recast as a fixed-window streaming
+  pass): window-hash groupby carrying (16 B, 8 B) rows, winners
+  hash-joined back, duplicate starts per doc as packed binary, one
+  vectorized interval-difference rebuild per doc.
 - :func:`simhash_pairs` — 64-bit simhash over md5 token hashes;
   near-dup candidates via 4-segment block partitioning (Hamming ≤ 3
   guarantee).  The segment buckets carry (id, fp) so verification is
@@ -1108,3 +1113,172 @@ def line_dedup(
         )
 
     return full.map_batches(finish, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- substring dedup
+
+_WIN_POS_BITS = 20  # max 2^20 tokens per document (packed first-occurrence key)
+
+
+def substring_dedup(
+    ds,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    window: int = 10,
+    num_partitions: int = 16,
+):
+    """Exact repeated-substring removal (the suffix-array dedup of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", recast as a fixed-window streaming pass): any
+    ``window``-token span whose exact text occurred earlier ANYWHERE
+    in the corpus (first occurrence wins, ordered by (id, start)) is
+    removed; every token covered by at least one duplicate window is
+    dropped and the survivors are re-joined with single spaces.
+    Returns (id, text, n_removed) where ``n_removed`` counts removed
+    tokens.  Documents shorter than ``window`` tokens pass through
+    untouched (normalized to single-space joining).
+
+    Tokenization is whitespace-run splitting (Python ``str.split``),
+    so output text is whitespace-normalized by construction — like the
+    suffix-array method this operates on a canonical token stream,
+    not raw bytes.
+
+    Scale shape (mirrors :func:`line_dedup`): explode windows →
+    groupby(window md5) carrying only (16 B hash, 8 B packed key) →
+    winners hash-joined back onto the window table (no broadcast) →
+    duplicate starts collected per doc by an aggregate whose state is
+    one document's duplicate-start list → one hash join back onto the
+    docs table → vectorized interval-difference rebuild per doc.  No
+    corpus-sized object ever exists in one place; the only
+    corpus-sized shuffles carry fixed-width rows.  Window equality is
+    by 128-bit md5 of the window text (collision odds ~2^-64 at
+    10^10-window scale, same exactness convention as
+    :func:`exact_dedup`).
+    """
+    from ray.data.aggregate import AggregateFn, Min
+
+    docs = ds.select_columns([id_column, text_column])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hs, keys, ids, starts = [], [], [], []
+        for i, t in zip(
+            batch[id_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            toks = (t or "").split()
+            n = len(toks)
+            if n >= (1 << _WIN_POS_BITS):
+                raise ValueError(
+                    f"document {i}: {n} tokens exceeds the "
+                    f"2^{_WIN_POS_BITS} packed-position limit"
+                )
+            for s in range(n - window + 1):
+                hs.append(
+                    hashlib.md5(
+                        " ".join(toks[s : s + window]).encode("utf-8")
+                    ).digest()
+                )
+                keys.append((i << _WIN_POS_BITS) | s)
+                ids.append(i)
+                starts.append(s)
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.binary()),
+                "key": pa.array(keys, pa.int64()),
+                "id": pa.array(ids, pa.int64()),
+                "s": pa.array(starts, pa.int32()),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    winners = (
+        exploded.select_columns(["h", "key"])
+        .groupby("h")
+        .aggregate(Min("key", alias_name="keep_key"))
+    )
+    winners, _ = _coalesce_for_join(winners)
+
+    joined = exploded.join(
+        winners,
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=("h",),
+        right_on=("h",),
+    )
+
+    def dup_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["key"], batch["keep_key"])).select(
+            ["id", "s"]
+        )
+
+    # duplicate starts per doc, finalized as packed little-endian
+    # int32 bytes — Acero joins reject list<> payload columns, and a
+    # binary column also keeps the join row fixed-overhead
+    from ray.data.aggregate import AggregateFn
+
+    def _acc_starts(acc, block):
+        vals = (
+            block["s"].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block["s"])
+        )
+        return acc + vals
+
+    starts_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=_acc_starts,
+        merge=lambda a, b: a + b,
+        finalize=lambda acc: np.asarray(acc, dtype="<i4").tobytes(),
+        name="dup_starts",
+    )
+
+    dup_starts = (
+        joined.map_batches(dup_only, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(starts_agg)
+    )
+    dup_starts, n_dup_docs = _coalesce_for_join(dup_starts)
+
+    if n_dup_docs:
+        full = docs.join(
+            dup_starts,
+            join_type="left_outer",
+            num_partitions=_join_partitions(num_partitions),
+            on=(id_column,),
+            right_on=("id",),
+        )
+    else:  # nothing duplicated anywhere — normalize-only pass
+        full = docs.map_batches(
+            lambda b: b.append_column(
+                "dup_starts", pa.array([None] * b.num_rows, pa.binary())
+            ),
+            batch_format="pyarrow",
+        )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        texts, removed = [], []
+        starts_col = batch["dup_starts"].to_pylist()
+        for t, packed in zip(batch[text_column].to_pylist(), starts_col):
+            toks = (t or "").split()
+            if not packed:
+                texts.append(" ".join(toks))
+                removed.append(0)
+                continue
+            delta = np.zeros(len(toks) + 1, dtype=np.int32)
+            a = np.frombuffer(packed, dtype="<i4").astype(np.int64)
+            np.add.at(delta, a, 1)
+            np.add.at(delta, np.minimum(a + window, len(toks)), -1)
+            covered = np.cumsum(delta[:-1]) > 0
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            texts.append(" ".join(kept))
+            removed.append(int(covered.sum()))
+        return pa.table(
+            {
+                id_column: batch[id_column].cast(pa.int64()),
+                text_column: pa.array(texts, pa.large_string()),
+                "n_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    return full.map_batches(rebuild, batch_format="pyarrow")

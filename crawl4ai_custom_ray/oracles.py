@@ -286,6 +286,48 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM tot t LEFT JOIN kept kp USING (page_id)
             GROUP BY t.page_id, t.n_total
         """,
+        # fixed-window exact-substring dedup (window=10): first
+        # occurrence of each 10-token span by packed (doc_id, start)
+        # key survives; tokens under any duplicate window drop.
+        # 1048576 = 2^20 (dedup._WIN_POS_BITS); DuckDB list slice is
+        # 1-based end-inclusive so toks[s+1 : s+10] == python
+        # toks[s : s+10]; tokenization = whitespace-run split.
+        "dedup_substring": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, s, array_to_string(toks[s + 1 : s + 10], ' ') AS w,
+                     doc_id * 1048576 + s AS k
+              FROM d, LATERAL (SELECT unnest(range(0, greatest(len(toks) - 9, 0))) AS s) g
+            ),
+            mins AS (SELECT w, MIN(k) AS mk FROM wins GROUP BY w),
+            dups AS (
+              SELECT x.doc_id, x.s FROM wins x JOIN mins m ON x.w = m.w WHERE x.k <> m.mk
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, s + off AS pos
+              FROM dups, LATERAL (SELECT unnest(range(0, 10)) AS off) o
+            ),
+            toks AS (
+              SELECT doc_id, p AS pos, toks[p + 1] AS tok
+              FROM d, LATERAL (SELECT unnest(range(0, len(toks))) AS p) g
+            ),
+            kept AS (
+              SELECT t.doc_id, t.pos, t.tok
+              FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+              WHERE c.doc_id IS NULL
+            )
+            SELECT d.doc_id,
+                   COALESCE(k.text, '') AS text,
+                   len(d.toks) - COALESCE(k.n, 0) AS n_removed
+            FROM d LEFT JOIN (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text, COUNT(*) AS n
+              FROM kept GROUP BY doc_id
+            ) k USING (doc_id)
+        """,
         # per-source integer sums; ONE final double division keeps the
         # ratio bit-exact vs the Ray side regardless of summation order
         "domain_filter": """

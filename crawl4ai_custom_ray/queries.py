@@ -887,6 +887,18 @@ def q_line_dedup(sf_dir: str):
     return line_dedup(pages, id_column="page_id")
 
 
+def q_dedup_substring(sf_dir: str):
+    """Exact repeated-substring removal (Lee et al. 2021 suffix-array
+    dedup as a fixed-window streaming pass): every 10-token span whose
+    exact text occurred earlier anywhere in the corpus is removed
+    (first occurrence by (doc, start) wins), tokens covered by any
+    duplicate window dropped, documents reassembled."""
+    from .functions.dedup import substring_dedup
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return substring_dedup(ds, window=10)
+
+
 def q_domain_filter(sf_dir: str):
     """Domain-level quality gate: per-source integer aggregates
     (combiner-first), one exact division for the corpus-level

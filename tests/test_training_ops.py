@@ -607,6 +607,77 @@ def test_line_dedup_min_line_len(ray_session):
     assert list(out["n_removed"]) == [0, 1]
 
 
+# ---------------------------------------------------- substring dedup
+
+
+def test_substring_dedup_semantics(ray_session):
+    """First corpus occurrence (by doc, start) of each W-token window
+    survives; tokens under any duplicate window drop; overlapping
+    duplicate windows merge into one removed span; short docs pass
+    through whitespace-normalized."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import substring_dedup
+
+    # W=3.  doc1 repeats doc0's "a b c d" (two overlapping dup
+    # windows: "a b c", "b c d" -> one merged span of 4 tokens).
+    docs = [
+        (0, "a b c d x y"),
+        (1, "p q a b c d r"),
+        (2, "short  doc"),          # < W tokens: kept, normalized
+        (3, "a b c d x y"),          # full duplicate of doc0
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": pa.array([d[1] for d in docs], pa.string()),
+            }
+        )
+    )
+    out = (
+        substring_dedup(ds, window=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expected = {
+        0: ("a b c d x y", 0),
+        1: ("p q r", 4),
+        2: ("short doc", 0),
+        3: ("", 6),
+    }
+    for row in out.itertuples():
+        assert (row.text, row.n_removed) == expected[row.doc_id], row
+
+
+def test_substring_dedup_no_duplicates(ray_session):
+    """A corpus with no repeated windows passes through untouched
+    (the empty-dup fast path)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import substring_dedup
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1], pa.int64()),
+                "text": pa.array(["one two three four", "five six seven eight"], pa.string()),
+            }
+        )
+    )
+    out = (
+        substring_dedup(ds, window=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["text"]) == ["one two three four", "five six seven eight"]
+    assert list(out["n_removed"]) == [0, 0]
+
+
 # --------------------------------------------- vocab / sequence packing
 
 
