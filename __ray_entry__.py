@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": q.q_knn_topk,
         "dedup_embedding": q.q_dedup_embedding,
         "knn_ivf": q.q_knn_ivf,
+        "knn_lsh": q.q_knn_lsh,
         "media_features": q.q_media_features,
         "pdf_extract": q.q_pdf_extract,
         "events_window": q.q_events_window,
@@ -71,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,
         "gopher_quality": q.q_gopher_quality,
         "split_assign": q.q_split_assign,
+        "sample_per_group": q.q_sample_per_group,
+        "length_quantiles": q.q_length_quantiles,
         "dsir_select": q.q_dsir_select,
         "domain_filter": q.q_domain_filter,
         # structured extraction

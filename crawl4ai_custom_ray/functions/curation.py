@@ -569,3 +569,99 @@ def domain_filter(
         )
 
     return joined.map_batches(attach_join, batch_format="pyarrow")
+
+
+# ------------------------------------------ deterministic group sampling
+
+
+def sample_per_group(
+    ds,
+    *,
+    group_column: str = "source",
+    id_column: str = "doc_id",
+    k: int = 5,
+):
+    """Deterministic stratified sampling: keep the ``k`` documents per
+    group ranked lowest by ``(md5(str(id)), id)`` — a seedless,
+    repartition-stable rank (a retried task or a re-run at different
+    parallelism selects the identical sample, same convention as
+    :func:`split_assign`).  Returns (group, id, sample_rank) with
+    sample_rank in 1..k.
+
+    Scale shape: a per-batch combiner keeps at most ``k`` rows per
+    group per block BEFORE the shuffle, so the groupby moves
+    O(k × groups × blocks) rows, never the corpus; the merge state is
+    one group's capped candidate list.  This is the distributed
+    equivalent of ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY
+    md5(id)) <= k`` without a full sort.
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def partial(batch: pa.Table) -> pa.Table:
+        best: dict = {}
+        for g, i in zip(
+            batch[group_column].to_pylist(), batch[id_column].to_pylist()
+        ):
+            import hashlib as _hl
+
+            h = _hl.md5(str(i).encode()).hexdigest()
+            lst = best.setdefault(g, [])
+            lst.append((h, i))
+        gs, hs, ids = [], [], []
+        for g, lst in best.items():
+            lst.sort()
+            for h, i in lst[:k]:
+                gs.append(g)
+                hs.append(h)
+                ids.append(i)
+        return pa.table(
+            {
+                "g": pa.array(gs, pa.string()),
+                "h": pa.array(hs, pa.string()),
+                "id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    def acc_block(acc, block):
+        pairs = (
+            list(zip(block["h"].to_pylist(), block["id"].to_pylist()))
+            if hasattr(block, "column_names")
+            else list(zip(list(block["h"]), list(block["id"])))
+        )
+        merged = sorted(acc + pairs)[:k]
+        return merged
+
+    agg = AggregateFn(
+        init=lambda key: [],
+        accumulate_block=acc_block,
+        merge=lambda a, b: sorted(a + b)[:k],
+        finalize=lambda acc: ",".join(f"{h}:{i}" for h, i in acc),
+        name="sampled",
+    )
+
+    picked = (
+        ds.select_columns([group_column, id_column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(agg)
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        gs, ids, ranks = [], [], []
+        for g, packed in zip(batch["g"].to_pylist(), batch["sampled"].to_pylist()):
+            for rank, part in enumerate(packed.split(","), start=1):
+                if not part:
+                    continue
+                _, i = part.split(":")
+                gs.append(g)
+                ids.append(int(i))
+                ranks.append(rank)
+        return pa.table(
+            {
+                group_column: pa.array(gs, pa.string()),
+                id_column: pa.array(ids, pa.int64()),
+                "sample_rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return picked.map_batches(explode, batch_format="pyarrow")

@@ -380,3 +380,69 @@ def knn_ivf(
         id_column=id_column,
         vector_column=vector_column,
     )
+
+
+def knn_lsh(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    n_bits: int = 8,
+    probe_hamming: int = 1,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    seed: int = 42,
+):
+    """LSH-bucketed approximate top-k (random-hyperplane signatures,
+    Charikar 2002): every vector lands in ONE bucket keyed by the
+    ``n_bits`` sign-bit signature of its projections onto seeded
+    random hyperplanes; each query probes every bucket within Hamming
+    distance ``probe_hamming`` of its own signature, and the probed
+    subset goes through the exact brute-force kernel.
+
+    The scale path alongside :func:`knn_ivf`: no training pass at all
+    (the hyperplanes are seeded constants, broadcast once), one
+    assignment map over the corpus, and the probe filter prunes blocks
+    before any matmul.  ``probe_hamming >= n_bits`` probes every
+    bucket and so equals exact search — the driver-oracle
+    configuration, same convention as ``knn_ivf(n_probe=n_clusters)``.
+    Recall at restrictive settings is pytest-verified against
+    :func:`knn_brute_force`.
+    """
+    qm = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    dim = qm.shape[1]
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_bits, dim))
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+    p_ref = ray.put(planes)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = ray.get(p_ref)
+        m = _normalize(_matrix(batch, vector_column))
+        sig = ((m @ p.T) > 0).astype(np.int64) @ weights
+        return batch.append_column("bucket", pa.array(sig, pa.int64()))
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+
+    q_sig = ((qm @ planes.T) > 0).astype(np.int64) @ weights
+    all_buckets = np.arange(1 << n_bits, dtype=np.int64)
+    probe: set[int] = set()
+    for s in q_sig:
+        dist = np.array([bin(int(s) ^ int(b)).count("1") for b in all_buckets])
+        probe.update(int(b) for b in all_buckets[dist <= probe_hamming])
+
+    filtered = bucketed.map_batches(
+        lambda t, pb=frozenset(probe): t.filter(
+            pa.compute.is_in(t["bucket"], value_set=pa.array(list(pb), pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+    return knn_brute_force(
+        filtered,
+        query_vectors,
+        query_ids,
+        k=k,
+        id_column=id_column,
+        vector_column=vector_column,
+    )

@@ -254,3 +254,70 @@ def pack_sequences(
         return grp
 
     return counted.groupby(group_column).map_groups(pack_group, batch_format="pandas")
+
+
+# -------------------------------------------------- exact length quantiles
+
+
+def length_quantiles(
+    ds,
+    *,
+    text_column: str = "text",
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+):
+    """EXACT corpus-length quantiles via a histogram aggregation —
+    the scale-safe replacement for a global sort: token counts are
+    small integers, so each block reduces to a (length, count)
+    histogram before the shuffle and the groupby moves only distinct
+    lengths (thousands of rows at any corpus size, vs a corpus-wide
+    sort).  The final cumulative walk runs over that tiny table.
+
+    Quantile rule is DuckDB's ``quantile_disc``: the sorted element at
+    index ``max(0, ceil(q*n) - 1)`` — exact, not an approximate
+    sketch, so the oracle matches bit-for-bit.  Tokenization matches
+    :func:`token_count_batch` (split on a single space).
+
+    Returns a pyarrow Table (q: double, value: int64) — the result is
+    ``len(quantiles)`` rows, never corpus-sized.
+    """
+    import math
+
+    def hist(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter(len(t.split(" ")) for t in batch[text_column].to_pylist())
+        return pa.table(
+            {
+                "nw": pa.array(list(c.keys()), pa.int64()),
+                "cnt": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    h = (
+        ds.select_columns([text_column])
+        .map_batches(hist, batch_format="pyarrow")
+        .groupby("nw")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort("nw")
+        .take_all()
+    )  # distinct lengths only — tiny at any scale
+    lengths = [r["nw"] for r in h]
+    counts = [r["cnt"] for r in h]
+    n = sum(counts)
+    out_q, out_v = [], []
+    for q in quantiles:
+        target = max(0, math.ceil(q * n) - 1)
+        acc = 0
+        val = lengths[-1] if lengths else 0
+        for L, c in zip(lengths, counts):
+            if acc + c > target:
+                val = L
+                break
+            acc += c
+        out_q.append(float(q))
+        out_v.append(int(val))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
+    )

@@ -615,9 +615,11 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM e
         """,
     }
-    # knn_ivf probes every cluster in the driver query, so its result
-    # is exactly the brute-force top-k
+    # knn_ivf probes every cluster in the driver query, and knn_lsh
+    # probes the full Hamming ball, so both results are exactly the
+    # brute-force top-k
     sql["knn_ivf"] = sql["knn_topk"]
+    sql["knn_lsh"] = sql["knn_topk"]
 
     # --------------------------------------------------- curation ops
     # (plain-string concatenation: the regexes carry {m,n} quantifiers
@@ -713,6 +715,30 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                         % 100 AS BIGINT) AS bucket
             FROM documents
         )
+    """
+    # seedless stratified sample: rank within group by the md5 hex
+    # string of the decimal id (lexicographic = Ray side's sort on the
+    # same hexdigest), tie-broken by id
+    sql["sample_per_group"] = """
+        SELECT source, doc_id, sample_rank
+        FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        WHERE sample_rank <= 5
+    """
+    sql["length_quantiles"] = """
+        WITH d AS (SELECT len(string_split(text, ' ')) AS nw FROM documents),
+        v AS (
+            SELECT quantile_disc(nw, [0.25, 0.5, 0.75, 0.9, 0.99]) AS vs FROM d
+        )
+        SELECT ([0.25, 0.5, 0.75, 0.9, 0.99])[i] AS q,
+               CAST(vs[i] AS BIGINT) AS value
+        FROM v, (SELECT unnest(range(1, 6)) AS i) idx
     """
     sql["dsir_select"] = """
         WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -344,6 +344,20 @@ def q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, vecs, ids, k=10, n_clusters=8, n_probe=8)
 
 
+def q_knn_lsh(sf_dir: str):
+    """LSH-bucketed cosine top-10 with probe_hamming = n_bits (every
+    bucket probed), which makes it exactly the brute-force result
+    (same SQL oracle as knn_topk); restricted-probe recall is
+    asserted in pytest."""
+    import ray.data as rd
+
+    from .functions.similarity import knn_lsh
+
+    ids, vecs = _query_vectors(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, vecs, ids, k=10, n_bits=4, probe_hamming=4)
+
+
 def q_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs over the embeddings table —
     exact all-pairs via block-pair task decomposition (no corpus
@@ -827,6 +841,25 @@ def q_split_assign(sf_dir: str):
     from .functions.curation import split_assign
 
     return split_assign(_documents(sf_dir, ["doc_id"]))
+
+
+def q_length_quantiles(sf_dir: str):
+    """Exact corpus token-length quantiles via histogram aggregation
+    (distinct lengths shuffle, never the corpus; quantile_disc rule)."""
+    from .functions.textstats import length_quantiles
+
+    return length_quantiles(_documents(sf_dir, ["text"]))
+
+
+def q_sample_per_group(sf_dir: str):
+    """Deterministic stratified sample: 5 docs per source ranked by
+    (md5(str(doc_id)), doc_id) — combiner-first top-k so the shuffle
+    carries at most k rows per (group, block)."""
+    from .functions.curation import sample_per_group
+
+    return sample_per_group(
+        _documents(sf_dir, ["doc_id", "source"]), group_column="source", k=5
+    )
 
 
 def q_dsir_select(sf_dir: str):

@@ -210,3 +210,64 @@ def test_domain_filter_paths_equal(ray_session):
     assert bool(by_src["bad"]) is False      # ratio 0
     assert bool(by_src["tiny"]) is False     # min_docs
     assert len(small) == 25
+
+
+def test_sample_per_group_deterministic(ray_session):
+    """Sample = the k lowest (md5(str(id)), id) per group, stable
+    across parallelism (combiner path == single-block path)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import sample_per_group
+
+    ids = list(range(40))
+    groups = ["a" if i % 2 == 0 else "b" for i in ids]
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(groups, pa.string()),
+        }
+    )
+    out = (
+        sample_per_group(rd.from_arrow(t), group_column="source", k=3)
+        .to_pandas()
+        .sort_values(["source", "sample_rank"])
+        .reset_index(drop=True)
+    )
+    # expected: per group, 3 lowest by (md5 hex of decimal id, id)
+    for g in ("a", "b"):
+        members = [i for i, grp in zip(ids, groups) if grp == g]
+        ranked = sorted(members, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        got = out[out["source"] == g]["doc_id"].tolist()
+        assert got == ranked[:3], (g, got, ranked[:3])
+    # same result at different parallelism
+    out2 = (
+        sample_per_group(
+            rd.from_arrow(t).repartition(8), group_column="source", k=3
+        )
+        .to_pandas()
+        .sort_values(["source", "sample_rank"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
+def test_length_quantiles_exact(ray_session):
+    """Histogram quantiles follow the quantile_disc rule
+    (sorted[max(0, ceil(q*n)-1)]) exactly."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.textstats import length_quantiles
+
+    texts = [" ".join(["w"] * n) for n in [1, 2, 2, 3, 5, 8, 8, 8, 13, 21]]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts, pa.string())}))
+    qs = (0.0, 0.25, 0.5, 0.75, 1.0)
+    out = length_quantiles(ds, quantiles=qs).to_pydict()
+    lens = sorted(len(t.split(" ")) for t in texts)
+    for q, v in zip(out["q"], out["value"]):
+        assert v == lens[max(0, math.ceil(q * len(lens)) - 1)], (q, v)

@@ -134,6 +134,33 @@ def test_knn_ivf_recall(ray_session):
     assert np.mean(recalls) >= 0.5, recalls  # probing half the space
 
 
+def test_knn_lsh_recall_and_exactness(ray_session):
+    """Full Hamming-ball probing equals exact brute force; a
+    restricted probe keeps useful recall."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.similarity import knn_brute_force, knn_lsh
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 16).astype(np.float32)
+    items = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    ds = rd.from_items(items)
+    qids = [0, 1, 2]
+    qv = vecs[:3].astype(np.float64)
+
+    exact = knn_brute_force(ds, qv, qids, k=10).to_pandas()
+    full = knn_lsh(ds, qv, qids, k=10, n_bits=4, probe_hamming=4).to_pandas()
+    assert exact.equals(full)  # every bucket probed == exact
+
+    approx = knn_lsh(ds, qv, qids, k=10, n_bits=4, probe_hamming=1).to_pandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+
+
 def test_cosine_neardup_block_pairs_exact(ray_session):
     """Block-pair decomposition must equal single-matrix all-pairs,
     regardless of how blocks split the corpus."""
