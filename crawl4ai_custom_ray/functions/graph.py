@@ -1,0 +1,130 @@
+"""Web-graph operators over the extracted link table.
+
+PageRank is THE canonical whole-web computation downstream of a crawl
+(Page et al. 1999); here it is the classic BSP formulation on Ray
+Data: each iteration is one hash join (ranks onto edges), one
+groupby-sum (incoming contributions), and one left join back onto the
+node table — all fixed-width integer rows, no corpus-sized state
+anywhere.
+
+Arithmetic is FIXED-POINT INTEGER, deliberately: floating-point
+PageRank sums incoming contributions in shuffle order, so two runs
+(or the Ray side and a SQL oracle) disagree in the last ulps.
+Integer sums are associative-commutative exactly, making the result
+bit-identical at any parallelism — the same determinism convention as
+the rest of this repo (md5 ranks, integer quality ratios).
+
+Semantics (documented contract, mirrored by the DuckDB oracle):
+
+    rank_0(v)   = scale                       (scale = 10^6)
+    contrib(u)  = rank(u) // outdeg(u)        (floor division)
+    rank_t+1(v) = (15*scale)//100 + (85 * Σ contrib(in-neighbors)) // 100
+
+Dangling-node mass (nodes with no out-links) is dropped, not
+redistributed — the standard simplification when ranks are only used
+for ordering; noted here because true PageRank redistributes it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pagerank(
+    edges,
+    nodes,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    node_column: str = "url",
+    iters: int = 5,
+    scale: int = 1_000_000,
+    num_partitions: int = 16,
+):
+    """Integer fixed-point PageRank.  ``edges``: Dataset of directed
+    (src, dst) rows (self-loops and duplicates should be removed by
+    the caller — semantics count each row once).  ``nodes``: Dataset
+    with every vertex exactly once.  Returns (node_column, rank).
+
+    Scale shape: the edge table is joined ONCE with out-degrees and
+    materialized; each of the ``iters`` rounds then shuffles only
+    (src/dst digest-sized key, int64) rows.  The rank table is
+    O(nodes) and never collected to the driver.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _coalesce_for_join, _join_partitions
+
+    base = (15 * scale) // 100
+
+    edges = edges.select_columns([src_column, dst_column])
+    outdeg = edges.groupby(src_column).aggregate(Count(alias_name="outdeg"))
+    outdeg, _ = _coalesce_for_join(outdeg)
+    nparts = _join_partitions(num_partitions)
+
+    edges_w = edges.join(
+        outdeg,
+        join_type="inner",
+        num_partitions=nparts,
+        on=(src_column,),
+        right_on=(src_column,),
+    ).materialize()
+
+    nodes = nodes.select_columns([node_column]).materialize()
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                node_column: batch[node_column],
+                "rank": pa.array([scale] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow")
+    ranks, _ = _coalesce_for_join(ranks)
+
+    for _ in range(iters):
+        contribs = edges_w.join(
+            ranks,
+            join_type="inner",
+            num_partitions=nparts,
+            on=(src_column,),
+            right_on=(node_column,),
+        )
+
+        def per_edge(batch: pa.Table) -> pa.Table:
+            con = pc.divide(batch["rank"], pc.cast(batch["outdeg"], pa.int64()))
+            return pa.table(
+                {"dst_": batch[dst_column], "con": pc.cast(con, pa.int64())}
+            )
+
+        incoming = (
+            contribs.map_batches(per_edge, batch_format="pyarrow")
+            .groupby("dst_")
+            .aggregate(Sum("con", alias_name="s"))
+        )
+        incoming, _ = _coalesce_for_join(incoming)
+
+        joined = nodes.join(
+            incoming,
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=(node_column,),
+            right_on=("dst_",),
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            s = pc.coalesce(batch["s"], pa.scalar(0, pa.int64()))
+            r = pc.add(
+                pa.scalar(base, pa.int64()),
+                pc.divide(pc.multiply(pa.scalar(85, pa.int64()), s), 100),
+            )
+            return pa.table(
+                {node_column: batch[node_column], "rank": pc.cast(r, pa.int64())}
+            )
+
+        ranks = joined.map_batches(update, batch_format="pyarrow")
+        ranks, _ = _coalesce_for_join(ranks)
+
+    return ranks

@@ -615,6 +615,36 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM e
         """,
     }
+    # integer fixed-point PageRank, 5 chained iterations (generated
+    # CTEs mirror functions/graph.py's contract exactly: // is floor
+    # division, both sides positive, dangling mass dropped)
+    pr = _LINKS_CTE.format(path=path).rstrip() + f""",
+nodes AS (SELECT url FROM read_parquet('{path}')),
+edges AS (
+    -- every-third-doc targets dropped: the synthetic graph is
+    -- degree-regular, whose uniform rank is a fixed point of the
+    -- update; the filter makes the iterations do real work
+    SELECT DISTINCT l.src_url AS src, l.href AS dst
+    FROM links l JOIN nodes n ON l.href = n.url
+    WHERE l.internal AND l.src_url <> l.href
+      AND COALESCE(TRY_CAST(regexp_extract(l.href, 'doc-([0-9]+)$', 1) AS INTEGER) % 3 <> 0, TRUE)
+),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT url, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for t in range(1, 6):
+        pr += f""",
+r{t} AS (
+    SELECT n.url,
+           CAST(150000 + (85 * COALESCE(SUM(c.con), 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst, r{t - 1}.r // o.d AS con
+        FROM edges e JOIN outdeg o ON e.src = o.src
+        JOIN r{t - 1} ON r{t - 1}.url = e.src
+    ) c ON c.dst = n.url
+    GROUP BY n.url
+)"""
+    sql["pagerank"] = pr + '\nSELECT url, r AS "rank" FROM r5'
+
     # knn_ivf probes every cluster in the driver query, and knn_lsh
     # probes the full Hamming ball, so both results are exactly the
     # brute-force top-k

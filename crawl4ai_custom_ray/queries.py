@@ -57,6 +57,49 @@ def q_extract_links(sf_dir: str):
     return ds.map_batches(_explode_links_batch, batch_format="pyarrow")
 
 
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (5 BSP iterations) over the
+    extracted internal-link graph: nodes = all pages, edges =
+    first-wins-deduped internal links resolving to an existing page,
+    self-loops dropped.  Bit-identical at any parallelism (integer
+    sums are order-independent)."""
+    import ray.data as rd
+
+    from .functions.dedup import _join_partitions
+    from .functions.graph import pagerank
+    from .sources.pages import pages_parquet_path
+
+    nodes = rd.read_parquet(pages_parquet_path(sf_dir), columns=["url"])
+
+    links = q_extract_links(sf_dir)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch["internal"])
+        t = t.filter(pc.not_equal(t["src_url"], t["href"]))
+        # the synthetic link graph is degree-regular (uniform rank is
+        # its fixed point); drop edges into every third doc so the
+        # comparison exercises real rank dynamics
+        import re
+
+        keep = []
+        for d in t["href"].to_pylist():
+            m = re.search(r"doc-(\d+)$", d)
+            keep.append(m is None or int(m.group(1)) % 3 != 0)
+        t = t.filter(pa.array(keep, pa.bool_()))
+        return pa.table({"src": t["src_url"], "dst": t["href"]})
+
+    edges = links.map_batches(to_edges, batch_format="pyarrow")
+    # keep only edges whose target is a real page (semi-join on dst)
+    edges = edges.join(
+        nodes.materialize(),
+        join_type="inner",
+        num_partitions=_join_partitions(8),
+        on=("dst",),
+        right_on=("url",),
+    )
+    return pagerank(edges, nodes, iters=5)
+
+
 def q_link_stats(sf_dir: str):
     """Per-host page and link counts — the groupby(host) shuffle that
     backs politeness budgeting (partial-aggregated per batch before the

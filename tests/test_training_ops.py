@@ -1000,3 +1000,58 @@ class TestRangeJoin:
         left, right = TestAsofJoin._mk(ray_session)
         with pytest.raises(ValueError):
             range_join(left, right, lower_us=10, upper_us=10)
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def test_pagerank_hand_computed(ray_session):
+    """Integer fixed-point PageRank matches a by-hand NumPy-free
+    reference on a small irregular graph, and is identical across
+    parallelism (integer sums are order-independent)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.graph import pagerank
+
+    nodes = ["a", "b", "c", "d"]
+    edge_list = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    edges_t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edge_list], pa.string()),
+            "dst": pa.array([e[1] for e in edge_list], pa.string()),
+        }
+    )
+    nodes_t = pa.table({"url": pa.array(nodes, pa.string())})
+
+    # pure-python reference of the documented contract
+    scale, iters = 1_000_000, 3
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: scale for n in nodes}
+    for _ in range(iters):
+        incoming = {n: 0 for n in nodes}
+        for s, d in edge_list:
+            incoming[d] += rank[s] // outdeg[s]
+        rank = {n: 150_000 + (85 * incoming[n]) // 100 for n in nodes}
+
+    out = (
+        pagerank(rd.from_arrow(edges_t), rd.from_arrow(nodes_t), iters=iters)
+        .to_pandas()
+        .set_index("url")["rank"]
+        .to_dict()
+    )
+    assert out == rank, (out, rank)
+
+    out8 = (
+        pagerank(
+            rd.from_arrow(edges_t).repartition(4),
+            rd.from_arrow(nodes_t).repartition(3),
+            iters=iters,
+        )
+        .to_pandas()
+        .set_index("url")["rank"]
+        .to_dict()
+    )
+    assert out8 == rank
