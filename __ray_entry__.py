@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q.q_extract_links,
         "link_stats": q.q_link_stats,
         "pagerank": q.q_pagerank,
+        "anchor_stats": q.q_anchor_stats,
         "page_metadata": q.q_page_metadata,
         "link_head_preview": q.q_link_head_preview,
         "page_tables": q.q_page_tables,

@@ -615,6 +615,46 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM e
         """,
     }
+    # anchor-text aggregation: per-page first-wins by NORMALIZED href
+    # (document order), then count refs per (target, anchor text)
+    sql["anchor_stats"] = f"""
+        WITH pages AS (
+            SELECT url, regexp_extract_all(decode(html),
+                   '<a[^>]*href="[^"]+"[^>]*>[^<]*</a>') AS atags
+            FROM read_parquet('{path}')
+        ),
+        z AS (
+            SELECT url, unnest(list_zip(atags, range(1, len(atags) + 1))) AS p
+            FROM pages
+        ),
+        raw AS (
+            SELECT url AS src_url,
+                   p[1]::VARCHAR AS atag,
+                   p[2]::INTEGER AS i
+            FROM z
+        ),
+        parsed AS (
+            SELECT src_url, i,
+                   regexp_replace(
+                       regexp_extract(atag, 'href="([^"]+)"', 1),
+                       '\\?utm_source=feed&utm_campaign=c[0-9]+&b=2&a=1$',
+                       '?a=1&b=2') AS href,
+                   regexp_extract(atag, '>([^<]*)</a>', 1) AS anchor,
+                   regexp_extract(atag, 'href="([^"]+)"', 1)
+                       NOT LIKE '%external-site.org%' AS internal
+            FROM raw
+        ),
+        firsts AS (
+            SELECT src_url, href, anchor
+            FROM parsed
+            WHERE internal
+            QUALIFY row_number() OVER (
+                PARTITION BY src_url, href ORDER BY i) = 1
+        )
+        SELECT href, anchor, COUNT(*) AS n_refs
+        FROM firsts GROUP BY href, anchor
+    """
+
     # integer fixed-point PageRank, 5 chained iterations (generated
     # CTEs mirror functions/graph.py's contract exactly: // is floor
     # division, both sides positive, dangling mass dropped)

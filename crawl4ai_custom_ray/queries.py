@@ -100,6 +100,38 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, nodes, iters=5)
 
 
+def q_anchor_stats(sf_dir: str):
+    """Corpus-wide anchor-text aggregation — the classic search-index
+    signal: for every internal link target, how many pages refer to
+    it with which anchor text.  Pre-aggregated per batch before one
+    small groupby over distinct (target, text) pairs (the kernel's
+    per-page first-wins dedup already bounds refs at one per page)."""
+    ds = flagship_extract(sf_dir, columns=["links_internal"])
+
+    def explode_partial(batch: pa.Table) -> pa.Table:
+        import collections
+
+        counts = collections.Counter()
+        for i in range(batch.num_rows):
+            for l in batch["links_internal"][i].as_py() or []:
+                counts[(l["href"], l["text"])] += 1
+        return pa.table(
+            {
+                "href": pa.array([k[0] for k in counts], pa.string()),
+                "anchor": pa.array([k[1] for k in counts], pa.string()),
+                "n": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(explode_partial, batch_format="pyarrow")
+        .groupby(["href", "anchor"])
+        .aggregate(Sum("n", alias_name="n_refs"))
+    )
+
+
 def q_link_stats(sf_dir: str):
     """Per-host page and link counts — the groupby(host) shuffle that
     backs politeness budgeting (partial-aggregated per batch before the
