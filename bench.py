@@ -131,6 +131,15 @@ def run_bench() -> dict:
 
     queries["dedup_cluster"] = _timed(dedup_finish)
 
+    # exact repeated-substring removal (fixed-window Lee et al. pass)
+    from crawl4ai_custom_ray.functions.dedup import substring_dedup
+
+    def dedup_sub():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        substring_dedup(docs, window=10).count()
+
+    queries["dedup_substring"] = _timed(dedup_sub)
+
     # similarity: brute-force cosine top-10 for 20 queries
     from crawl4ai_custom_ray.functions.similarity import knn_brute_force
     import numpy as np

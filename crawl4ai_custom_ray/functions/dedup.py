@@ -1127,6 +1127,7 @@ def substring_dedup(
     text_column: str = "text",
     window: int = 10,
     num_partitions: int = 16,
+    small_threshold: int = 2_000_000,
 ):
     """Exact repeated-substring removal (the suffix-array dedup of
     Lee et al. 2021, "Deduplicating Training Data Makes Language
@@ -1145,23 +1146,63 @@ def substring_dedup(
     not raw bytes.
 
     Scale shape (mirrors :func:`line_dedup`): explode windows →
-    groupby(window md5) carrying only (16 B hash, 8 B packed key) →
+    groupby(window hash) carrying only (16 B hash, 8 B packed key) →
     winners hash-joined back onto the window table (no broadcast) →
     duplicate starts collected per doc by an aggregate whose state is
     one document's duplicate-start list → one hash join back onto the
     docs table → vectorized interval-difference rebuild per doc.  No
     corpus-sized object ever exists in one place; the only
-    corpus-sized shuffles carry fixed-width rows.  Window equality is
-    by 128-bit md5 of the window text (collision odds ~2^-64 at
-    10^10-window scale, same exactness convention as
-    :func:`exact_dedup`).
+    corpus-sized shuffles carry fixed-width rows.
+
+    Window equality is by TWO independent 64-bit polynomial rolling
+    hashes over md5 token values (Rabin–Karp with odd multipliers mod
+    2^64, O(tokens) per doc via the modular-inverse prefix trick —
+    not O(tokens × window) string hashing).  Token values are
+    md5-random, so non-adversarial collision odds are ~2^-128 per
+    pair, the same exactness convention as :func:`exact_dedup`; the
+    known adversarial weakness of mod-2^64 polynomial hashing does
+    not apply to natural-text dedup.
     """
     from ray.data.aggregate import AggregateFn, Min
 
     docs = ds.select_columns([id_column, text_column])
 
+    _B1 = np.uint64(0x9E3779B97F4A7C15)  # odd → invertible mod 2^64
+    _B2 = np.uint64(0xC2B2AE3D27D4EB4F)
+    _M = 1 << 64
+    _B1INV = np.uint64(pow(int(_B1), -1, _M))
+    _B2INV = np.uint64(pow(int(_B2), -1, _M))
+
+    def _pows(base: np.uint64, n: int) -> np.ndarray:
+        p = np.full(n, base, dtype=np.uint64)
+        p[0] = 1
+        return np.cumprod(p)  # uint64 wraparound == mod 2^64
+
+    def _window_hashes(tv: np.ndarray, base, base_inv) -> np.ndarray:
+        # h_s = Σ_{i=s}^{s+W-1} t_i B^{W-1-(i-s)}
+        #     = (S0[s+W] - S0[s]) * B^{s+W-1}  with  S0 = Σ t_i B^-i
+        n = len(tv)
+        binv = _pows(base_inv, n)
+        s0 = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(tv * binv, out=s0[1:])
+        bpow = _pows(base, n)
+        return (s0[window:] - s0[: n - window + 1]) * bpow[window - 1 :]
+
     def explode(batch: pa.Table) -> pa.Table:
-        hs, keys, ids, starts = [], [], [], []
+        h1s, h2s, keys, ids, starts = [], [], [], [], []
+        cache: dict = {}
+
+        def tok_val(tok: str) -> tuple:
+            v = cache.get(tok)
+            if v is None:
+                d = hashlib.md5(tok.encode("utf-8")).digest()
+                v = (
+                    np.uint64(int.from_bytes(d[:8], "little")),
+                    np.uint64(int.from_bytes(d[8:], "little")),
+                )
+                cache[tok] = v
+            return v
+
         for i, t in zip(
             batch[id_column].to_pylist(), batch[text_column].to_pylist()
         ):
@@ -1172,29 +1213,94 @@ def substring_dedup(
                     f"document {i}: {n} tokens exceeds the "
                     f"2^{_WIN_POS_BITS} packed-position limit"
                 )
-            for s in range(n - window + 1):
-                hs.append(
-                    hashlib.md5(
-                        " ".join(toks[s : s + window]).encode("utf-8")
-                    ).digest()
-                )
-                keys.append((i << _WIN_POS_BITS) | s)
-                ids.append(i)
-                starts.append(s)
+            if n < window:
+                continue
+            vals = [tok_val(t_) for t_ in toks]
+            ta = np.fromiter((v[0] for v in vals), dtype=np.uint64, count=n)
+            tb = np.fromiter((v[1] for v in vals), dtype=np.uint64, count=n)
+            h1s.append(_window_hashes(ta, _B1, _B1INV).view(np.int64))
+            h2s.append(_window_hashes(tb, _B2, _B2INV).view(np.int64))
+            nw = n - window + 1
+            keys.append((np.int64(i) << _WIN_POS_BITS) + np.arange(nw, dtype=np.int64))
+            ids.append(np.full(nw, i, dtype=np.int64))
+            starts.append(np.arange(nw, dtype=np.int32))
+
+        if not h1s:
+            return pa.table(
+                {
+                    "h1": pa.array([], pa.int64()),
+                    "h2": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int32()),
+                }
+            )
         return pa.table(
             {
-                "h": pa.array(hs, pa.binary()),
-                "key": pa.array(keys, pa.int64()),
-                "id": pa.array(ids, pa.int64()),
-                "s": pa.array(starts, pa.int32()),
+                "h1": pa.array(np.concatenate(h1s)),
+                "h2": pa.array(np.concatenate(h2s)),
+                "key": pa.array(np.concatenate(keys)),
+                "id": pa.array(np.concatenate(ids)),
+                "s": pa.array(np.concatenate(starts)),
             }
         )
 
     exploded = docs.map_batches(explode, batch_format="pyarrow").materialize()
 
+    # size-adaptive (repo convention, cf. minhash/politeness): under
+    # the threshold the winners/dups computation runs driver-side on
+    # one bounded pandas frame (28 B/window ⇒ ≤56 MB at the 2M
+    # default) and only the rebuild map executes on the cluster — the
+    # multi-shuffle scale path below pays ~8 fixed execution
+    # latencies, pure overhead at small n.  Differential-tested equal
+    # to the scale path (small_threshold=0).
+    n_windows = exploded.count()
+    if n_windows <= small_threshold:
+        import ray
+
+        pdf = exploded.to_pandas()
+        if len(pdf):
+            keymin = pdf.groupby(["h1", "h2"])["key"].transform("min")
+            dup = pdf[pdf["key"] != keymin]
+            starts_map = {
+                int(i): np.asarray(g, dtype=np.int64)
+                for i, g in dup.groupby("id")["s"]
+            }
+        else:
+            starts_map = {}
+        map_ref = ray.put(starts_map)
+
+        def rebuild_small(batch: pa.Table) -> pa.Table:
+            smap = ray.get(map_ref)
+            texts, removed = [], []
+            for i, t in zip(
+                batch[id_column].to_pylist(), batch[text_column].to_pylist()
+            ):
+                toks = (t or "").split()
+                a = smap.get(int(i))
+                if a is None:
+                    texts.append(" ".join(toks))
+                    removed.append(0)
+                    continue
+                delta = np.zeros(len(toks) + 1, dtype=np.int32)
+                np.add.at(delta, a, 1)
+                np.add.at(delta, np.minimum(a + window, len(toks)), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                texts.append(" ".join(tok for tok, c in zip(toks, covered) if not c))
+                removed.append(int(covered.sum()))
+            return pa.table(
+                {
+                    id_column: pc.cast(batch[id_column], pa.int64()),
+                    text_column: pa.array(texts, pa.large_string()),
+                    "n_removed": pa.array(removed, pa.int64()),
+                }
+            )
+
+        return docs.map_batches(rebuild_small, batch_format="pyarrow")
+
     winners = (
-        exploded.select_columns(["h", "key"])
-        .groupby("h")
+        exploded.select_columns(["h1", "h2", "key"])
+        .groupby(["h1", "h2"])
         .aggregate(Min("key", alias_name="keep_key"))
     )
     winners, _ = _coalesce_for_join(winners)
@@ -1203,8 +1309,8 @@ def substring_dedup(
         winners,
         join_type="inner",
         num_partitions=_join_partitions(num_partitions),
-        on=("h",),
-        right_on=("h",),
+        on=("h1", "h2"),
+        right_on=("h1", "h2"),
     )
 
     def dup_only(batch: pa.Table) -> pa.Table:

@@ -678,6 +678,15 @@ def test_substring_dedup_semantics(ray_session):
     for row in out.itertuples():
         assert (row.text, row.n_removed) == expected[row.doc_id], row
 
+    # scale path (forced past the size-adaptive threshold) must agree
+    scale = (
+        substring_dedup(ds, window=3, small_threshold=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(scale)
+
 
 def test_substring_dedup_no_duplicates(ray_session):
     """A corpus with no repeated windows passes through untouched
