@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster": q.q_dedup_cluster,
         "line_dedup": q.q_line_dedup,
         "dedup_substring": q.q_dedup_substring,
+        "latest_capture": q.q_latest_capture,
         "token_count": q.q_token_count,
         "vocab_topk": q.q_vocab_topk,
         "pack_sequences": q.q_pack_sequences,

@@ -1388,3 +1388,73 @@ def substring_dedup(
         )
 
     return full.map_batches(rebuild, batch_format="pyarrow")
+
+
+# ------------------------------------------------------ snapshot dedup
+
+
+def latest_capture(
+    ds,
+    *,
+    key_column: str = "url",
+    ts_column: str = "warc_ts",
+    payload_column: str = "text",
+    num_partitions: int = 16,
+):
+    """Cross-snapshot capture dedup (the Common-Crawl "latest crawl
+    wins" pass): a pages table holding multiple captures of the same
+    URL reduces to one row per URL — the capture with the highest
+    ``ts_column``, exact ties broken by the highest md5 of
+    ``payload_column`` (a total order, so the winner is unique and
+    deterministic at any parallelism).
+
+    Scale shape — the temporal sibling of :func:`exact_dedup`, with
+    payload-shuffle damping: a per-block partial first reduces each
+    block to one candidate row per URL (vectorized idxmax, no
+    shuffle), so the winners groupby and the row-fetch join move only
+    block-winner rows (~one row per URL per block it appears in), not
+    every capture.  The winners shuffle itself carries just (url,
+    26-byte packed key).
+    """
+    from ray.data.aggregate import Max
+
+    def pack_batch(batch: pa.Table) -> pa.Table:
+        # pack (ts, payload-md5) into one lexicographically ordered
+        # string key; per-block winner per url via pandas idxmax
+        import pandas as pd
+
+        ts = pc.cast(batch[ts_column], pa.int64()).to_pylist()
+        payloads = batch[payload_column].to_pylist()
+        keys = [
+            f"{t + (1 << 62):016x}" + hashlib.md5((p or "").encode("utf-8")).hexdigest()
+            for t, p in zip(ts, payloads)
+        ]
+        batch = batch.append_column("cap_key", pa.array(keys, pa.string()))
+        pdf = batch.to_pandas()
+        idx = pdf.groupby(key_column)["cap_key"].idxmax()
+        return pa.Table.from_pandas(pdf.loc[idx], preserve_index=False).cast(
+            batch.schema
+        )
+
+    reduced = ds.map_batches(pack_batch, batch_format="pyarrow").materialize()
+
+    winners = (
+        reduced.select_columns([key_column, "cap_key"])
+        .groupby(key_column)
+        .aggregate(Max("cap_key", alias_name="max_key"))
+    )
+    winners, _ = _coalesce_for_join(winners)
+
+    joined = reduced.join(
+        winners,
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=(key_column,),
+        right_on=(key_column,),
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.equal(batch["cap_key"], batch["max_key"]))
+        return out.drop_columns(["cap_key", "max_key"])
+
+    return joined.map_batches(keep, batch_format="pyarrow")

@@ -615,6 +615,23 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM e
         """,
     }
+    # latest-capture snapshot dedup over the derived multi-capture
+    # table (recrawl = +1 day, text || ' recrawl' for every third doc);
+    # winner per url by (warc_ts, md5(text)) total order
+    sql["latest_capture"] = f"""
+        WITH captures AS (
+            SELECT url, warc_ts, text FROM read_parquet('{path}')
+            UNION ALL
+            SELECT url, warc_ts + INTERVAL 1 DAY, text || ' recrawl'
+            FROM read_parquet('{path}')
+            WHERE TRY_CAST(regexp_extract(url, 'doc-([0-9]+)$', 1) AS INTEGER) % 3 = 0
+        )
+        SELECT url, warc_ts, text
+        FROM captures
+        QUALIFY row_number() OVER (
+            PARTITION BY url ORDER BY warc_ts DESC, md5(text) DESC) = 1
+    """
+
     # anchor-text aggregation: per-page first-wins by NORMALIZED href
     # (document order), then count refs per (target, anchor text)
     sql["anchor_stats"] = f"""

@@ -57,6 +57,47 @@ def q_extract_links(sf_dir: str):
     return ds.map_batches(_explode_links_batch, batch_format="pyarrow")
 
 
+def q_latest_capture(sf_dir: str):
+    """Cross-snapshot capture dedup (CC latest-crawl-wins): a derived
+    multi-capture table — every page once, plus a one-day-later
+    recrawl with amended text for every third doc — reduced to one
+    row per url by (warc_ts, text-md5) max."""
+    import ray.data as rd
+
+    from .functions.dedup import latest_capture
+    from .sources.pages import pages_parquet_path
+
+    pages = rd.read_parquet(
+        pages_parquet_path(sf_dir), columns=["url", "warc_ts", "text"]
+    )
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        import re
+
+        urls = batch["url"].to_pylist()
+        ts = batch["warc_ts"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_u, out_t, out_x = list(urls), list(ts), list(texts)
+        import datetime as dt
+
+        for u, t, x in zip(urls, ts, texts):
+            m = re.search(r"doc-(\d+)$", u)
+            if m and int(m.group(1)) % 3 == 0:
+                out_u.append(u)
+                out_t.append(t + dt.timedelta(days=1))
+                out_x.append(x + " recrawl")
+        return pa.table(
+            {
+                "url": pa.array(out_u, pa.string()),
+                "warc_ts": pa.array(out_t, pa.timestamp("us")),
+                "text": pa.array(out_x, batch["text"].type),
+            }
+        )
+
+    captures = pages.map_batches(amplify, batch_format="pyarrow")
+    return latest_capture(captures)
+
+
 def q_pagerank(sf_dir: str):
     """Integer fixed-point PageRank (5 BSP iterations) over the
     extracted internal-link graph: nodes = all pages, edges =

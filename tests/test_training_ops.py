@@ -1064,3 +1064,49 @@ def test_pagerank_hand_computed(ray_session):
         .to_dict()
     )
     assert out8 == rank
+
+
+def test_latest_capture_tiebreak(ray_session):
+    """Highest warc_ts wins; exact-ts ties break by highest text md5
+    (total order → unique winner at any parallelism)."""
+    import datetime as dt
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import latest_capture
+
+    t0 = dt.datetime(2026, 1, 1)
+    t1 = dt.datetime(2026, 1, 2)
+    rows = [
+        ("u1", t0, "old"),
+        ("u1", t1, "new"),
+        ("u2", t0, "aaa"),
+        ("u2", t0, "bbb"),   # tie on ts → md5 decides
+        ("u3", t0, "only"),
+    ]
+    t = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    out = (
+        latest_capture(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    tie_winner = max(["aaa", "bbb"], key=lambda s: hashlib.md5(s.encode()).hexdigest())
+    assert list(out["url"]) == ["u1", "u2", "u3"]
+    assert list(out["text"]) == ["new", tie_winner, "only"]
+
+    out4 = (
+        latest_capture(rd.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out4)
