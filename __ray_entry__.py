@@ -52,9 +52,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster": q.q_dedup_cluster,
         "line_dedup": q.q_line_dedup,
         "dedup_substring": q.q_dedup_substring,
+        "dedup_incremental": q.q_dedup_incremental,
         "latest_capture": q.q_latest_capture,
         "token_count": q.q_token_count,
         "vocab_topk": q.q_vocab_topk,
+        "tfidf_topk": q.q_tfidf_topk,
         "pack_sequences": q.q_pack_sequences,
         "quality_score": q.q_quality_score,
         "lang_id": q.q_lang_id,

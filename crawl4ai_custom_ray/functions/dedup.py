@@ -1458,3 +1458,88 @@ def latest_capture(
         return out.drop_columns(["cap_key", "max_key"])
 
     return joined.map_batches(keep, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- incremental
+
+
+def incremental_dedup(
+    new_ds,
+    prior_ds,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+):
+    """Dedup a NEW crawl increment against a PRIOR corpus and against
+    itself: keep the min-id new document per distinct text whose text
+    does not already appear in the prior corpus.  This is the standing
+    operation of a continuous crawl — each snapshot is deduped against
+    everything already kept (reference cache read-through semantics,
+    ``async_webcrawler.py`` cache_mode ENABLED, lifted to corpus
+    scale).
+
+    Scale shape: both sides reduce to ``(content_hash, prior_flag,
+    candidate_id)`` rows before the shuffle; one ``groupby(content_hash)``
+    with two Min aggregates decides every group.  Shuffled payload is
+    ~48 B/doc regardless of document size, and no side is ever
+    broadcast or driver-materialized — at 10^10 URLs this is one
+    hash-partitioned exchange, the same shape as :func:`exact_dedup`.
+
+    Returns one row per kept new document: ``(doc_id, content_hash)``.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    # prior rows carry the sentinel as their candidate id, so
+    # Min(cand_id) over a group yields the min NEW id when any new row
+    # is present, and the sentinel for prior-only groups; prior
+    # presence itself is Max(prior_flag).
+    _SENTINEL = (1 << 63) - 1  # no-new-candidate marker (int64 max)
+
+    def tag(prior_flag: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            hashes = [
+                hashlib.md5(t.encode("utf-8")).hexdigest()
+                for t in batch[text_column].to_pylist()
+            ]
+            n = len(hashes)
+            cand = (
+                pa.array([_SENTINEL] * n, pa.int64())
+                if prior_flag
+                else batch[id_column].cast(pa.int64())
+            )
+            return pa.table(
+                {
+                    "content_hash": pa.array(hashes, pa.string()),
+                    "prior_flag": pa.array([prior_flag] * n, pa.int64()),
+                    "cand_id": cand,
+                }
+            )
+
+        return fn
+
+    new_tagged = new_ds.select_columns([id_column, text_column]).map_batches(
+        tag(0), batch_format="pyarrow"
+    )
+    prior_tagged = prior_ds.select_columns([id_column, text_column]).map_batches(
+        tag(1), batch_format="pyarrow"
+    )
+
+    decided = (
+        new_tagged.union(prior_tagged)
+        .groupby("content_hash")
+        .aggregate(
+            Max("prior_flag", alias_name="has_prior"),
+            Min("cand_id", alias_name=id_column),
+        )
+    )
+
+    def keep_new(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch["has_prior"], 0),
+            pc.not_equal(batch[id_column], _SENTINEL),
+        )
+        return batch.filter(m).select(["content_hash", id_column])
+
+    return decided.map_batches(keep_new, batch_format="pyarrow")

@@ -321,3 +321,171 @@ def length_quantiles(
     return pa.table(
         {"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())}
     )
+
+
+# ------------------------------------------------------------- tf-idf
+
+
+def tfidf_topk(
+    ds,
+    *,
+    k: int = 5,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_partitions: int = 16,
+):
+    """Per-document top-``k`` tokens by TF-IDF, integer-exact ordering.
+
+    ``score_fp = floor(tf * ln(N / df) * 1e6)`` — fixed-point so the
+    rank order (score desc, token asc) is total and bit-identical at
+    any parallelism, and so the DuckDB oracle (same expression over
+    doubles, same libm) reproduces it exactly.  Tokenization matches
+    :func:`token_count_batch` (split on a single space).
+
+    Scale shape (nothing corpus-sized ever sits in one place):
+
+    - stage 1: one ``(doc, token, tf)`` row per DISTINCT token per
+      document — ``tf`` is already complete because a document's text
+      lives in a single input row;
+    - ``df``: per-batch partial counts, then a vocabulary-sized
+      ``groupby(token).Sum`` — the shuffle moves one row per (token,
+      block), never one per occurrence;
+    - ``tok ⋈ df`` hash join on ``token`` (the df side is
+      vocabulary-sized but streams through the join — never a driver
+      object or broadcast);
+    - per-doc top-k: ``groupby(doc_id)`` with a capped accumulator
+      (the :func:`~crawl4ai_custom_ray.functions.curation.sample_per_group`
+      trick) — merge state is at most ``k`` candidates per group, so
+      the reduce is O(k) memory regardless of document length.
+
+    Returns exploded scalar rows ``(doc_id, rank, token, tf, df,
+    score_fp)`` with rank in 1..k.
+    """
+    import math
+    from collections import Counter
+
+    from ray.data.aggregate import AggregateFn, Sum
+
+    n_docs = ds.count()
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, toks, tfs = [], [], []
+        for i, t in zip(
+            batch[id_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            c = Counter((t or "").split(" "))
+            for tok in sorted(c):
+                ids.append(i)
+                toks.append(tok)
+                tfs.append(c[tok])
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tok = ds.select_columns([id_column, text_column]).map_batches(
+        tf_rows, batch_format="pyarrow"
+    )
+    # materialize: tok feeds BOTH the df aggregate and the join below —
+    # without it the tokenize pass runs twice (and two plans race for
+    # the same session resources)
+    tok = tok.materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["token"].to_pylist())
+        toks = sorted(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df_part": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    df = (
+        tok.select_columns(["token"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+
+    from .dedup import _join_partitions
+
+    joined = tok.join(
+        df,
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=("token",),
+    ).materialize()
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfs = batch["tf"].to_pylist()
+        dfs = batch["df"].to_pylist()
+        fp = [
+            int(math.floor(tf * math.log(n_docs / dfv) * 1e6))
+            for tf, dfv in zip(tfs, dfs)
+        ]
+        return batch.append_column("score_fp", pa.array(fp, pa.int64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    # capped top-k accumulator keyed by doc.  Each candidate is ONE
+    # packed string whose lexicographic order IS (score desc, token
+    # asc): a fixed-width zero-padded complement of score_fp, then the
+    # token, then the payload fields.  Strings (vs tuples) keep the
+    # intermediate accumulator state natively Arrow-convertible, so
+    # shuffle blocks never fall back to pickled object columns.
+    _CMPL = 10**19  # > any score_fp (tf ≤ doc len, ln(N/df) ≤ ln N)
+
+    def _pack(block):
+        cols = ("score_fp", "token", "tf", "df")
+        if hasattr(block, "column_names"):
+            vals = [block[c].to_pylist() for c in cols]
+        else:
+            vals = [list(block[c]) for c in cols]
+        return [
+            f"{_CMPL - s:020d}\x1f{t}\x1f{tf}\x1f{dfv}\x1f{s}"
+            for s, t, tf, dfv in zip(*vals)
+        ]
+
+    agg = AggregateFn(
+        init=lambda key: [],
+        accumulate_block=lambda acc, block: sorted(acc + _pack(block))[:k],
+        merge=lambda a, b: sorted(a + b)[:k],
+        finalize=lambda acc: "\x1e".join(
+            rec.split("\x1f", 1)[1] for rec in acc
+        ),
+        name="topk",
+    )
+
+    picked = scored.groupby(id_column).aggregate(agg)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, ranks, toks, tfs, dfs, fps = [], [], [], [], [], []
+        for i, packed in zip(
+            batch[id_column].to_pylist(), batch["topk"].to_pylist()
+        ):
+            if not packed:
+                continue
+            for rank, rec in enumerate(packed.split("\x1e"), start=1):
+                t, tf, dfv, s = rec.split("\x1f")
+                ids.append(i)
+                ranks.append(rank)
+                toks.append(t)
+                tfs.append(int(tf))
+                dfs.append(int(dfv))
+                fps.append(int(s))
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "token": pa.array(toks, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "df": pa.array(dfs, pa.int64()),
+                "score_fp": pa.array(fps, pa.int64()),
+            }
+        )
+
+    return picked.map_batches(explode, batch_format="pyarrow")

@@ -428,6 +428,46 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token)
             SELECT token, df FROM df ORDER BY df DESC, token ASC LIMIT 100
         """,
+        "tfidf_topk": """
+            WITH tok AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents
+                )
+                GROUP BY doc_id, token
+            ),
+            df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.token, t.tf, d.df,
+                       CAST(FLOOR(t.tf * LN(CAST(n.n AS DOUBLE) / d.df) * 1e6)
+                            AS BIGINT) AS score_fp
+                FROM tok t JOIN df d USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df, score_fp
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY score_fp DESC, token ASC
+                ) AS rank
+                FROM scored
+            )
+            WHERE rank <= 5
+        """,
+        "dedup_incremental": """
+            WITH prior AS (
+                SELECT md5(text) AS content_hash FROM documents
+                WHERE doc_id % 4 = 0
+            ),
+            nw AS (
+                SELECT doc_id, md5(text) AS content_hash FROM documents
+                WHERE doc_id % 4 <> 0
+            )
+            SELECT content_hash, MIN(doc_id) AS doc_id
+            FROM nw
+            WHERE content_hash NOT IN (SELECT content_hash FROM prior)
+            GROUP BY content_hash
+        """,
         "pack_sequences": """
             WITH t AS (
                 SELECT source, doc_id,

@@ -1077,3 +1077,36 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(
         _documents(sf_dir, ["doc_id", "source", "text"]), budget=1024
     )
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Per-document top-5 TF-IDF terms, integer fixed-point scores
+    (floor(tf·ln(N/df)·1e6)) so ordering and values are oracle-exact;
+    df via combiner-first aggregate, tok⋈df hash join, per-doc top-k
+    as a capped accumulator (no per-doc pandas groups)."""
+    from .functions.textstats import tfidf_topk
+
+    return tfidf_topk(_documents(sf_dir, ["doc_id", "text"]), k=5)
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental crawl dedup: the documents table split into a PRIOR
+    corpus (doc_id % 4 == 0) and a NEW increment (the rest); keep the
+    min-id new document per distinct text absent from the prior
+    corpus.  One hash-partitioned groupby decides every group —
+    nothing broadcast, nothing driver-side."""
+    import pyarrow.compute as pc
+
+    from .functions.dedup import incremental_dedup
+
+    def side(want_prior: bool):
+        def fn(batch):
+            is_prior = pc.equal(pc.bit_wise_and(batch["doc_id"], 3), 0)
+            return batch.filter(is_prior if want_prior else pc.invert(is_prior))
+
+        return fn
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+    prior = docs.map_batches(side(True), batch_format="pyarrow")
+    new = docs.map_batches(side(False), batch_format="pyarrow")
+    return incremental_dedup(new, prior)

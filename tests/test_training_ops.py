@@ -1110,3 +1110,103 @@ def test_latest_capture_tiebreak(ray_session):
         .reset_index(drop=True)
     )
     assert out.equals(out4)
+
+
+def test_tfidf_topk_hand_computed(ray_session):
+    """TF-IDF top-k matches a by-hand computation on a tiny corpus,
+    including the (score desc, token asc) tie policy and the fixed
+    floor(tf·ln(N/df)·1e6) scores, and is parallelism-invariant."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.textstats import tfidf_topk
+
+    texts = [
+        "apple banana apple cherry",
+        "banana banana cherry",
+        "apple cherry cherry date",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    n = 3
+    expected = {}
+    dfs = {}
+    for t in texts:
+        for tok in set(t.split(" ")):
+            dfs[tok] = dfs.get(tok, 0) + 1
+    for i, t in zip((1, 2, 3), texts):
+        tf = {}
+        for tok in t.split(" "):
+            tf[tok] = tf.get(tok, 0) + 1
+        rows = sorted(
+            (
+                -math.floor(tfv * math.log(n / dfs[tok]) * 1e6),
+                tok,
+                tfv,
+                dfs[tok],
+            )
+            for tok, tfv in tf.items()
+        )
+        expected[i] = [
+            (r + 1, tok, tfv, dfv, -negs)
+            for r, (negs, tok, tfv, dfv) in enumerate(rows[:2])
+        ]
+
+    for parts in (1, 4):
+        out = (
+            tfidf_topk(rd.from_arrow(docs).repartition(parts), k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"])
+        )
+        got = {
+            i: [
+                (r.rank, r.token, r.tf, r.df, r.score_fp)
+                for r in out[out.doc_id == i].itertuples()
+            ]
+            for i in (1, 2, 3)
+        }
+        assert got == expected, (parts, got, expected)
+
+
+def test_incremental_dedup_planted(ray_session):
+    """Keeps exactly the min-id new doc per distinct text not present
+    in the prior corpus: within-increment dups collapse, prior-corpus
+    repeats vanish entirely, prior-only texts never appear."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import incremental_dedup
+
+    prior = pa.table(
+        {
+            "doc_id": pa.array([100, 101], pa.int64()),
+            "text": pa.array(["already kept", "prior only"], pa.string()),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 7, 8], pa.int64()),
+            "text": pa.array(
+                [
+                    "fresh one",      # kept (unique new)
+                    "twice new",      # kept (min id of 3, 9)
+                    "twice new",
+                    "already kept",   # dropped (in prior)
+                    "fresh two",      # kept
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = incremental_dedup(
+        rd.from_arrow(new).repartition(3), rd.from_arrow(prior).repartition(2)
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [3, 5, 8]
+    assert set(out.columns) == {"content_hash", "doc_id"}
