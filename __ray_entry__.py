@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.q_token_count,
         "vocab_topk": q.q_vocab_topk,
         "tfidf_topk": q.q_tfidf_topk,
+        "lm_score": q.q_lm_score,
         "pack_sequences": q.q_pack_sequences,
         "quality_score": q.q_quality_score,
         "lang_id": q.q_lang_id,

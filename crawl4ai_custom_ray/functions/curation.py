@@ -665,3 +665,206 @@ def sample_per_group(
         )
 
     return picked.map_batches(explode, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ bigram LM
+
+
+def lm_score(
+    ds,
+    ref_ds,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_partitions: int = 16,
+    salt: int = 8,
+):
+    """CCNet-style LM quality score (Wenzek et al. 2020): each
+    document's total bigram log-likelihood under an add-one-smoothed
+    bigram model trained on a REFERENCE slice (the "wiki-side" LM of
+    the CCNet pipeline, here any dataset with the same text column).
+
+    Per-bigram term, integer fixed point so per-doc sums are
+    order-independent and the DuckDB oracle reproduces them exactly::
+
+        term_fp(w1, w2) = floor( ln( (c12+1) / (c1+V) ) * 1e9 )
+
+    with ``c12``/``c1`` the reference bigram/unigram counts and ``V``
+    the reference unigram vocabulary size.  Unseen bigrams and unseen
+    left words get the smoothed floor term (c12=0, c1=0).  Returns one
+    row per document: ``(doc_id, n_bigrams, logprob_fp)`` —
+    ``logprob_fp / (n_bigrams * 1e9)`` is the mean log-likelihood (the
+    monotone equivalent of perplexity) for downstream thresholding.
+
+    Scale shape:
+
+    - reference counts are combiner-first aggregates (one row per
+      (bigram, block) into the shuffle, never one per occurrence);
+      the count tables are vocabulary-sized and STREAM through joins —
+      never a driver object, never broadcast (bigram vocabularies at
+      100 TB are far beyond any single heap);
+    - document bigrams reduce to (doc, w1, w2, multiplicity) rows
+      before joining, so repeated bigrams inside a document cost one
+      row;
+    - **hot-key salting**: natural-language bigram frequency is
+      Zipfian ("of the" alone is ~1% of English bigrams), so the
+      doc-bigrams⋈counts join salts the probe side with
+      ``doc_id % salt`` and replicates the (small per-key) count rows
+      ``salt`` ways — a hot bigram spreads over ``salt`` partitions
+      instead of melting one;
+    - the final per-doc reduction is an integer ``groupby(doc).Sum``.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import _join_partitions
+
+    nparts = _join_partitions(num_partitions)
+
+    # --- reference counts (combiner-first) -------------------------
+    # unigram and bigram counts share ONE aggregation pass: the key is
+    # the token for unigrams (kind=1) and "w1\x1fw2" for bigrams
+    # (kind=2) — \x1f cannot appear inside a split(" ") token of any
+    # sane corpus, and the kind column disambiguates regardless.
+    def ref_partial(batch: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in batch[text_column].to_pylist():
+            ws = (t or "").split(" ")
+            uni.update(ws)
+            bi.update(zip(ws, ws[1:]))
+        ks, kinds, cnts = [], [], []
+        for (a, b), c in bi.items():
+            ks.append(a + "\x1f" + b)
+            kinds.append(2)
+            cnts.append(c)
+        for a, c in uni.items():
+            ks.append(a)
+            kinds.append(1)
+            cnts.append(c)
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.string()),
+                "kind": pa.array(kinds, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    counts = (
+        ref_ds.select_columns([text_column])
+        .map_batches(ref_partial, batch_format="pyarrow")
+        .groupby(["kind", "k"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    def _kind(want: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return batch.filter(_pc.equal(batch["kind"], want)).drop_columns(
+                ["kind"]
+            )
+
+        return fn
+
+    bi_counts = counts.map_batches(_kind(2), batch_format="pyarrow")
+    uni_counts = counts.map_batches(_kind(1), batch_format="pyarrow").rename_columns(
+        {"k": "w1"}
+    )
+
+    # V: reference unigram vocabulary size (one driver-side scalar)
+    vocab_v = uni_counts.count()
+
+    # replicate count rows `salt` ways so hot bigrams spread across
+    # join partitions (probe side salts by doc_id % salt)
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = pa.concat_tables([batch] * salt)
+        salts = pa.array(
+            [s for s in range(salt) for _ in range(n)], pa.int64()
+        )
+        return out.append_column("salt", salts)
+
+    bi_salted = bi_counts.map_batches(replicate, batch_format="pyarrow")
+    uni_salted = uni_counts.rename_columns({"cnt": "c1"}).map_batches(
+        replicate, batch_format="pyarrow"
+    )
+
+    # --- document bigrams (multiplicity-reduced) --------------------
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        ids, ks, w1s, mult, slt = [], [], [], [], []
+        for i, t in zip(
+            batch[id_column].to_pylist(), batch[text_column].to_pylist()
+        ):
+            ws = (t or "").split(" ")
+            c = Counter(zip(ws, ws[1:]))
+            s = i % salt
+            # zero "seed" row: keeps docs with < 2 tokens present
+            # through the joins and the final groupby (it matches no
+            # count row; mult 0 contributes nothing to either sum)
+            ids.append(i)
+            ks.append("\x1f")
+            w1s.append("\x1f")
+            mult.append(0)
+            slt.append(s)
+            for (a, b), m in c.items():
+                ids.append(i)
+                ks.append(a + "\x1f" + b)
+                w1s.append(a)
+                mult.append(m)
+                slt.append(s)
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "k": pa.array(ks, pa.string()),
+                "w1": pa.array(w1s, pa.string()),
+                "mult": pa.array(mult, pa.int64()),
+                "salt": pa.array(slt, pa.int64()),
+            }
+        )
+
+    dbi = ds.select_columns([id_column, text_column]).map_batches(
+        doc_bigrams, batch_format="pyarrow"
+    )
+
+    joined = dbi.join(
+        bi_salted.rename_columns({"cnt": "c12"}),
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("k", "salt"),
+    ).materialize()
+    joined = joined.join(
+        uni_salted,
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("w1", "salt"),
+    ).materialize()
+
+    def term(batch: pa.Table) -> pa.Table:
+        c12 = batch["c12"].fill_null(0).to_pylist()
+        c1 = batch["c1"].fill_null(0).to_pylist()
+        mult = batch["mult"].to_pylist()
+        terms = [
+            m * math.floor(math.log((a + 1) / (b + vocab_v)) * 1e9)
+            for a, b, m in zip(c12, c1, mult)
+        ]
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "mult": batch["mult"],
+                "term_total": pa.array(terms, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(term, batch_format="pyarrow")
+        .groupby(id_column)
+        .aggregate(
+            Sum("mult", alias_name="n_bigrams"),
+            Sum("term_total", alias_name="logprob_fp"),
+        )
+    )

@@ -468,6 +468,46 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             WHERE content_hash NOT IN (SELECT content_hash FROM prior)
             GROUP BY content_hash
         """,
+        "lm_score": """
+            WITH ref AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            r_uni AS (SELECT unnest(ws) AS w1 FROM ref),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM r_uni GROUP BY w1),
+            v AS (SELECT COUNT(DISTINCT w1) AS v FROM r_uni),
+            r_bi AS (
+                SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM ref, UNNEST(range(1, len(ws))) AS t(i)
+            ),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM r_bi GROUP BY w1, w2),
+            d AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            d_bi AS (
+                SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM d, UNNEST(range(1, len(ws))) AS t(i)
+            ),
+            terms AS (
+                SELECT b.doc_id,
+                       CAST(FLOOR(LN(
+                           (COALESCE(c12.c12, 0) + 1)::DOUBLE
+                           / (COALESCE(c1.c1, 0) + v.v)
+                       ) * 1e9) AS BIGINT) AS term_fp
+                FROM d_bi b
+                LEFT JOIN c12 USING (w1, w2)
+                LEFT JOIN c1 USING (w1)
+                CROSS JOIN v
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_bigrams, SUM(term_fp) AS logprob_fp
+                FROM terms GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(a.logprob_fp, 0) AS BIGINT) AS logprob_fp
+            FROM d LEFT JOIN agg a USING (doc_id)
+        """,
         "pack_sequences": """
             WITH t AS (
                 SELECT source, doc_id,

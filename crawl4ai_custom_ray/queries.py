@@ -1110,3 +1110,22 @@ def q_dedup_incremental(sf_dir: str):
     prior = docs.map_batches(side(True), batch_format="pyarrow")
     new = docs.map_batches(side(False), batch_format="pyarrow")
     return incremental_dedup(new, prior)
+
+
+def q_lm_score(sf_dir: str):
+    """CCNet-style bigram-LM quality score: documents scored by total
+    bigram log-likelihood (integer fixed point) under an add-one
+    bigram model trained on the doc_id % 10 == 0 reference slice;
+    count tables stream through salted hash joins (no broadcast)."""
+    import pyarrow as pa
+
+    from .functions.curation import lm_score
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def ref_side(batch):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    ref = docs.map_batches(ref_side, batch_format="pyarrow")
+    return lm_score(docs, ref, salt=4)

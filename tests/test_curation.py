@@ -271,3 +271,57 @@ def test_length_quantiles_exact(ray_session):
     lens = sorted(len(t.split(" ")) for t in texts)
     for q, v in zip(out["q"], out["value"]):
         assert v == lens[max(0, math.ceil(q * len(lens)) - 1)], (q, v)
+
+
+def test_lm_score_hand_computed(ray_session):
+    """Bigram-LM scores match a by-hand add-one model on a tiny
+    corpus: seen bigram, unseen bigram with seen left word, unseen
+    left word, and a <2-token doc that must surface with zeros —
+    invariant across parallelism and salt."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import lm_score
+
+    ref_texts = ["a b a b c", "a c"]
+    # unigrams: a×3 b×2 c×2  -> V = 3
+    # bigrams:  (a,b)×2 (b,a)×1 (b,c)×1 (a,c)×1
+    doc_texts = ["a b c", "a z", "x"]
+    ref = pa.table(
+        {
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array(ref_texts, pa.string()),
+        }
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(doc_texts, pa.string()),
+        }
+    )
+    V = 3
+    c1 = {"a": 3, "b": 2, "c": 2}
+    c12 = {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1, ("a", "c"): 1}
+
+    def term(w1, w2):
+        return math.floor(
+            math.log((c12.get((w1, w2), 0) + 1) / (c1.get(w1, 0) + V)) * 1e9
+        )
+
+    expected = {
+        1: (2, term("a", "b") + term("b", "c")),
+        2: (1, term("a", "z")),
+        3: (0, 0),
+    }
+    for parts, salt in ((1, 1), (3, 4)):
+        out = lm_score(
+            rd.from_arrow(docs).repartition(parts),
+            rd.from_arrow(ref).repartition(parts),
+            salt=salt,
+        ).to_pandas()
+        got = {
+            r.doc_id: (r.n_bigrams, r.logprob_fp) for r in out.itertuples()
+        }
+        assert got == expected, (parts, salt, got, expected)
