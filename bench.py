@@ -35,10 +35,23 @@ VARIANTS = int(os.environ.get("GRAFT_BENCH_VARIANTS", "4"))
 PARAGRAPHS = int(os.environ.get("GRAFT_BENCH_PARAGRAPHS", "8"))
 
 
-def _timed(fn):
-    t0 = time.time()
-    fn()
-    return round(time.time() - t0, 3)
+# this sandbox is multi-tenant: a co-tenant burst can inflate any
+# single wall-time 3-20× (observed).  Every stage is timed best-of-N
+# (min is the standard noise-robust estimator for a deterministic
+# workload) and the JSON carries the host load averages so a noisy
+# recording is auditable.
+REPEATS = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+HEADLINE_REPEATS = int(os.environ.get("GRAFT_BENCH_HEADLINE_REPEATS", "3"))
+
+
+def _timed(fn, repeats: int = REPEATS):
+    best = None
+    for _ in range(max(1, repeats)):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 3)
 
 
 def run_bench() -> dict:
@@ -78,6 +91,7 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def headline():
+        shutil.rmtree(out_dir, ignore_errors=True)
         ds = rd.read_parquet(pages_path, override_num_blocks=NUM_CPUS * 2)
         # the COMPLETE extraction record: cleaned_html, raw/cited
         # markdown, fit_markdown, fit_html, text, metadata, links,
@@ -85,7 +99,7 @@ def run_bench() -> dict:
         extracted = extract_pages(ds, compute_fit_html=True)
         extracted.write_parquet(out_dir)
 
-    queries["extract"] = _timed(headline)
+    queries["extract"] = _timed(headline, HEADLINE_REPEATS)
 
     # frontier: one BFS crawl (depth 2, politeness cap) on the base pages
     from crawl4ai_custom_ray.frontier.crawl import BFSCrawl, CrawlConfig
@@ -186,6 +200,31 @@ def run_bench() -> dict:
 
     queries["curation"] = _timed(curation)
 
+    # per-doc TF-IDF top-k (df aggregate + hash join + capped top-k)
+    from crawl4ai_custom_ray.functions.textstats import tfidf_topk
+
+    def tfidf():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        tfidf_topk(docs, k=5).count()
+
+    queries["tfidf_topk"] = _timed(tfidf)
+
+    # CCNet-style bigram-LM scoring (salted left joins, fixed point)
+    from crawl4ai_custom_ray.functions.curation import lm_score
+    import pyarrow as pa
+
+    def lm():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+
+        def ref_side(batch):
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 10 == 0))
+
+        ref = docs.map_batches(ref_side, batch_format="pyarrow")
+        lm_score(docs, ref, salt=4).count()
+
+    queries["lm_score"] = _timed(lm)
+
     ray.shutdown()
 
     headline_sec = queries["extract"]
@@ -198,6 +237,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "pages": n_pages,
         "pages_per_sec": round(n_pages / headline_sec, 1) if headline_sec else None,
+        "best_of": {"headline": HEADLINE_REPEATS, "others": REPEATS},
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
 
 

@@ -720,7 +720,7 @@ def lm_score(
 
     from ray.data.aggregate import Sum
 
-    from .dedup import _join_partitions
+    from .dedup import _coalesce_for_join, _join_partitions, hash_join_safe
 
     nparts = _join_partitions(num_partitions)
 
@@ -758,8 +758,10 @@ def lm_score(
         .map_batches(ref_partial, batch_format="pyarrow")
         .groupby(["kind", "k"])
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .materialize()
     )
+    # groupby outputs carry schema-less empty blocks at high
+    # parallelism — coalesce before deriving the two join inputs
+    counts, _ = _coalesce_for_join(counts)
 
     def _kind(want: int):
         def fn(batch: pa.Table) -> pa.Table:
@@ -831,18 +833,20 @@ def lm_score(
         doc_bigrams, batch_format="pyarrow"
     )
 
-    joined = dbi.join(
+    joined = hash_join_safe(
+        dbi,
         bi_salted.rename_columns({"cnt": "c12"}),
         join_type="left_outer",
         num_partitions=nparts,
         on=("k", "salt"),
-    ).materialize()
-    joined = joined.join(
+    )
+    joined = hash_join_safe(
+        joined,
         uni_salted,
         join_type="left_outer",
         num_partitions=nparts,
         on=("w1", "salt"),
-    ).materialize()
+    )
 
     def term(batch: pa.Table) -> pa.Table:
         c12 = batch["c12"].fill_null(0).to_pylist()

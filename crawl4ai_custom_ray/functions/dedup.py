@@ -191,6 +191,48 @@ def _join_partitions(requested: int) -> int:
     return max(2, min(requested, cpus // 2 or 1))
 
 
+def hash_join_safe(
+    left,
+    right,
+    *,
+    on: tuple,
+    right_on: tuple | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+    rename: dict | None = None,
+):
+    """Hash join, materialized, with an empty-partition workaround.
+
+    Ray 2.49's hash-shuffle join crashes (``ArrowInvalid: No match or
+    multiple matches for key field reference``) when one side of a
+    partition receives ZERO rows: the empty packet carries no schema,
+    so the per-partition pyarrow join cannot resolve the key column.
+    Key spaces large relative to the partition count never hit this
+    (the 100 TB design point); a vocabulary-sized key space at test
+    scale can (observed: 31 distinct tokens over 16 partitions).
+    Halving the partition count and retrying converges — at
+    ``num_partitions=1`` a non-empty side cannot produce an empty
+    partition — and the join result is partitioning-invariant, so the
+    retry changes nothing but task granularity."""
+    nparts = _join_partitions(num_partitions)
+    while True:
+        try:
+            j = left.join(
+                right,
+                join_type=join_type,
+                num_partitions=nparts,
+                on=on,
+                right_on=right_on,
+            )
+            if rename:
+                j = j.rename_columns(rename)
+            return j.materialize()
+        except Exception as ex:  # noqa: BLE001 — match the Ray bug only
+            if "key field reference" not in str(ex) or nparts <= 1:
+                raise
+            nparts //= 2
+
+
 def _attach_by_id(pairs, per_doc, key: str, out_cols: dict, *, num_partitions: int):
     """Hash-join ``pairs`` (left) with a per-doc dataset (id, …) on
     ``key``; renames attached columns per ``out_cols``.  The pair table
@@ -198,16 +240,14 @@ def _attach_by_id(pairs, per_doc, key: str, out_cols: dict, *, num_partitions: i
     broadcast so no corpus-sized object ever exists in one place.
     Materialized so chained attaches never put two join shuffles in
     one running plan."""
-    joined = pairs.join(
+    return hash_join_safe(
+        pairs,
         per_doc,
-        join_type="inner",
-        num_partitions=_join_partitions(num_partitions),
         on=(key,),
         right_on=("id",),
+        num_partitions=num_partitions,
+        rename=out_cols or None,
     )
-    if out_cols:
-        joined = joined.rename_columns(out_cols)
-    return joined.materialize()
 
 
 # ------------------------------------------------------------------ exact

@@ -411,14 +411,14 @@ def tfidf_topk(
         .aggregate(Sum("df_part", alias_name="df"))
     )
 
-    from .dedup import _join_partitions
+    from .dedup import _coalesce_for_join, hash_join_safe
 
-    joined = tok.join(
-        df,
-        join_type="inner",
-        num_partitions=_join_partitions(num_partitions),
-        on=("token",),
-    ).materialize()
+    # groupby outputs carry schema-less empty blocks at high
+    # parallelism — coalesce before using as a join input
+    df, _ = _coalesce_for_join(df)
+    joined = hash_join_safe(
+        tok, df, on=("token",), num_partitions=num_partitions
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         tfs = batch["tf"].to_pylist()
