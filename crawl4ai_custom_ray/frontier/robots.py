@@ -15,12 +15,67 @@ pages), so the gate's effect has an exact SQL oracle
 
 from __future__ import annotations
 
+import re
+from urllib.parse import quote, unquote, urlparse, urlunparse
 from urllib.robotparser import RobotFileParser
 
 import pyarrow as pa
 import ray
 
 DEFAULT_SYNTHETIC_RULES = "User-agent: *\nDisallow: /private/\n"
+
+
+def _rule_applies(rule_path: str, filename: str) -> bool:
+    """Wildcard-aware rule-path match, behavior-parity with the
+    reference's robotparser patch (``utils.py:53-73``): a path
+    containing ``*`` (or its percent-encoding ``%2A``) matches as a
+    glob anchored at the start, with a trailing ``$`` meaning
+    end-of-string; plain paths keep stdlib prefix semantics."""
+    if "*" in rule_path or "%2A" in rule_path or rule_path in ("*", "%2A"):
+        pattern = re.escape(rule_path.replace("%2A", "*")).replace("\\*", ".*")
+        pattern = "^" + pattern
+        if pattern.endswith("\\$"):
+            pattern = pattern[:-2] + "$"
+        try:
+            return bool(re.match(pattern, filename))
+        except re.error:
+            pass
+    # stdlib RuleLine.applies_to: "*" matches everything, else prefix
+    return rule_path == "*" or filename.startswith(rule_path)
+
+
+def _wildcard_can_fetch(parser: RobotFileParser, useragent: str, url: str) -> bool:
+    """``RobotFileParser.can_fetch`` with :func:`_rule_applies` in
+    place of the stdlib prefix match.  Mirrors the stdlib's url
+    normalization and entry selection exactly (first matching
+    user-agent entry, else the ``*`` default entry; first applicable
+    rule line wins; empty-path rules allow)."""
+    if parser.disallow_all:
+        return False
+    if parser.allow_all:
+        return True
+    if not parser.mtime():
+        return False
+    parsed_url = urlparse(unquote(url))
+    path = urlunparse(
+        ("", "", parsed_url.path, parsed_url.params, parsed_url.query, parsed_url.fragment)
+    )
+    path = quote(path) or "/"
+    for entry in parser.entries:
+        if entry.applies_to(useragent):
+            return _entry_allowance(entry, path)
+    if parser.default_entry:
+        return _entry_allowance(parser.default_entry, path)
+    return True
+
+
+def _entry_allowance(entry, filename: str) -> bool:
+    for line in entry.rulelines:
+        # (an empty Disallow parses to path "" + allowance True — the
+        # prefix branch matches it against everything, as stdlib does)
+        if _rule_applies(line.path, filename):
+            return line.allowance
+    return True
 
 
 def build_robots_table(hosts: list[str], rules: str = DEFAULT_SYNTHETIC_RULES) -> pa.Table:
@@ -69,7 +124,7 @@ class RobotsGate:
         parser = self._parser_for(host)
         if parser is None:
             return True
-        return parser.can_fetch(self.user_agent, url)
+        return _wildcard_can_fetch(parser, self.user_agent, url)
 
     def allowed_many(self, urls: list[str], hosts: list[str]) -> list[bool]:
         return [self.can_fetch(u, h) for u, h in zip(urls, hosts)]

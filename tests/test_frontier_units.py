@@ -361,3 +361,74 @@ def test_politeness_paths_property(ray_session):
             assert n <= caps.get(h, cap)
 
     check()
+
+
+class TestRobotsWildcards:
+    """Wildcard rule-path semantics, behavior-parity with the
+    reference's robotparser patch (utils.py:53-73): '*' globs inside
+    Disallow/Allow paths, '%2A' as encoded '*', trailing '$' anchors
+    end-of-string; plain prefixes keep stdlib behavior."""
+
+    def _gate(self, rules):
+        from crawl4ai_custom_ray.frontier.robots import RobotsGate
+
+        return RobotsGate({"h": rules})
+
+    def test_star_glob_blocks_query_pattern(self):
+        g = self._gate("User-agent: *\nDisallow: /*?sessionid=\n")
+        assert not g.can_fetch("http://h/page?sessionid=1", "h")
+        assert not g.can_fetch("http://h/a/b?sessionid=", "h")
+        assert g.can_fetch("http://h/page?id=1", "h")
+
+    def test_star_mid_path(self):
+        g = self._gate("User-agent: *\nDisallow: /private*/data/\n")
+        assert not g.can_fetch("http://h/private-2024/data/x", "h")
+        assert not g.can_fetch("http://h/private/data/x", "h")
+        assert g.can_fetch("http://h/private-2024/other/x", "h")
+
+    def test_dollar_anchor_reference_quirk(self):
+        # stdlib RuleLine percent-quotes rule paths ('$' -> '%24'), so
+        # the reference's patch never sees a literal trailing '$' from
+        # parsed rules and '/*.pdf$' matches only literal '%24' —
+        # i.e. BOTH engines allow '/doc.pdf' here.  Behavior parity
+        # means mirroring that quirk, not Google's $-anchor semantics.
+        g = self._gate("User-agent: *\nDisallow: /*.pdf$\n")
+        assert g.can_fetch("http://h/doc.pdf", "h")
+        assert g.can_fetch("http://h/doc.pdf.html", "h")
+        # the glob itself still works without the anchor
+        g2 = self._gate("User-agent: *\nDisallow: /*.pdf\n")
+        assert not g2.can_fetch("http://h/doc.pdf", "h")
+        assert not g2.can_fetch("http://h/doc.pdf.html", "h")
+
+    def test_encoded_star(self):
+        g = self._gate("User-agent: *\nDisallow: /tmp%2A\n")
+        assert not g.can_fetch("http://h/tmp-cache/x", "h")
+        assert g.can_fetch("http://h/tm/x", "h")
+
+    def test_allow_overrides_with_wildcard(self):
+        g = self._gate(
+            "User-agent: *\nAllow: /private/ok*\nDisallow: /private/\n"
+        )
+        assert g.can_fetch("http://h/private/ok-page", "h")
+        assert not g.can_fetch("http://h/private/no", "h")
+
+    def test_plain_prefix_unchanged_vs_stdlib(self):
+        from urllib.robotparser import RobotFileParser
+
+        rules = "User-agent: *\nDisallow: /private/\nAllow: /private/pub\n"
+        g = self._gate(rules)
+        p = RobotFileParser()
+        p.parse(rules.splitlines())
+        for path in ("/private/x", "/private/pub1", "/", "/other", "/private"):
+            url = f"http://h{path}"
+            assert g.can_fetch(url, "h") == p.can_fetch("*", url), path
+
+    def test_agent_specific_entry_selected(self):
+        g = self._gate(
+            "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private/\n"
+        )
+        assert g.can_fetch("http://h/x", "h")
+        from crawl4ai_custom_ray.frontier.robots import RobotsGate
+
+        bad = RobotsGate({"h": "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private/\n"}, user_agent="badbot")
+        assert not bad.can_fetch("http://h/x", "h")
