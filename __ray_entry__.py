@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": q.q_pii_scrub,
         "decontaminate": q.q_decontaminate,
         "gopher_quality": q.q_gopher_quality,
+        "gopher_filters": q.q_gopher_filters,
         "split_assign": q.q_split_assign,
         "sample_per_group": q.q_sample_per_group,
         "length_quantiles": q.q_length_quantiles,

@@ -230,6 +230,104 @@ def repetition_quality(
     )
 
 
+# ------------------------------------------ doc-quality rules (Gopher/C4)
+
+# Gopher §A.1.1 document-quality rules (word count, mean word length,
+# alpha-word fraction, stop-word presence) + the two C4 (Raffel et al.
+# 2020 §2.2) substring rules ("lorem ipsum", curly brace).  The paper
+# bounds (50–100k words, mean length 3–10) are tuned to real web text;
+# this corpus is short synthetic word-stream text, so the query uses
+# bounds that discriminate on it (30–90 words, mean length 4.0–5.0) —
+# the RULE SHAPES are the paper's, the constants are per-corpus
+# configuration, exactly as a production pipeline retunes them per
+# source.  All comparisons are integer cross-multiplications so the
+# DuckDB oracle reproduces `passed` bit-exactly with no float division.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "to", "and", "in", "is", "that", "it", "with",
+)
+
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+
+def gopher_doc_filter_batch(
+    batch: pa.Table,
+    *,
+    min_words: int,
+    max_words: int,
+    mean_len_lo_x10: int,
+    mean_len_hi_x10: int,
+    min_stop: int,
+) -> pa.Table:
+    """Per-doc integer quality signals:
+
+    - ``n_words``: single-space token count
+    - ``sum_word_len``: total codepoints across words (mean word
+      length = sum/n, compared via ``10*sum`` vs ``lo*n`` / ``hi*n``)
+    - ``n_alpha_words``: words containing an ASCII letter (Gopher's
+      80 % rule: ``5*n_alpha >= 4*n_words``)
+    - ``n_stop``: words in the 10-word stop list
+    - ``passed``: every rule holds and neither C4 substring occurs
+    """
+    stop = set(STOPWORDS)
+    n_words, sum_len, n_alpha, n_stop, passed = [], [], [], [], []
+    for t in batch["text"].to_pylist():
+        t = t or ""
+        words = t.split(" ")
+        nw = len(words)
+        sl = sum(len(w) for w in words)
+        na = sum(1 for w in words if _ALPHA_RE.search(w))
+        ns = sum(1 for w in words if w in stop)
+        ok = (
+            min_words <= nw <= max_words
+            and mean_len_lo_x10 * nw <= 10 * sl <= mean_len_hi_x10 * nw
+            and 5 * na >= 4 * nw
+            and ns >= min_stop
+            and "lorem ipsum" not in t
+            and "{" not in t
+        )
+        n_words.append(nw)
+        sum_len.append(sl)
+        n_alpha.append(na)
+        n_stop.append(ns)
+        passed.append(ok)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "sum_word_len": pa.array(sum_len, pa.int64()),
+            "n_alpha_words": pa.array(n_alpha, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "passed": pa.array(passed, pa.bool_()),
+        }
+    )
+
+
+def gopher_doc_filter(
+    ds,
+    *,
+    min_words: int = 30,
+    max_words: int = 90,
+    mean_len_lo_x10: int = 40,
+    mean_len_hi_x10: int = 50,
+    min_stop: int = 3,
+):
+    """Gopher document-quality gate (stateless vectorized pass; at
+    100 TB this is embarrassingly parallel — no shuffle, no state)."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(
+            gopher_doc_filter_batch,
+            min_words=min_words,
+            max_words=max_words,
+            mean_len_lo_x10=mean_len_lo_x10,
+            mean_len_hi_x10=mean_len_hi_x10,
+            min_stop=min_stop,
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # --------------------------------------------------- split assignment
 
 

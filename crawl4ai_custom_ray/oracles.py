@@ -871,6 +871,33 @@ r{t} AS (
         LEFT JOIN g2c ON g2c.doc_id = s.doc_id
         LEFT JOIN g3c ON g3c.doc_id = s.doc_id
     """
+    sql["gopher_filters"] = """
+        WITH w AS (
+            SELECT doc_id, text, string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, text,
+                   len(ws) AS n_words,
+                   CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_word_len,
+                   len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+                   len(list_filter(ws, x -> list_contains(
+                       ['the','a','of','to','and','in','is','that','it','with'], x))) AS n_stop
+            FROM w
+        )
+        SELECT doc_id,
+               n_words,
+               sum_word_len,
+               n_alpha_words,
+               n_stop,
+               (n_words BETWEEN 30 AND 90
+                AND 10 * sum_word_len BETWEEN 40 * n_words AND 50 * n_words
+                AND 5 * n_alpha_words >= 4 * n_words
+                AND n_stop >= 3
+                AND NOT contains(text, 'lorem ipsum')
+                AND NOT contains(text, '{')) AS passed
+        FROM s
+    """
     sql["split_assign"] = """
         SELECT doc_id, bucket,
                CASE WHEN bucket < 80 THEN 'train'

@@ -952,6 +952,16 @@ def q_gopher_quality(sf_dir: str):
     return repetition_quality(docs, dup_word_max=0.6)
 
 
+def q_gopher_filters(sf_dir: str):
+    """Gopher document-quality rule set (Rae et al. 2021 §A.1.1:
+    word-count bounds, mean-word-length bounds, alpha-word fraction,
+    stop-word presence) + C4's lorem-ipsum/brace substring rules —
+    integer cross-multiplied comparisons, no float division."""
+    from .functions.curation import gopher_doc_filter
+
+    return gopher_doc_filter(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic md5-bucket train/val/test assignment (80/10/10)."""
     from .functions.curation import split_assign

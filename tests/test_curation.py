@@ -7,6 +7,8 @@ import ray.data as rd
 
 from crawl4ai_custom_ray.functions.curation import (
     decontaminate,
+    gopher_doc_filter,
+    gopher_doc_filter_batch,
     pii_scrub,
     pii_scrub_batch,
     repetition_quality,
@@ -325,3 +327,46 @@ def test_lm_score_hand_computed(ray_session):
             r.doc_id: (r.n_bigrams, r.logprob_fp) for r in out.itertuples()
         }
         assert got == expected, (parts, salt, got, expected)
+
+
+def test_gopher_doc_filter_kernel_rules():
+    # crafted docs isolating each rule (bounds: 30-90 words, mean word
+    # length 4.0-5.0 via integer cross-mult, >=80% alpha words,
+    # >=3 stopwords, no 'lorem ipsum', no '{')
+    good = " ".join(["the", "of", "and"] + ["words"] * 37)  # 40 w, mean (8+185)/40 = 4.825
+    too_short = "the of and word"
+    no_stop = " ".join(["alpha"] * 40)
+    numbers = " ".join(["the", "of", "and"] + ["1234"] * 37)  # alpha frac 3/40
+    lorem = good + " lorem ipsum"
+    brace = good.replace("words", "wor{s", 1)
+    batch = pa.table(
+        {
+            "doc_id": list(range(6)),
+            "text": [good, too_short, no_stop, numbers, lorem, brace],
+        }
+    )
+    out = gopher_doc_filter_batch(
+        batch,
+        min_words=30,
+        max_words=90,
+        mean_len_lo_x10=40,
+        mean_len_hi_x10=50,
+        min_stop=3,
+    ).to_pylist()
+    assert [r["passed"] for r in out] == [True, False, False, False, False, False]
+    g = out[0]
+    assert g["n_words"] == 40
+    assert g["sum_word_len"] == 3 + 2 + 3 + 37 * 5
+    assert g["n_alpha_words"] == 40
+    assert g["n_stop"] == 3
+
+
+def test_gopher_doc_filter_dataset(ray_session):
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": " ".join(["the", "it", "is"] + ["words"] * 37)},
+            {"doc_id": 2, "text": "tiny"},
+        ]
+    )
+    rows = {r["doc_id"]: r for r in gopher_doc_filter(ds).take_all()}
+    assert rows[1]["passed"] is True and rows[2]["passed"] is False
