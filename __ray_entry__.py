@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q.q_dedup_minhash,
         "dedup_simhash": q.q_dedup_simhash,
         "dedup_cluster": q.q_dedup_cluster,
+        "dedup_keep_best": q.q_dedup_keep_best,
         "line_dedup": q.q_line_dedup,
         "dedup_substring": q.q_dedup_substring,
         "dedup_incremental": q.q_dedup_incremental,

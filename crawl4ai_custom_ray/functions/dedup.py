@@ -1583,3 +1583,101 @@ def incremental_dedup(
         return batch.filter(m).select(["content_hash", id_column])
 
     return decided.map_batches(keep_new, batch_format="pyarrow")
+
+
+# ----------------------------------- quality-based representative pick
+
+# Packed argmax base: qkey = n_distinct * 2^40 + (2^40 - 1 - doc_id),
+# so MAX(qkey) == argmax by (n_distinct, then LOWEST doc_id).  Holds
+# for doc_id < 2^40 (a 10^10-URL corpus is ~2^33) and n_distinct
+# < 2^23 words (any real document).
+_QKEY_BASE = 1 << 40
+
+
+def near_dedup_keep_best(
+    ds,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+    num_partitions: int = 16,
+):
+    """Near-dedup with QUALITY-based representative selection (the
+    FineWeb/RefinedWeb decision: keep the best doc of each duplicate
+    cluster, not the lowest-id one): MinHash-LSH pairs → connected
+    components → per-cluster argmax of (n_distinct_words, min id) via
+    a packed-integer ``Max`` aggregate.
+
+    Scale shape: reuses :func:`near_dedup_clusters` (banded candidate
+    generation, join-based verification); the quality signal is a
+    stateless per-doc pass; the argmax is ONE ``groupby(cluster_id)``
+    of int64 rows plus one hash join back — never a per-cluster pandas
+    group, never a driver materialization."""
+    from ray.data.aggregate import Max
+
+    clusters = near_dedup_clusters(
+        ds,
+        id_column=id_column,
+        text_column=text_column,
+        threshold=threshold,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_n=shingle_n,
+        num_partitions=num_partitions,
+    ).select_columns([id_column, "cluster_id"])
+
+    def nd_batch(batch: pa.Table) -> pa.Table:
+        nd = [
+            len(set((t or "").split(" ")))
+            for t in batch[text_column].to_pylist()
+        ]
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "n_distinct": pa.array(nd, pa.int64()),
+            }
+        )
+
+    qual = ds.map_batches(nd_batch, batch_format="pyarrow")
+    joined = hash_join_safe(
+        clusters,
+        qual,
+        on=(id_column,),
+        num_partitions=_join_partitions(num_partitions),
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        qkey = pc.add(
+            pc.multiply(batch["n_distinct"], _QKEY_BASE),
+            pc.subtract(_QKEY_BASE - 1, batch[id_column]),
+        )
+        return batch.append_column("qkey", qkey)
+
+    packed = joined.map_batches(pack, batch_format="pyarrow").materialize()
+
+    best = packed.select_columns(["cluster_id", "qkey"]).groupby(
+        "cluster_id"
+    ).aggregate(Max("qkey", alias_name="best_key"))
+    best, _ = _coalesce_for_join(best)
+
+    final = hash_join_safe(
+        packed,
+        best,
+        on=("cluster_id",),
+        num_partitions=_join_partitions(num_partitions),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "cluster_id": batch["cluster_id"],
+                "n_distinct": batch["n_distinct"],
+                "keep_best": pc.equal(batch["qkey"], batch["best_key"]),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")

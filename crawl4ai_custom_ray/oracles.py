@@ -249,6 +249,57 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    MIN(lbl) = node AS keep
             FROM walk GROUP BY node
         """,
+        # same pair set + reachability as dedup_cluster, then the
+        # quality argmax: 1099511627776 = 2^40 (dedup._QKEY_BASE)
+        "dedup_keep_best": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+            zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+            w AS (
+                SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz
+            ),
+            sh AS (
+                SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+                FROM w a
+                JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+            ),
+            counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            pairs AS (
+                SELECT inter.a, inter.b FROM inter
+                JOIN counts ca ON ca.doc_id = inter.a
+                JOIN counts cb ON cb.doc_id = inter.b
+                WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= 0.5
+            ),
+            edges AS (
+                SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+            ),
+            walk(node, lbl) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, k.lbl FROM edges e JOIN walk k ON k.node = e.b
+            ),
+            comp AS (
+                SELECT node AS doc_id, MIN(lbl) AS cluster_id
+                FROM walk GROUP BY node
+            ),
+            q AS (SELECT doc_id, COUNT(DISTINCT w) AS nd FROM w GROUP BY doc_id),
+            j AS (
+                SELECT c.doc_id, c.cluster_id, q.nd,
+                       q.nd * 1099511627776 + (1099511627775 - c.doc_id) AS qkey
+                FROM comp c JOIN q ON q.doc_id = c.doc_id
+            ),
+            mx AS (SELECT cluster_id, MAX(qkey) AS mk FROM j GROUP BY cluster_id)
+            SELECT j.doc_id, j.cluster_id, j.nd AS n_distinct,
+                   j.qkey = mx.mk AS keep_best
+            FROM j JOIN mx ON mx.cluster_id = j.cluster_id
+        """,
         # pages = one doc each, lines = its 16-word chunks; first
         # occurrence of each line by (page_id, pos) survives, pages
         # reassembled.  1048576 = 2^20 packed-position base

@@ -1013,6 +1013,19 @@ def q_dedup_cluster(sf_dir: str):
     )
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dedup with quality-based representative selection: per
+    duplicate cluster keep the doc with the most distinct words
+    (tie → lowest id), decided by a packed-integer Max aggregate —
+    the FineWeb-style 'keep the best copy' policy."""
+    from .functions.dedup import near_dedup_keep_best
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return near_dedup_keep_best(
+        ds, threshold=0.5, num_perm=64, bands=32, shingle_n=3
+    )
+
+
 def q_line_dedup(sf_dir: str):
     """Corpus-level duplicated-line removal (CCNet/RefinedWeb pass)
     over a derived multi-line corpus: each document becomes a page

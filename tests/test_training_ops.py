@@ -1210,3 +1210,35 @@ def test_incremental_dedup_planted(ray_session):
     ).to_pandas()
     assert sorted(out["doc_id"].tolist()) == [3, 5, 8]
     assert set(out.columns) == {"content_hash", "doc_id"}
+
+
+def test_near_dedup_keep_best_picks_richest(ray_session):
+    """Representative = most distinct words (tie -> min id), which can
+    differ from the min-id doc."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import near_dedup_keep_best
+
+    base = [f"w{i}" for i in range(30)]
+    poor = " ".join(base[:-2] + ["w0", "w1"])      # 28 distinct
+    rich = " ".join(base)                          # 30 distinct
+    rows = [
+        {"doc_id": 1, "text": poor},               # min id, lower quality
+        {"doc_id": 2, "text": rich},               # best of the cluster
+        {"doc_id": 50, "text": " ".join(f"z{i}" for i in range(25))},  # singleton
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = near_dedup_keep_best(ds, threshold=0.5).to_pandas().set_index("doc_id")
+    assert out.loc[1, "cluster_id"] == out.loc[2, "cluster_id"] == 1
+    assert bool(out.loc[2, "keep_best"]) is True   # richer doc wins
+    assert bool(out.loc[1, "keep_best"]) is False  # despite the lower id
+    assert bool(out.loc[50, "keep_best"]) is True  # singleton keeps itself
+    assert int(out.loc[2, "n_distinct"]) == 30
