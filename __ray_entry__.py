@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q.q_vocab_topk,
         "tfidf_topk": q.q_tfidf_topk,
         "lm_score": q.q_lm_score,
+        "ccnet_buckets": q.q_ccnet_buckets,
         "pack_sequences": q.q_pack_sequences,
         "quality_score": q.q_quality_score,
         "lang_id": q.q_lang_id,

@@ -970,3 +970,122 @@ def lm_score(
             Sum("term_total", alias_name="logprob_fp"),
         )
     )
+
+
+# --------------------------------------- CCNet head/middle/tail buckets
+
+
+def ccnet_buckets(
+    ds,
+    ref_ds,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    lang_column: str = "lang",
+    salt: int = 4,
+    offset_fp: int = 50_000_000_000,
+    bin_fp: int = 10_000_000,
+    num_partitions: int = 16,
+):
+    """CCNet's per-language head/middle/tail split (Wenzek et al. 2020
+    §3.3): each document bucketed by which tertile of its LANGUAGE's
+    LM-score distribution it falls in (head = most reference-like
+    third).
+
+    Exactness + scale, both at once, via integer binning:
+
+    - per-doc score = :func:`lm_score`'s fixed-point bigram
+      log-likelihood, reduced to an integer bin
+      ``((logprob_fp + offset_fp·n) // n) // bin_fp`` (offset makes
+      the numerator non-negative so ``//`` is floor on both sides;
+      bin_fp=10^7 ≈ centi-nat granularity → ≤ ~5000 distinct bins);
+    - the per-lang distribution is a (lang, bin) COUNT histogram —
+      bounded by langs × bins, NEVER corpus-sized, so collecting it to
+      the driver is safe at any corpus scale (this is the same
+      histogram-not-sort trick as ``length_quantiles``);
+    - tertile cutoffs use the pure-integer rule
+      ``c_q = smallest bin with cumulative count ≥ ceil(q·n)``
+      (``(n+2)//3`` and ``(2n+2)//3``) — no floats anywhere, so the
+      DuckDB oracle reproduces every bucket decision bit-exactly.
+
+    Returns one row per doc: ``(doc_id, lang, bin, bucket)``.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    from .dedup import _join_partitions, hash_join_safe
+
+    scores = lm_score(
+        ds.select_columns([id_column, text_column]),
+        ref_ds,
+        id_column=id_column,
+        text_column=text_column,
+        num_partitions=num_partitions,
+        salt=salt,
+    )
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        nb = batch["n_bigrams"].to_numpy(zero_copy_only=False)
+        lp = batch["logprob_fp"].to_numpy(zero_copy_only=False)
+        mean_fp = (lp + offset_fp * nb) // np.maximum(nb, 1)
+        b = np.where(nb > 0, mean_fp // bin_fp, 0)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "bin": pa.array(b, pa.int64()),
+            }
+        )
+
+    binned = scores.map_batches(to_bin, batch_format="pyarrow")
+    j = hash_join_safe(
+        binned,
+        ds.select_columns([id_column, lang_column]),
+        on=(id_column,),
+        num_partitions=_join_partitions(num_partitions),
+    ).materialize()
+
+    hist = (
+        j.groupby([lang_column, "bin"])
+        .aggregate(Count(alias_name="cnt"))
+        .take_all()
+    )  # ≤ langs × bins rows — driver-safe at any corpus size
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in hist:
+        per_lang.setdefault(r[lang_column], []).append((r["bin"], r["cnt"]))
+    cuts: dict[str, tuple[int, int]] = {}
+    for lang, rows in per_lang.items():
+        rows.sort()
+        n = sum(c for _, c in rows)
+        t1, t2 = (n + 2) // 3, (2 * n + 2) // 3
+        c1 = c2 = rows[-1][0]
+        acc = 0
+        for b, c in rows:
+            acc += c
+            if acc >= t1:
+                c1 = b
+                break
+        acc = 0
+        for b, c in rows:
+            acc += c
+            if acc >= t2:
+                c2 = b
+                break
+        cuts[lang] = (c1, c2)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        langs = batch[lang_column].to_pylist()
+        bins = batch["bin"].to_pylist()
+        buckets = []
+        for lang, b in zip(langs, bins):
+            c1, c2 = cuts[lang]
+            buckets.append("tail" if b <= c1 else "middle" if b <= c2 else "head")
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                lang_column: batch[lang_column],
+                "bin": batch["bin"],
+                "bucket": pa.array(buckets, pa.string()),
+            }
+        )
+
+    return j.map_batches(assign, batch_format="pyarrow")

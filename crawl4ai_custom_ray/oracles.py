@@ -519,6 +519,76 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             WHERE content_hash NOT IN (SELECT content_hash FROM prior)
             GROUP BY content_hash
         """,
+        # lm_score's fixed-point scores → integer bins (offset 50e9
+        # makes the numerator non-negative so // floors identically in
+        # numpy and DuckDB; bin unit 10^7 = curation.ccnet_buckets'
+        # bin_fp) → per-lang tertile cutoffs by the pure-integer rule
+        # "smallest bin with cumulative count >= ceil(q*n)".
+        "ccnet_buckets": """
+            WITH ref AS (
+                SELECT string_split(text, ' ') AS ws FROM documents
+                WHERE doc_id % 10 = 0
+            ),
+            r_uni AS (SELECT unnest(ws) AS w1 FROM ref),
+            c1 AS (SELECT w1, COUNT(*) AS c1 FROM r_uni GROUP BY w1),
+            v AS (SELECT COUNT(DISTINCT w1) AS v FROM r_uni),
+            r_bi AS (
+                SELECT ws[i] AS w1, ws[i+1] AS w2
+                FROM ref, UNNEST(range(1, len(ws))) AS t(i)
+            ),
+            c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM r_bi GROUP BY w1, w2),
+            d AS (
+                SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ),
+            d_bi AS (
+                SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+                FROM d, UNNEST(range(1, len(ws))) AS t(i)
+            ),
+            terms AS (
+                SELECT b.doc_id,
+                       CAST(FLOOR(LN(
+                           (COALESCE(c12.c12, 0) + 1)::DOUBLE
+                           / (COALESCE(c1.c1, 0) + v.v)
+                       ) * 1e9) AS BIGINT) AS term_fp
+                FROM d_bi b
+                LEFT JOIN c12 USING (w1, w2)
+                LEFT JOIN c1 USING (w1)
+                CROSS JOIN v
+            ),
+            agg AS (
+                SELECT doc_id, COUNT(*) AS n_bigrams, SUM(term_fp) AS logprob_fp
+                FROM terms GROUP BY doc_id
+            ),
+            binned AS (
+                SELECT d0.doc_id, d0.lang,
+                       CASE WHEN COALESCE(a.n_bigrams, 0) > 0 THEN
+                           ((CAST(a.logprob_fp AS BIGINT)
+                             + 50000000000 * CAST(a.n_bigrams AS BIGINT))
+                            // CAST(a.n_bigrams AS BIGINT)) // 10000000
+                       ELSE 0 END AS bin
+                FROM documents d0 LEFT JOIN agg a USING (doc_id)
+            ),
+            tot AS (SELECT lang, COUNT(*) AS n FROM binned GROUP BY lang),
+            hist AS (
+                SELECT lang, bin, COUNT(*) AS cnt FROM binned GROUP BY lang, bin
+            ),
+            cum AS (
+                SELECT lang, bin,
+                       SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+                FROM hist
+            ),
+            cuts AS (
+                SELECT c.lang,
+                       MIN(CASE WHEN c.cum >= (t.n + 2) // 3 THEN c.bin END) AS c1t,
+                       MIN(CASE WHEN c.cum >= (2 * t.n + 2) // 3 THEN c.bin END) AS c2t
+                FROM cum c JOIN tot t USING (lang) GROUP BY c.lang
+            )
+            SELECT b.doc_id, b.lang, b.bin,
+                   CASE WHEN b.bin <= cuts.c1t THEN 'tail'
+                        WHEN b.bin <= cuts.c2t THEN 'middle'
+                        ELSE 'head' END AS bucket
+            FROM binned b JOIN cuts USING (lang)
+        """,
         "lm_score": """
             WITH ref AS (
                 SELECT string_split(text, ' ') AS ws FROM documents

@@ -1135,6 +1135,24 @@ def q_dedup_incremental(sf_dir: str):
     return incremental_dedup(new, prior)
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail split: per-language LM-score tertiles
+    over integer score bins (histogram cutoffs, pure-integer ceil
+    rule) — the bucket decision every CCNet-style curation run makes."""
+    import pyarrow as pa
+
+    from .functions.curation import ccnet_buckets
+
+    docs = _documents(sf_dir, ["doc_id", "text", "lang"])
+
+    def ref_side(batch):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 10 == 0)).select(["doc_id", "text"])
+
+    ref = docs.map_batches(ref_side, batch_format="pyarrow")
+    return ccnet_buckets(docs, ref, salt=4)
+
+
 def q_lm_score(sf_dir: str):
     """CCNet-style bigram-LM quality score: documents scored by total
     bigram log-likelihood (integer fixed point) under an add-one

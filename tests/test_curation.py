@@ -370,3 +370,33 @@ def test_gopher_doc_filter_dataset(ray_session):
     )
     rows = {r["doc_id"]: r for r in gopher_doc_filter(ds).take_all()}
     assert rows[1]["passed"] is True and rows[2]["passed"] is False
+
+
+def test_ccnet_buckets_orders_by_reference_likeness(ray_session):
+    """Docs made of reference bigrams land in 'head'; disjoint-vocab
+    docs land in 'tail'; tertiles are per-language."""
+    from crawl4ai_custom_ray.functions.curation import ccnet_buckets
+
+    ref_text = " ".join(["alpha beta gamma delta"] * 5)
+    rows = []
+    # 9 docs per lang: 3 pure reference-bigram docs, 3 half, 3 disjoint
+    for lang in ("aa", "bb"):
+        for i in range(3):
+            rows.append({"doc_id": len(rows), "lang": lang,
+                         "text": "alpha beta gamma delta alpha beta"})
+        for i in range(3):
+            rows.append({"doc_id": len(rows), "lang": lang,
+                         "text": "alpha beta xx yy zz qq"})
+        for i in range(3):
+            rows.append({"doc_id": len(rows), "lang": lang,
+                         "text": "mm nn oo pp rr ss"})
+    ds = rd.from_items(rows)
+    ref = rd.from_items([{"doc_id": 1000, "text": ref_text}])
+    out = ccnet_buckets(ds, ref).to_pandas().sort_values("doc_id")
+    for lang in ("aa", "bb"):
+        sub = out[out["lang"] == lang].reset_index(drop=True)
+        assert list(sub["bucket"][:3]) == ["head"] * 3
+        assert list(sub["bucket"][3:6]) == ["middle"] * 3
+        assert list(sub["bucket"][6:9]) == ["tail"] * 3
+        # bins are monotone with reference-likeness
+        assert sub["bin"][0] > sub["bin"][3] > sub["bin"][6]
