@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": q.q_extract_text,
         "extract_links": q.q_extract_links,
         "link_stats": q.q_link_stats,
+        "host_graph": q.q_host_graph,
         "pagerank": q.q_pagerank,
         "anchor_stats": q.q_anchor_stats,
         "page_metadata": q.q_page_metadata,

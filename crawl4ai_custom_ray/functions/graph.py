@@ -128,3 +128,106 @@ def pagerank(
         ranks, _ = _coalesce_for_join(ranks)
 
     return ranks
+
+
+# -------------------------------------------------- host-level link graph
+
+_HOST_RE = None  # compiled lazily so the module imports without re cost
+
+
+def _host_of(url: str) -> str:
+    global _HOST_RE
+    if _HOST_RE is None:
+        import re
+
+        _HOST_RE = re.compile(r"https://([^/]+)")
+    m = _HOST_RE.match(url or "")
+    return m.group(1) if m else ""
+
+
+def host_graph(links, *, num_partitions: int = 16):
+    """Collapse the page-level link table (src_url, href) to the
+    host→host graph: one row per directed host edge with
+
+    - ``n_links``: link occurrences (after extract's first-wins
+      per-page dedup),
+    - ``n_src_pages``: distinct linking pages,
+    - ``reciprocal``: the reverse edge exists (the hallmark signal for
+      link-exchange/spam-farm detection and crawl scheduling).
+
+    Scale shape: per-batch Counter pre-aggregation emits
+    (src_host, dst_host, src_url, partial-count) rows — the shuffle
+    carries at most one row per (edge, page, block), never one per
+    link.  The host-edge table (≤ hosts²) then joins onto its own
+    key-swapped self for reciprocity — a bounded hash join, no driver
+    materialization."""
+    from collections import Counter
+
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for su, href in zip(
+            batch["src_url"].to_pylist(), batch["href"].to_pylist()
+        ):
+            c[(_host_of(su), _host_of(href), su)] += 1
+        sh, dh, su, cnt = [], [], [], []
+        for (a, b, u), n in c.items():
+            sh.append(a)
+            dh.append(b)
+            su.append(u)
+            cnt.append(n)
+        return pa.table(
+            {
+                "src_host": pa.array(sh, pa.string()),
+                "dst_host": pa.array(dh, pa.string()),
+                "src_url": pa.array(su, pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    per_page = (
+        links.map_batches(explode, batch_format="pyarrow")
+        .groupby(["src_host", "dst_host", "src_url"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    edges = (
+        per_page.groupby(["src_host", "dst_host"])
+        .aggregate(
+            Sum("cnt", alias_name="n_links"),
+            Count(alias_name="n_src_pages"),
+        )
+    )
+    edges, _ = _coalesce_for_join(edges)
+
+    rev = edges.select_columns(["src_host", "dst_host"]).map_batches(
+        lambda b: pa.table(
+            {"r_src": b["dst_host"], "r_dst": b["src_host"], "has_rev": pa.array([True] * b.num_rows, pa.bool_())}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join_safe(
+        edges,
+        rev,
+        on=("src_host", "dst_host"),
+        right_on=("r_src", "r_dst"),
+        join_type="left_outer",
+        num_partitions=_join_partitions(num_partitions),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "src_host": batch["src_host"],
+                "dst_host": batch["dst_host"],
+                "n_links": batch["n_links"],
+                "n_src_pages": batch["n_src_pages"],
+                "reciprocal": pc.coalesce(batch["has_rev"], False),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")

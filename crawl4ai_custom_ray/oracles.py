@@ -59,6 +59,26 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    COUNT(*) AS n_links
             FROM links GROUP BY host
         """,
+        "host_graph": _LINKS_CTE.format(path=path)
+        + """
+            , e AS (
+                SELECT regexp_extract(src_url, 'https://([^/]+)', 1) AS src_host,
+                       regexp_extract(href, 'https://([^/]+)', 1) AS dst_host,
+                       src_url
+                FROM links
+            ),
+            agg AS (
+                SELECT src_host, dst_host,
+                       COUNT(*) AS n_links,
+                       COUNT(DISTINCT src_url) AS n_src_pages
+                FROM e GROUP BY 1, 2
+            )
+            SELECT a.src_host, a.dst_host, a.n_links, a.n_src_pages,
+                   (b.src_host IS NOT NULL) AS reciprocal
+            FROM agg a
+            LEFT JOIN agg b
+              ON b.src_host = a.dst_host AND b.dst_host = a.src_host
+        """,
         "page_metadata": f"""
             SELECT url,
                    regexp_extract(decode(html), '<title>([^<]*)</title>', 1) AS title,

@@ -57,6 +57,16 @@ def q_extract_links(sf_dir: str):
     return ds.map_batches(_explode_links_batch, batch_format="pyarrow")
 
 
+def q_host_graph(sf_dir: str):
+    """Host→host link-graph aggregation with reciprocity flags: the
+    crawl-scheduling / link-farm-detection view of the extracted link
+    table (combiner-first counts; bounded self-join for reciprocity)."""
+    from .functions.graph import host_graph
+
+    links = q_extract_links(sf_dir)
+    return host_graph(links)
+
+
 def q_latest_capture(sf_dir: str):
     """Cross-snapshot capture dedup (CC latest-crawl-wins): a derived
     multi-capture table — every page once, plus a one-day-later

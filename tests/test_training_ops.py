@@ -1242,3 +1242,38 @@ def test_near_dedup_keep_best_picks_richest(ray_session):
     assert bool(out.loc[1, "keep_best"]) is False  # despite the lower id
     assert bool(out.loc[50, "keep_best"]) is True  # singleton keeps itself
     assert int(out.loc[2, "n_distinct"]) == 30
+
+
+def test_host_graph_counts_and_reciprocity(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.graph import host_graph
+
+    links = [
+        # a -> b twice from one page, once from another; b -> a once
+        ("https://a.com/p1", "https://b.com/x"),
+        ("https://a.com/p1", "https://b.com/y"),
+        ("https://a.com/p2", "https://b.com/x"),
+        ("https://b.com/q", "https://a.com/z"),
+        # a -> c has no reverse edge
+        ("https://a.com/p1", "https://c.com/only"),
+        # self edge a -> a (reciprocal by definition)
+        ("https://a.com/p2", "https://a.com/self"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array([l[0] for l in links], pa.string()),
+                "href": pa.array([l[1] for l in links], pa.string()),
+            }
+        )
+    )
+    out = host_graph(ds).to_pandas().set_index(["src_host", "dst_host"])
+    ab = out.loc[("a.com", "b.com")]
+    assert int(ab["n_links"]) == 3 and int(ab["n_src_pages"]) == 2
+    assert bool(ab["reciprocal"]) is True
+    assert bool(out.loc[("b.com", "a.com"), "reciprocal"]) is True
+    assert bool(out.loc[("a.com", "c.com"), "reciprocal"]) is False
+    assert bool(out.loc[("a.com", "a.com"), "reciprocal"]) is True
+    assert len(out) == 4
