@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "extract_text": q.q_extract_text,
+        "warc_extract": q.q_warc_extract,
         "extract_links": q.q_extract_links,
         "link_stats": q.q_link_stats,
         "host_graph": q.q_host_graph,

@@ -50,6 +50,9 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
 
     sql = {
         "extract_text": f"SELECT url, text FROM read_parquet('{path}')",
+        # warc_extract reads the SAME corpus through the WARC archive
+        # path — the oracle is the parquet truth it must round-trip to
+        "warc_extract": f"SELECT url, text FROM read_parquet('{path}')",
         "extract_links": _LINKS_CTE.format(path=path)
         + "SELECT src_url, href, internal FROM links",
         "link_stats": _LINKS_CTE.format(path=path)

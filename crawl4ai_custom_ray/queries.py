@@ -57,6 +57,19 @@ def q_extract_links(sf_dir: str):
     return ds.map_batches(_explode_links_batch, batch_format="pyarrow")
 
 
+def q_warc_extract(sf_dir: str):
+    """WARC ingestion round-trip: the pages corpus rendered as
+    standard WARC/1.0 response records (Content-Length framing, HTTP
+    response blocks), streamed back via read_binary_files + the
+    record parser, through the full extract kernel — byte-identical
+    text vs the parquet path proves the archive reader."""
+    from .sources.warc import read_warc, warc_dir
+    from .stages.extract import extract_pages
+
+    pages = read_warc(warc_dir(sf_dir))
+    return extract_pages(pages, columns=["text"]).select_columns(["url", "text"])
+
+
 def q_host_graph(sf_dir: str):
     """Host→host link-graph aggregation with reciprocity flags: the
     crawl-scheduling / link-farm-detection view of the extracted link

@@ -81,3 +81,49 @@ def test_llm_stubs_gated():
     for cls in (LLMContentFilter, LLMExtractionStrategy, LLMTableExtraction, PDFProcessorStrategy):
         with pytest.raises(NotImplementedError):
             cls()
+
+
+# ------------------------------------------------------------ WARC source
+
+
+def test_warc_parser_framing_and_record_types():
+    """Content-Length framing: html containing CRLFCRLF or fake WARC
+    headers must NOT split records; non-response records are skipped."""
+    import datetime as dt
+
+    from crawl4ai_custom_ray.sources.warc import (
+        _render_record,
+        parse_warc_bytes,
+    )
+
+    ts = dt.datetime(2025, 1, 2, 3, 4, 5)
+    tricky_html = b"<p>a</p>\r\n\r\nWARC/1.0\r\n<p>Content-Length: 9</p>"
+    buf = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nmeta\r\n\r\n"
+        + _render_record("https://x.test/1", ts, tricky_html)
+        + _render_record("https://x.test/2", ts, b"<p>b</p>")
+    )
+    rows = parse_warc_bytes(buf)
+    assert [r["url"] for r in rows] == ["https://x.test/1", "https://x.test/2"]
+    assert rows[0]["html"] == tricky_html
+    assert rows[0]["warc_ts"] == ts
+    assert rows[1]["html"] == b"<p>b</p>"
+
+
+def test_warc_round_trip_dataset(ray_session, tmp_path):
+    """Render → read_warc → identical (url, warc_ts, html) rows."""
+    import datetime as dt
+
+    from crawl4ai_custom_ray.sources.warc import _render_record, read_warc
+
+    ts = dt.datetime(2025, 5, 6, 7, 8, 9)
+    recs = [(f"https://t.test/{i}", ts, f"<p>doc {i}</p>".encode()) for i in range(7)]
+    for shard in range(2):
+        with open(tmp_path / f"part_{shard}.warc", "wb") as f:
+            for u, t, h in recs[shard::2]:
+                f.write(_render_record(u, t, h))
+    out = read_warc(str(tmp_path)).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(out) == 7
+    assert list(out["url"]) == sorted(u for u, _, _ in recs)
+    assert out["html"][0] == b"<p>doc 0</p>"
+    assert out["warc_ts"][0] == ts
