@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": q.q_dedup_substring,
         "dedup_incremental": q.q_dedup_incremental,
         "latest_capture": q.q_latest_capture,
+        "recrawl_schedule": q.q_recrawl_schedule,
         "token_count": q.q_token_count,
         "vocab_topk": q.q_vocab_topk,
         "tfidf_topk": q.q_tfidf_topk,

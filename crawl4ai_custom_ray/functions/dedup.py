@@ -1681,3 +1681,90 @@ def near_dedup_keep_best(
         )
 
     return final.map_batches(finish, batch_format="pyarrow")
+
+
+def recrawl_schedule(
+    ds,
+    *,
+    key_column: str = "url",
+    ts_column: str = "warc_ts",
+    payload_column: str = "text",
+    changed_interval_s: int = 43_200,
+    unchanged_interval_s: int = 172_800,
+):
+    """Adaptive revisit scheduling over a multi-capture table (Cho &
+    Garcia-Molina 2003, "Effective Page Refresh Policies"): per URL,
+    count captures and DISTINCT content versions; URLs whose payload
+    changed between captures get the short next-fetch interval,
+    stable URLs the long one.  Output one row per URL:
+    ``(url, n_captures, n_versions, changed, next_fetch_us)`` with
+    ``next_fetch_us = last_capture_us + interval``.
+
+    Scale shape: a per-batch Counter pre-aggregates to one row per
+    (url, payload-md5) per block, then ONE groupby chain —
+    ``groupby(url, h)`` sum/max, ``groupby(url)`` count/sum/max — all
+    fixed-width rows, no payload in any shuffle, no join, no driver
+    state."""
+    from collections import defaultdict
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    def explode(batch: pa.Table) -> pa.Table:
+        acc: dict = defaultdict(lambda: [0, -(1 << 62)])
+        ts = pc.cast(batch[ts_column], pa.int64()).to_pylist()
+        for u, t, p in zip(
+            batch[key_column].to_pylist(),
+            ts,
+            batch[payload_column].to_pylist(),
+        ):
+            h = hashlib.md5((p or "").encode("utf-8")).hexdigest()
+            slot = acc[(u, h)]
+            slot[0] += 1
+            if t > slot[1]:
+                slot[1] = t
+        us, hs, cs, tm = [], [], [], []
+        for (u, h), (c, t) in acc.items():
+            us.append(u)
+            hs.append(h)
+            cs.append(c)
+            tm.append(t)
+        return pa.table(
+            {
+                key_column: pa.array(us, pa.string()),
+                "h": pa.array(hs, pa.string()),
+                "cnt": pa.array(cs, pa.int64()),
+                "ts_us": pa.array(tm, pa.int64()),
+            }
+        )
+
+    versions = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby([key_column, "h"])
+        .aggregate(Sum("cnt", alias_name="cnt"), Max("ts_us", alias_name="ts_us"))
+    )
+    per_url = versions.groupby(key_column).aggregate(
+        Count(alias_name="n_versions"),
+        Sum("cnt", alias_name="n_captures"),
+        Max("ts_us", alias_name="last_ts_us"),
+    )
+
+    ci = changed_interval_s * 1_000_000
+    ui = unchanged_interval_s * 1_000_000
+
+    def finish(batch: pa.Table) -> pa.Table:
+        changed = pc.greater(batch["n_versions"], 1)
+        nxt = pc.add(
+            batch["last_ts_us"],
+            pc.if_else(changed, pa.scalar(ci, pa.int64()), pa.scalar(ui, pa.int64())),
+        )
+        return pa.table(
+            {
+                key_column: batch[key_column],
+                "n_captures": batch["n_captures"],
+                "n_versions": batch["n_versions"],
+                "changed": changed,
+                "next_fetch_us": nxt,
+            }
+        )
+
+    return per_url.map_batches(finish, batch_format="pyarrow")

@@ -856,6 +856,31 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             PARTITION BY url ORDER BY warc_ts DESC, md5(text) DESC) = 1
     """
 
+    # same derived multi-capture table as latest_capture; intervals
+    # are queries.q_recrawl_schedule's (12 h changed / 48 h stable)
+    sql["recrawl_schedule"] = f"""
+        WITH captures AS (
+            SELECT url, warc_ts, text FROM read_parquet('{path}')
+            UNION ALL
+            SELECT url, warc_ts + INTERVAL 1 DAY, text || ' recrawl'
+            FROM read_parquet('{path}')
+            WHERE TRY_CAST(regexp_extract(url, 'doc-([0-9]+)$', 1) AS INTEGER) % 3 = 0
+        ),
+        agg AS (
+            SELECT url,
+                   COUNT(*) AS n_captures,
+                   COUNT(DISTINCT md5(text)) AS n_versions,
+                   MAX(epoch_us(warc_ts)) AS last_ts_us
+            FROM captures GROUP BY url
+        )
+        SELECT url, n_captures, n_versions,
+               n_versions > 1 AS changed,
+               last_ts_us + CASE WHEN n_versions > 1
+                                 THEN 43200000000 ELSE 172800000000 END
+                   AS next_fetch_us
+        FROM agg
+    """
+
     # anchor-text aggregation: per-page first-wins by NORMALIZED href
     # (document order), then count refs per (target, anchor text)
     sql["anchor_stats"] = f"""

@@ -80,14 +80,11 @@ def q_host_graph(sf_dir: str):
     return host_graph(links)
 
 
-def q_latest_capture(sf_dir: str):
-    """Cross-snapshot capture dedup (CC latest-crawl-wins): a derived
-    multi-capture table — every page once, plus a one-day-later
-    recrawl with amended text for every third doc — reduced to one
-    row per url by (warc_ts, text-md5) max."""
+def _amplified_captures(sf_dir: str):
+    """Derived multi-capture table: every page once, plus a
+    one-day-later recrawl with amended text for every third doc."""
     import ray.data as rd
 
-    from .functions.dedup import latest_capture
     from .sources.pages import pages_parquet_path
 
     pages = rd.read_parquet(
@@ -117,8 +114,25 @@ def q_latest_capture(sf_dir: str):
             }
         )
 
-    captures = pages.map_batches(amplify, batch_format="pyarrow")
-    return latest_capture(captures)
+    return pages.map_batches(amplify, batch_format="pyarrow")
+
+
+def q_latest_capture(sf_dir: str):
+    """Cross-snapshot capture dedup (CC latest-crawl-wins): the
+    derived multi-capture table reduced to one row per url by
+    (warc_ts, text-md5) max."""
+    from .functions.dedup import latest_capture
+
+    return latest_capture(_amplified_captures(sf_dir))
+
+
+def q_recrawl_schedule(sf_dir: str):
+    """Adaptive revisit scheduling (Cho & Garcia-Molina 2003) over the
+    multi-capture table: changed URLs get a 12 h next-fetch interval,
+    stable ones 48 h — one groupby chain, no payload in any shuffle."""
+    from .functions.dedup import recrawl_schedule
+
+    return recrawl_schedule(_amplified_captures(sf_dir))
 
 
 def q_pagerank(sf_dir: str):

@@ -1277,3 +1277,46 @@ def test_host_graph_counts_and_reciprocity(ray_session):
     assert bool(out.loc[("a.com", "c.com"), "reciprocal"]) is False
     assert bool(out.loc[("a.com", "a.com"), "reciprocal"]) is True
     assert len(out) == 4
+
+
+def test_recrawl_schedule_intervals(ray_session):
+    """Changed URLs get the short interval from their LAST capture;
+    stable multi-capture and single-capture URLs the long one."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import recrawl_schedule
+
+    t0 = dt.datetime(2025, 1, 1)
+    t1 = dt.datetime(2025, 1, 2)
+    rows = [
+        ("u/changed", t0, "old text"),
+        ("u/changed", t1, "new text"),
+        ("u/stable", t0, "same"),
+        ("u/stable", t1, "same"),
+        ("u/single", t0, "once"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows], pa.string()),
+                "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = recrawl_schedule(ds).to_pandas().set_index("url")
+    us = lambda d: int(d.timestamp() * 1_000_000)  # noqa: E731
+    ch = out.loc["u/changed"]
+    assert int(ch["n_captures"]) == 2 and int(ch["n_versions"]) == 2
+    assert bool(ch["changed"]) is True
+    assert int(ch["next_fetch_us"]) == us(t1) + 43_200 * 1_000_000
+    st = out.loc["u/stable"]
+    assert int(st["n_captures"]) == 2 and int(st["n_versions"]) == 1
+    assert bool(st["changed"]) is False
+    assert int(st["next_fetch_us"]) == us(t1) + 172_800 * 1_000_000
+    sg = out.loc["u/single"]
+    assert int(sg["n_captures"]) == 1
+    assert int(sg["next_fetch_us"]) == us(t0) + 172_800 * 1_000_000
