@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q.q_extract_links,
         "link_stats": q.q_link_stats,
         "host_graph": q.q_host_graph,
+        "trap_detect": q.q_trap_detect,
         "pagerank": q.q_pagerank,
         "anchor_stats": q.q_anchor_stats,
         "page_metadata": q.q_page_metadata,

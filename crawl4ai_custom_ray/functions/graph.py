@@ -231,3 +231,89 @@ def host_graph(links, *, num_partitions: int = 16):
         )
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- crawl-trap signal
+
+
+def trap_detect(
+    links,
+    *,
+    min_urls: int = 20,
+    ratio: int = 19,
+    num_partitions: int = 16,
+):
+    """Crawl-trap detection: hosts whose discovered URLs collapse into
+    few digit-templates (calendar pages, session ids, infinite
+    pagination — the classic frontier-explosion traps a production
+    crawler must throttle).  ``template = href with every digit run
+    replaced by 'N'``; a host is ``trap_suspect`` when it has at least
+    ``min_urls`` distinct URLs and ``n_urls >= ratio * n_templates``
+    (integer cross-multiplication — no float division).
+
+    Output one row per host:
+    ``(host, n_urls, n_templates, max_per_template, trap_suspect)``.
+
+    Scale shape: per-batch set pre-aggregation emits distinct
+    (host, template, href) rows; then two groupbys —
+    (host, template) count → host sum/count/max.  No joins, no driver
+    state, shuffles carry only template-level rows."""
+    import re as _re
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    digit_re = _re.compile(r"[0-9]+")
+    host_re = _re.compile(r"https://([^/]+)")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for h in batch["href"].to_pylist():
+            m = host_re.match(h or "")
+            host = m.group(1) if m else ""
+            seen.add((host, digit_re.sub("N", h or ""), h))
+        hosts, tmpls, hrefs = [], [], []
+        for host, t, h in seen:
+            hosts.append(host)
+            tmpls.append(t)
+            hrefs.append(h)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "template": pa.array(tmpls, pa.string()),
+                "href": pa.array(hrefs, pa.string()),
+            }
+        )
+
+    per_template = (
+        links.map_batches(explode, batch_format="pyarrow")
+        .groupby(["host", "template", "href"])
+        .aggregate(Count(alias_name="dup"))  # collapses cross-block dups
+        .groupby(["host", "template"])
+        .aggregate(Count(alias_name="n_urls_t"))
+    )
+    per_host = per_template.groupby("host").aggregate(
+        Sum("n_urls_t", alias_name="n_urls"),
+        Count(alias_name="n_templates"),
+        Max("n_urls_t", alias_name="max_per_template"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        suspect = pc.and_(
+            pc.greater_equal(batch["n_urls"], min_urls),
+            pc.greater_equal(
+                batch["n_urls"], pc.multiply(batch["n_templates"], ratio)
+            ),
+        )
+        return pa.table(
+            {
+                "host": batch["host"],
+                "n_urls": batch["n_urls"],
+                "n_templates": batch["n_templates"],
+                "max_per_template": batch["max_per_template"],
+                "trap_suspect": suspect,
+            }
+        )
+
+    return per_host.map_batches(finish, batch_format="pyarrow")

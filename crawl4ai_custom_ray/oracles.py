@@ -62,6 +62,33 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    COUNT(*) AS n_links
             FROM links GROUP BY host
         """,
+        "trap_detect": _LINKS_CTE.format(path=path)
+        + """
+            , u AS (
+                SELECT DISTINCT
+                       regexp_extract(href, 'https://([^/]+)', 1) AS host,
+                       regexp_replace(href, '[0-9]+', 'N', 'g') AS template,
+                       href
+                FROM links
+            ),
+            pt AS (
+                SELECT host, template, COUNT(*) AS n_urls_t
+                FROM u GROUP BY 1, 2
+            ),
+            ph AS (
+                SELECT host,
+                       SUM(n_urls_t) AS n_urls,
+                       COUNT(*) AS n_templates,
+                       MAX(n_urls_t) AS max_per_template
+                FROM pt GROUP BY host
+            )
+            SELECT host,
+                   CAST(n_urls AS BIGINT) AS n_urls,
+                   n_templates,
+                   max_per_template,
+                   (n_urls >= 20 AND n_urls >= 19 * n_templates) AS trap_suspect
+            FROM ph
+        """,
         "host_graph": _LINKS_CTE.format(path=path)
         + """
             , e AS (

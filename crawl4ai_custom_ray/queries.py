@@ -117,6 +117,15 @@ def _amplified_captures(sf_dir: str):
     return pages.map_batches(amplify, batch_format="pyarrow")
 
 
+def q_trap_detect(sf_dir: str):
+    """Crawl-trap signal: per host, how tightly its discovered URLs
+    collapse into digit templates — flags frontier-explosion hosts
+    (the synthetic corpus' external partner-id pages collapse 20:1)."""
+    from .functions.graph import trap_detect
+
+    return trap_detect(q_extract_links(sf_dir))
+
+
 def q_latest_capture(sf_dir: str):
     """Cross-snapshot capture dedup (CC latest-crawl-wins): the
     derived multi-capture table reduced to one row per url by

@@ -1320,3 +1320,29 @@ def test_recrawl_schedule_intervals(ray_session):
     sg = out.loc["u/single"]
     assert int(sg["n_captures"]) == 1
     assert int(sg["next_fetch_us"]) == us(t0) + 172_800 * 1_000_000
+
+
+def test_trap_detect_flags_template_collapse(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.graph import trap_detect
+
+    hrefs = [f"https://trap.test/cal/2020/{i}/{j}" for i in range(5) for j in range(5)]
+    hrefs += [f"https://ok.test/page-{i}" for i in range(4)]  # under min_urls
+    hrefs += ["https://trap.test/cal/2020/1/1"]  # duplicate — must not double-count
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src_url": pa.array(["https://x.test/"] * len(hrefs), pa.string()),
+                "href": pa.array(hrefs, pa.string()),
+            }
+        )
+    )
+    out = trap_detect(ds, min_urls=20, ratio=19).to_pandas().set_index("host")
+    t = out.loc["trap.test"]
+    assert int(t["n_urls"]) == 25 and int(t["n_templates"]) == 1
+    assert int(t["max_per_template"]) == 25
+    assert bool(t["trap_suspect"]) is True
+    o = out.loc["ok.test"]
+    assert int(o["n_urls"]) == 4 and bool(o["trap_suspect"]) is False
