@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": q.q_recrawl_schedule,
         "token_count": q.q_token_count,
         "vocab_topk": q.q_vocab_topk,
+        "build_postings": q.q_build_postings,
         "tfidf_topk": q.q_tfidf_topk,
         "lm_score": q.q_lm_score,
         "ccnet_buckets": q.q_ccnet_buckets,

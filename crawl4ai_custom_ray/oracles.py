@@ -521,6 +521,23 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
         """,
+        # postings string = 16 smallest doc ids ascending, df exact;
+        # list slice is 1-based end-inclusive → [1:16] == python [:16]
+        "build_postings": """
+            WITH w AS (
+                SELECT DISTINCT doc_id AS doc, unnest(string_split(text, ' ')) AS token
+                FROM documents
+            ),
+            g AS (
+                SELECT token,
+                       COUNT(*) AS df,
+                       list_sort(list(doc)) AS docs
+                FROM w GROUP BY token
+            )
+            SELECT token, df,
+                   array_to_string(docs[1:16], ',') AS postings
+            FROM g
+        """,
         "vocab_topk": """
             WITH tok AS (
                 SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token

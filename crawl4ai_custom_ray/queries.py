@@ -1128,6 +1128,15 @@ def q_domain_filter(sf_dir: str):
     return domain_filter(ds, min_docs=10, min_stopword_ratio=0.06)
 
 
+def q_build_postings(sf_dir: str):
+    """Inverted index over the documents table: per token, exact df +
+    the 16 lowest doc ids as a posting string (bounded smallest-k
+    accumulator — hot stop-word tokens stay capped)."""
+    from .functions.index import build_postings
+
+    return build_postings(_documents(sf_dir, ["doc_id", "text"]), k=16)
+
+
 def q_vocab_topk(sf_dir: str):
     """Global top-100 vocabulary by document frequency (combiner-first
     df counting; ties broken token-asc so the result is total-ordered

@@ -1346,3 +1346,27 @@ def test_trap_detect_flags_template_collapse(ray_session):
     assert bool(t["trap_suspect"]) is True
     o = out.loc["ok.test"]
     assert int(o["n_urls"]) == 4 and bool(o["trap_suspect"]) is False
+
+
+def test_build_postings_df_exact_and_capped(ray_session):
+    """df counts distinct docs (in-doc repeats collapse); postings
+    keep the k smallest ids even when accumulation order is adverse."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.index import build_postings
+
+    rows = [{"doc_id": i, "text": "common common x" + str(i)} for i in range(50, 0, -1)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(8)
+    out = build_postings(ds, k=4).to_pandas().set_index("token")
+    c = out.loc["common"]
+    assert int(c["df"]) == 50  # repeats inside a doc count once
+    assert c["postings"] == "1,2,3,4"  # smallest ids, ascending
+    assert int(out.loc["x7", "df"]) == 1 and out.loc["x7", "postings"] == "7"
