@@ -1089,3 +1089,45 @@ def ccnet_buckets(
         )
 
     return j.map_batches(assign, batch_format="pyarrow")
+
+
+# ----------------------------------------- quality-weighted sampling
+
+
+def weighted_sample_batch(
+    batch: pa.Table, *, max_weight: int
+) -> pa.Table:
+    """Deterministic quality-proportional subsampling (the FineWeb
+    'soft filter': instead of a hard quality cut, keep documents with
+    probability proportional to a quality signal).  Seedless and
+    shard-stable: ``keep ⇔ md5(doc_id) % max_weight < weight`` where
+    ``weight = min(n_stopwords, max_weight)`` — a doc with weight w
+    survives with exactly w/max_weight probability, independent of
+    partitioning, rerun, or corpus size.  Integer arithmetic only."""
+    stop = set(STOPWORDS)
+    ids = batch["doc_id"].to_pylist()
+    weights, keeps = [], []
+    for i, t in zip(ids, batch["text"].to_pylist()):
+        w = min(
+            sum(1 for x in (t or "").split(" ") if x in stop), max_weight
+        )
+        weights.append(w)
+        keeps.append(_md5_u64(str(i)) % max_weight < w)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "weight": pa.array(weights, pa.int64()),
+            "keep": pa.array(keeps, pa.bool_()),
+        }
+    )
+
+
+def weighted_sample(ds, *, max_weight: int = 8):
+    """Stateless vectorized pass — embarrassingly parallel at 100 TB
+    (no shuffle, no state, no driver decision)."""
+    import functools
+
+    return ds.map_batches(
+        functools.partial(weighted_sample_batch, max_weight=max_weight),
+        batch_format="pyarrow",
+    )

@@ -1111,6 +1111,19 @@ r{t} AS (
                 AND NOT contains(text, '{')) AS passed
         FROM s
     """
+    sql["weighted_sample"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   LEAST(len(list_filter(string_split(text, ' '),
+                       x -> list_contains(
+                           ['the','a','of','to','and','in','is','that','it','with'], x))),
+                       8) AS weight,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                        % 8 AS BIGINT) AS h
+            FROM documents
+        )
+        SELECT doc_id, weight, h < weight AS keep FROM s
+    """
     sql["split_assign"] = """
         SELECT doc_id, bucket,
                CASE WHEN bucket < 80 THEN 'train'

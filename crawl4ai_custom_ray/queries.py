@@ -1008,6 +1008,14 @@ def q_gopher_filters(sf_dir: str):
     return gopher_doc_filter(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic quality-proportional subsampling (soft filter):
+    keep ⇔ md5(doc_id) % 8 < min(n_stopwords, 8)."""
+    from .functions.curation import weighted_sample
+
+    return weighted_sample(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_split_assign(sf_dir: str):
     """Deterministic md5-bucket train/val/test assignment (80/10/10)."""
     from .functions.curation import split_assign

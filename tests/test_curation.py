@@ -400,3 +400,30 @@ def test_ccnet_buckets_orders_by_reference_likeness(ray_session):
         assert list(sub["bucket"][6:9]) == ["tail"] * 3
         # bins are monotone with reference-likeness
         assert sub["bin"][0] > sub["bin"][3] > sub["bin"][6]
+
+
+def test_weighted_sample_probability_is_exact():
+    """weight w ⇒ kept iff md5(id) % 8 < w: weight-0 never kept,
+    weight-8 always kept, and the rule is reproducible per id."""
+    import hashlib
+
+    from crawl4ai_custom_ray.functions.curation import weighted_sample_batch
+
+    stop_rich = " ".join(["the", "a", "of", "to", "and", "in", "is", "that"] * 2)
+    batch = pa.table(
+        {
+            "doc_id": list(range(32)),
+            "text": ["zz yy xx"] * 16 + [stop_rich] * 16,
+        }
+    )
+    out = weighted_sample_batch(batch, max_weight=8).to_pylist()
+    for r in out[:16]:
+        assert r["weight"] == 0 and r["keep"] is False
+    for r in out[16:]:
+        assert r["weight"] == 8 and r["keep"] is True
+    # per-id rule matches the md5 contract for a mid-weight doc
+    one = weighted_sample_batch(
+        pa.table({"doc_id": [123], "text": ["the a of zz yy"]}), max_weight=8
+    ).to_pylist()[0]
+    h = int(hashlib.md5(b"123").hexdigest()[:16], 16) % 8
+    assert one["weight"] == 3 and one["keep"] == (h < 3)
