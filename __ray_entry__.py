@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": q.q_host_graph,
         "trap_detect": q.q_trap_detect,
         "pagerank": q.q_pagerank,
+        "host_rank": q.q_host_rank,
         "anchor_stats": q.q_anchor_stats,
         "page_metadata": q.q_page_metadata,
         "link_head_preview": q.q_link_head_preview,

@@ -995,6 +995,34 @@ r{t} AS (
 )"""
     sql["pagerank"] = pr + '\nSELECT url, r AS "rank" FROM r5'
 
+    # host-level pagerank: same integer fixed-point iteration over
+    # distinct host->host edges (self-loops dropped), nodes = every
+    # host on either side of any edge
+    hr = _LINKS_CTE.format(path=path).rstrip() + """,
+e0 AS (
+    SELECT DISTINCT regexp_extract(src_url, 'https://([^/]+)', 1) AS src,
+           regexp_extract(href, 'https://([^/]+)', 1) AS dst
+    FROM links
+),
+edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT DISTINCT h AS host FROM (
+    SELECT src AS h FROM e0 UNION SELECT dst AS h FROM e0)),
+outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for t in range(1, 6):
+        hr += f""",
+r{t} AS (
+    SELECT n.host,
+           CAST(150000 + (85 * COALESCE(SUM(c.con), 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst, r{t - 1}.r // o.d AS con
+        FROM edges e JOIN outdeg o ON e.src = o.src
+        JOIN r{t - 1} ON r{t - 1}.host = e.src
+    ) c ON c.dst = n.host
+    GROUP BY n.host
+)"""
+    sql["host_rank"] = hr + '\nSELECT host, r AS "rank" FROM r5'
+
     # knn_ivf probes every cluster in the driver query, and knn_lsh
     # probes the full Hamming ball, so both results are exactly the
     # brute-force top-k

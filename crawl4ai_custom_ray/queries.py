@@ -117,6 +117,56 @@ def _amplified_captures(sf_dir: str):
     return pages.map_batches(amplify, batch_format="pyarrow")
 
 
+def q_host_rank(sf_dir: str):
+    """Host-level PageRank: the crawl-prioritization authority signal
+    — distinct host→host edges (self-loops dropped) through the same
+    integer fixed-point BSP pagerank as the page-level query."""
+    import re as _re
+
+    from ray.data.aggregate import Count
+
+    from .functions.graph import pagerank
+
+    host_re = _re.compile(r"https://([^/]+)")
+    links = q_extract_links(sf_dir)
+
+    def to_host_edges(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for su, href in zip(
+            batch["src_url"].to_pylist(), batch["href"].to_pylist()
+        ):
+            a = host_re.match(su or "")
+            b = host_re.match(href or "")
+            seen.add((a.group(1) if a else "", b.group(1) if b else ""))
+        return pa.table(
+            {
+                "src": pa.array([s for s, _ in seen], pa.string()),
+                "dst": pa.array([d for _, d in seen], pa.string()),
+            }
+        )
+
+    e0 = (
+        links.map_batches(to_host_edges, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="dup"))
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+
+    def both_hosts(batch: pa.Table) -> pa.Table:
+        hosts = batch["src"].to_pylist() + batch["dst"].to_pylist()
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    nodes = (
+        e0.map_batches(both_hosts, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="dup"))
+        .select_columns(["host"])
+    )
+    edges = e0.filter(expr="src != dst")
+    return pagerank(edges, nodes, node_column="host")
+
+
 def q_trap_detect(sf_dir: str):
     """Crawl-trap signal: per host, how tightly its discovered URLs
     collapse into digit templates — flags frontier-explosion hosts

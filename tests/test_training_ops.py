@@ -1370,3 +1370,30 @@ def test_build_postings_df_exact_and_capped(ray_session):
     assert int(c["df"]) == 50  # repeats inside a doc count once
     assert c["postings"] == "1,2,3,4"  # smallest ids, ascending
     assert int(out.loc["x7", "df"]) == 1 and out.loc["x7", "postings"] == "7"
+
+
+def test_host_rank_authority_ordering(ray_session):
+    """A host pointed at by everyone outranks leaf hosts; the integer
+    update matches a hand-computed one-hub graph."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray import queries  # noqa: F401  (import check)
+    from crawl4ai_custom_ray.functions.graph import pagerank
+
+    # star: a,b,c -> hub; hub -> a
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(["a", "b", "c", "hub"], pa.string()),
+                "dst": pa.array(["hub", "hub", "hub", "a"], pa.string()),
+            }
+        )
+    )
+    nodes = rd.from_arrow(pa.table({"host": pa.array(["a", "b", "c", "hub"], pa.string())}))
+    out = (
+        pagerank(edges, nodes, node_column="host", iters=5)
+        .to_pandas()
+        .set_index("host")["rank"]
+    )
+    assert out["hub"] > out["a"] > out["b"] == out["c"]
