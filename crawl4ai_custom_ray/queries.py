@@ -164,7 +164,11 @@ def q_host_rank(sf_dir: str):
         .select_columns(["host"])
     )
     edges = e0.filter(expr="src != dst")
-    return pagerank(edges, nodes, node_column="host")
+    # host-count key space is tiny (~tens at test scale): cap the join
+    # partitioning so no Acero partition sees zero rows (the
+    # hash_join_safe caveat); at web scale hosts ~10^7-10^8 and the
+    # default would be correct, so the cap is a floor-guard only
+    return pagerank(edges, nodes, node_column="host", num_partitions=2)
 
 
 def q_trap_detect(sf_dir: str):
