@@ -46,11 +46,18 @@ import pyarrow as pa
 WARC_CACHE_ROOT = "/tmp/graft_warc"
 _GEN_VERSION = 1
 
-_HTTP_HEAD = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
-
-
-def _render_record(url: str, ts: dt.datetime, html: bytes) -> bytes:
-    payload = _HTTP_HEAD + html
+def _render_record(
+    url: str,
+    ts: dt.datetime,
+    html: bytes,
+    content_type: str = "text/html; charset=utf-8",
+) -> bytes:
+    payload = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: {content_type}\r\n\r\n".encode(
+            "utf-8"
+        )
+        + html
+    )
     head = (
         "WARC/1.0\r\n"
         "WARC-Type: response\r\n"
@@ -140,6 +147,15 @@ def parse_warc_bytes(buf: bytes) -> list[dict]:
             continue
         http_end = body.find(b"\r\n\r\n")
         html = body[http_end + 4 :] if http_end >= 0 else body
+        content_type = ""
+        if http_end > 0:
+            for hline in body[:http_end].decode(
+                "utf-8", errors="replace"
+            ).split("\r\n")[1:]:
+                k, _, v = hline.partition(":")
+                if k.strip().lower() == "content-type":
+                    content_type = v.strip()
+                    break
         ts = dt.datetime.strptime(
             fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ"
         )
@@ -148,6 +164,7 @@ def parse_warc_bytes(buf: bytes) -> list[dict]:
                 "url": fields["warc-target-uri"],
                 "warc_ts": ts,
                 "html": html,
+                "content_type": content_type,
             }
         )
     return rows
@@ -167,17 +184,48 @@ def read_warc(path: str):
         urls: list[str] = []
         tss: list[dt.datetime] = []
         htmls: list[bytes] = []
+        cts: list[str] = []
         for buf in batch["bytes"].to_pylist():
             for row in parse_warc_bytes(buf):
                 urls.append(row["url"])
                 tss.append(row["warc_ts"])
                 htmls.append(row["html"])
+                cts.append(row["content_type"])
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "warc_ts": pa.array(tss, pa.timestamp("us")),
                 "html": pa.array(htmls, pa.binary()),
+                "content_type": pa.array(cts, pa.string()),
             }
         )
 
     return files.map_batches(parse_batch, batch_format="pyarrow")
+
+
+def read_warc_decoded(path: str):
+    """:func:`read_warc` + charset-aware decode: the HTTP block's
+    Content-Type charset (then BOM/meta/probe — see
+    ``html.encoding.sniff_encoding``) governs the decode, exactly the
+    reference's response-charset precedence
+    (``async_crawler_strategy.py:2331-2336``).  Adds ``html_text`` and
+    ``encoding`` columns; stateless, embarrassingly parallel."""
+
+    from ..html.encoding import decode_html
+
+    ds = read_warc(path)
+
+    def decode(batch: pa.Table) -> pa.Table:
+        texts, encs = [], []
+        for b, ct in zip(
+            batch["html"].to_pylist(), batch["content_type"].to_pylist()
+        ):
+            t, e = decode_html(b, ct)
+            texts.append(t)
+            encs.append(e)
+        batch = batch.append_column(
+            "html_text", pa.array(texts, pa.large_string())
+        )
+        return batch.append_column("encoding", pa.array(encs, pa.string()))
+
+    return ds.map_batches(decode, batch_format="pyarrow")

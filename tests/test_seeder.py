@@ -127,3 +127,37 @@ def test_warc_round_trip_dataset(ray_session, tmp_path):
     assert list(out["url"]) == sorted(u for u, _, _ in recs)
     assert out["html"][0] == b"<p>doc 0</p>"
     assert out["warc_ts"][0] == ts
+
+
+def test_warc_charset_aware_decode(ray_session, tmp_path):
+    """The HTTP block's charset governs the decode (reference
+    response-charset precedence): a latin-1 payload round-trips."""
+    import datetime as dt
+
+    from crawl4ai_custom_ray.sources.warc import (
+        _render_record,
+        read_warc_decoded,
+    )
+
+    ts = dt.datetime(2025, 3, 4, 5, 6, 7)
+    recs = [
+        ("https://enc.test/l1", "café résumé".encode("latin-1"),
+         "text/html; charset=iso-8859-1"),
+        ("https://enc.test/u8", "café".encode("utf-8"),
+         "text/html; charset=utf-8"),
+        ("https://enc.test/cp", b"\x93smart\x94",
+         "text/html"),  # no charset -> probe -> cp1252
+    ]
+    with open(tmp_path / "part_0.warc", "wb") as f:
+        for u, h, ct in recs:
+            f.write(_render_record(u, ts, h, content_type=ct))
+    out = (
+        read_warc_decoded(str(tmp_path))
+        .to_pandas()
+        .set_index("url")
+    )
+    assert out.loc["https://enc.test/l1", "html_text"] == "café résumé"
+    assert out.loc["https://enc.test/l1", "encoding"] == "iso-8859-1"
+    assert out.loc["https://enc.test/u8", "html_text"] == "café"
+    assert out.loc["https://enc.test/cp", "html_text"] == "“smart”"
+    assert out.loc["https://enc.test/cp", "encoding"] == "cp1252"
