@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # seeding + adaptive
         "seed_urls": q.q_seed_urls,
         "seed_cc": q.q_seed_cc,
+        "seed_robots": q.q_seed_robots,
         "adaptive_crawl": q.q_adaptive_crawl,
     }
 

@@ -29,6 +29,12 @@ def _cc_index_glob(sf_dir: str) -> str:
 
     return cc_index_parquet_path(sf_dir) + "/*.parquet"
 
+
+def _robots_seed_glob(sf_dir: str) -> str:
+    from .sources.seeder import robots_seed_parquet_path
+
+    return robots_seed_parquet_path(sf_dir) + "/*.parquet"
+
 _LINKS_CTE = """
 WITH hrefs AS (
     SELECT url AS src_url,
@@ -833,6 +839,37 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 WHERE NOT is_index
             )
             SELECT url FROM locs WHERE url LIKE '%/articles/%'
+        """,
+        "seed_robots": f"""
+            WITH lines AS (
+                SELECT host, unnest(string_split(robots_txt, chr(10))) AS line
+                FROM read_parquet('{_robots_seed_glob(sf_dir)}')
+            ),
+            disc AS (
+                SELECT trim(regexp_extract(line, '(?i)^sitemap:(.*)$', 1)) AS sm
+                FROM lines WHERE regexp_matches(line, '(?i)^sitemap:')
+            ),
+            roots AS (
+                SELECT s.xml, s.is_index, s.sitemap_url
+                FROM read_parquet('{_sitemaps_glob(sf_dir)}') s
+                JOIN disc ON s.sitemap_url = disc.sm
+            ),
+            locs AS (
+                SELECT unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS loc
+                FROM roots WHERE is_index
+                UNION ALL
+                SELECT sitemap_url AS loc FROM roots WHERE NOT is_index
+            ),
+            leaves AS (
+                SELECT s.xml FROM read_parquet('{_sitemaps_glob(sf_dir)}') s
+                JOIN locs ON s.sitemap_url = locs.loc
+                WHERE NOT s.is_index
+            ),
+            urls AS (
+                SELECT unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS url
+                FROM leaves
+            )
+            SELECT url FROM urls WHERE url LIKE '%/articles/%'
         """,
         "structured_extract": f"""
             WITH rows AS (

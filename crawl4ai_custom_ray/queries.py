@@ -941,6 +941,16 @@ def q_seed_urls(sf_dir: str):
     return seed_urls(smaps, pattern="*/articles/*").select_columns(["url"])
 
 
+def q_seed_robots(sf_dir: str):
+    """Robots.txt sitemap-discovery fallback (reference
+    ``_from_sitemaps`` step 2): Sitemap: lines → index expansion →
+    urlset walk → pattern-filtered seed URLs; hosts whose robots omit
+    the line contribute nothing."""
+    from .sources.seeder import seed_from_robots
+
+    return seed_from_robots(sf_dir, pattern="*/articles/*")
+
+
 def q_seed_cc(sf_dir: str):
     """Common-Crawl-style index seeding: domain glob + status/mime
     gate + url pattern + distinct (reference ``_from_cc``,

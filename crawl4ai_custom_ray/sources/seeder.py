@@ -130,6 +130,148 @@ def sitemaps_parquet_path(sf_dir: str) -> str:
     return out_dir
 
 
+# --------------------------------------- robots.txt sitemap discovery
+
+# Reference ``_from_sitemaps`` step 2 (``async_url_seeder.py:807-827``):
+# when default sitemap probing fails, robots.txt's ``Sitemap:`` lines
+# are the discovery source.  Line parse mirrors the reference exactly:
+# ``line.lower().startswith("sitemap:")`` → ``split(":", 1)[1].strip()``.
+
+
+def build_robots_seed_table(sf_dir: str) -> pa.Table:
+    """Deterministic per-host robots.txt corpus: every host carries the
+    synthetic rules; hosts NOT ending in ``0`` additionally advertise
+    their sitemap index via a ``Sitemap:`` line (the omission hosts
+    exercise the reference's none-found early return)."""
+    from ..frontier.robots import DEFAULT_SYNTHETIC_RULES
+
+    smaps = build_sitemaps_table(sf_dir)
+    hosts = sorted(set(smaps["host"].to_pylist()))
+    texts = []
+    for h in hosts:
+        txt = DEFAULT_SYNTHETIC_RULES
+        if not h.split(".")[0].endswith("0"):
+            txt += f"Sitemap: https://{h}/sitemap.xml\n"
+        texts.append(txt)
+    return pa.table(
+        {
+            "host": pa.array(hosts, pa.string()),
+            "robots_txt": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def robots_seed_parquet_path(sf_dir: str) -> str:
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}_robots_seed")
+    if os.path.isdir(out_dir) and any(
+        n.endswith(".parquet") for n in os.listdir(out_dir)
+    ):
+        return out_dir
+    os.makedirs(PAGES_CACHE_ROOT, exist_ok=True)
+    table = build_robots_seed_table(sf_dir)
+    tmp_dir = tempfile.mkdtemp(dir=PAGES_CACHE_ROOT)
+    try:
+        pq.write_table(
+            table,
+            os.path.join(tmp_dir, "robots_00000.parquet"),
+            row_group_size=256,
+        )
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        if not os.path.isdir(out_dir):
+            raise
+    return out_dir
+
+
+def sitemaps_from_robots(robots_ds):
+    """(host, robots_txt) → (host, sitemap_url) rows, reference line
+    semantics (case-insensitive prefix, first-colon split, strip)."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        hosts, sms = [], []
+        for h, txt in zip(
+            batch["host"].to_pylist(), batch["robots_txt"].to_pylist()
+        ):
+            for line in (txt or "").splitlines():
+                if line.lower().startswith("sitemap:"):
+                    hosts.append(h)
+                    sms.append(line.split(":", 1)[1].strip())
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "sitemap_url": pa.array(sms, pa.string()),
+            }
+        )
+
+    return robots_ds.map_batches(extract, batch_format="pyarrow")
+
+
+def seed_from_robots(sf_dir: str, *, pattern: str | None = None):
+    """Full robots-fallback discovery chain: robots ``Sitemap:`` lines
+    → index expansion (parse ``<sitemapindex>`` leaves) → urlset walk
+    → pattern-filtered seed URLs.  Unlike :func:`seed_urls`' shortcut
+    (every leaf already a table row), this path RESOLVES nesting by
+    joining discovered/locs back onto the sitemap table — the
+    reference's recursive ``_iter_sitemap`` as data movement."""
+    import ray.data as rd
+
+    from ..functions.dedup import _join_partitions, hash_join_safe
+
+    robots = rd.read_parquet(robots_seed_parquet_path(sf_dir))
+    smaps = rd.read_parquet(sitemaps_parquet_path(sf_dir))
+    discovered = sitemaps_from_robots(robots).select_columns(["sitemap_url"])
+
+    roots = hash_join_safe(
+        smaps,
+        discovered,
+        on=("sitemap_url",),
+        num_partitions=2,
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        # index rows yield their nested locs; leaf rows pass through
+        locs = []
+        for xml_text, is_index, own in zip(
+            batch["xml"].to_pylist(),
+            batch["is_index"].to_pylist(),
+            batch["sitemap_url"].to_pylist(),
+        ):
+            if is_index:
+                _urls, nested = parse_sitemap(xml_text)
+                locs.extend(nested)
+            else:
+                locs.append(own)
+        return pa.table({"loc": pa.array(locs, pa.string())})
+
+    leaves = hash_join_safe(
+        smaps,
+        roots.map_batches(expand, batch_format="pyarrow"),
+        on=("sitemap_url",),
+        right_on=("loc",),
+        num_partitions=2,
+    )
+
+    def urls(batch: pa.Table) -> pa.Table:
+        out = []
+        for xml_text, is_index in zip(
+            batch["xml"].to_pylist(), batch["is_index"].to_pylist()
+        ):
+            if is_index:
+                continue
+            page_urls, _nested = parse_sitemap(xml_text)
+            for u in page_urls:
+                if pattern and not fnmatch.fnmatch(u, pattern):
+                    continue
+                out.append(u)
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    return leaves.map_batches(urls, batch_format="pyarrow")
+
+
 # ----------------------------------------------- Common-Crawl-style index
 
 

@@ -161,3 +161,33 @@ def test_warc_charset_aware_decode(ray_session, tmp_path):
     assert out.loc["https://enc.test/u8", "html_text"] == "café"
     assert out.loc["https://enc.test/cp", "html_text"] == "“smart”"
     assert out.loc["https://enc.test/cp", "encoding"] == "cp1252"
+
+
+def test_sitemaps_from_robots_line_semantics(ray_session):
+    """Reference parse: case-insensitive 'sitemap:' prefix, split on
+    the FIRST colon (scheme colon survives), strip; other lines and
+    hosts without the line contribute nothing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.sources.seeder import sitemaps_from_robots
+
+    robots = rd.from_arrow(
+        pa.table(
+            {
+                "host": ["a.test", "b.test", "c.test"],
+                "robots_txt": [
+                    "User-agent: *\nSITEMAP: https://a.test/sm.xml\n",
+                    "User-agent: *\nDisallow: /x\n",
+                    "sitemap:https://c.test/1.xml\nSitemap: https://c.test/2.xml\n",
+                ],
+            }
+        )
+    )
+    out = sitemaps_from_robots(robots).to_pandas()
+    got = sorted(zip(out["host"], out["sitemap_url"]))
+    assert got == [
+        ("a.test", "https://a.test/sm.xml"),
+        ("c.test", "https://c.test/1.xml"),
+        ("c.test", "https://c.test/2.xml"),
+    ]
