@@ -14,8 +14,9 @@ kernel (scrape → markdown+citations → pruning → text) over an
 amplified synthetic Common-Crawl-style pages table (variants×paragraph
 fattening of the sf documents), consumed by write_parquet.
 
-``--scaling``: runs the plain bench twice in fresh subprocesses at 8
-and 32 CPUs on the same input and reports both plus scaling
+``--scaling``: runs the plain bench twice in fresh subprocesses at N
+and 4N CPUs (N = $GRAFT_SCALE_LO, default 4) on the same input and
+reports both plus scaling
 efficiency (the in-sandbox evidence for the N vs 4N cluster-size
 criterion).
 """
