@@ -1131,3 +1131,56 @@ def weighted_sample(ds, *, max_weight: int = 8):
         functools.partial(weighted_sample_batch, max_weight=max_weight),
         batch_format="pyarrow",
     )
+
+
+# --------------------------------------------- CCNet text normalization
+
+_DIGIT_RE = re.compile(r"[0-9]")
+# explicit ASCII whitespace class: python re's \s is unicode-aware
+# while DuckDB's RE2 \s is ASCII — the shared class keeps both sides
+# identical (non-ASCII spaces are out of normalization scope, stated)
+_WS_RE = re.compile(r"[ \t\n\r\f]+")
+
+
+def ccnet_normalize_text(t: str) -> str:
+    """CCNet's dedup-side text normalization (Wenzek et al. 2020 §3.1:
+    lowercase, accent removal, digit unification) — the canonical form
+    hashed for cross-document dedup:
+
+    lower → strip accents (NFD, drop combining marks) → NFC →
+    digits→'0' → ASCII-whitespace collapse + trim.
+
+    Verified char-for-char against DuckDB's
+    ``nfc_normalize(strip_accents(lower(…)))`` kernels on accented /
+    fullwidth / CJK / ß goldens, so the oracle is exact."""
+    import unicodedata
+
+    t = (t or "").lower()
+    t = "".join(
+        c
+        for c in unicodedata.normalize("NFD", t)
+        if unicodedata.category(c) != "Mn"
+    )
+    t = unicodedata.normalize("NFC", t)
+    t = _DIGIT_RE.sub("0", t)
+    return _WS_RE.sub(" ", t).strip()
+
+
+def ccnet_normalize_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "norm_text": pa.array(
+                [ccnet_normalize_text(t) for t in texts], pa.large_string()
+            ),
+            "n_digits": pa.array(
+                [len(_DIGIT_RE.findall(t or "")) for t in texts], pa.int64()
+            ),
+        }
+    )
+
+
+def ccnet_normalize(ds):
+    """Stateless vectorized pass — no shuffle, no state."""
+    return ds.map_batches(ccnet_normalize_batch, batch_format="pyarrow")

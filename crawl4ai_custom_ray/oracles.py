@@ -1176,6 +1176,16 @@ r{t} AS (
                 AND NOT contains(text, '{')) AS passed
         FROM s
     """
+    sql["ccnet_normalize"] = r"""
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       nfc_normalize(strip_accents(lower(text))),
+                       '[0-9]', '0', 'g'),
+                   '[ \t\n\r\f]+', ' ', 'g')) AS norm_text,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
+        FROM documents
+    """
     sql["weighted_sample"] = """
         WITH s AS (
             SELECT doc_id,

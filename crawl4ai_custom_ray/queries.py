@@ -1072,6 +1072,15 @@ def q_gopher_filters(sf_dir: str):
     return gopher_doc_filter(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_ccnet_normalize(sf_dir: str):
+    """CCNet dedup-side text normalization (lower → strip accents →
+    NFC → digits→0 → whitespace collapse), char-exact vs DuckDB's
+    unicode kernels."""
+    from .functions.curation import ccnet_normalize
+
+    return ccnet_normalize(_documents(sf_dir, ["doc_id", "text"]))
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic quality-proportional subsampling (soft filter):
     keep ⇔ md5(doc_id) % 8 < min(n_stopwords, 8)."""

@@ -427,3 +427,32 @@ def test_weighted_sample_probability_is_exact():
     ).to_pylist()[0]
     h = int(hashlib.md5(b"123").hexdigest()[:16], 16) % 8
     assert one["weight"] == 3 and one["keep"] == (h < 3)
+
+
+def test_ccnet_normalize_goldens_match_duckdb():
+    """The python kernel is char-exact vs DuckDB's unicode kernels on
+    accent / fullwidth / CJK / ß / digit / whitespace goldens."""
+    import duckdb
+
+    from crawl4ai_custom_ray.functions.curation import ccnet_normalize_text
+
+    goldens = [
+        "Héllo   WORLD",
+        "café № 42",
+        "ÀÉÎÕÜ ç ñ",
+        "ＦＵＬＬｗｉｄｔｈ 123",
+        "ss ß",
+        "中文 Ｗeb",
+        "tabs\tand\nnewlines  collapse",
+        "  edge trim  ",
+        "",
+    ]
+    for g in goldens:
+        d = duckdb.sql(
+            r"""SELECT trim(regexp_replace(regexp_replace(
+                nfc_normalize(strip_accents(lower(?))),
+                '[0-9]', '0', 'g'), '[ \t\n\r\f]+', ' ', 'g'))""",
+            params=[g],
+        ).fetchone()[0]
+        assert ccnet_normalize_text(g) == d, repr(g)
+    assert ccnet_normalize_text("café 42") == "cafe 00"
