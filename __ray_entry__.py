@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q.q_split_assign,
         "weighted_sample": q.q_weighted_sample,
         "ccnet_normalize": q.q_ccnet_normalize,
+        "dedup_normalized": q.q_dedup_normalized,
         "sample_per_group": q.q_sample_per_group,
         "length_quantiles": q.q_length_quantiles,
         "dsir_select": q.q_dsir_select,

@@ -1186,6 +1186,18 @@ r{t} AS (
                CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits
         FROM documents
     """
+    sql["dedup_normalized"] = r"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           nfc_normalize(strip_accents(lower(text))),
+                           '[0-9]', '0', 'g'),
+                       '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+            FROM documents
+        )
+        SELECT MIN(doc_id) AS doc_id FROM n GROUP BY md5(norm_text)
+    """
     sql["weighted_sample"] = """
         WITH s AS (
             SELECT doc_id,

@@ -1081,6 +1081,20 @@ def q_ccnet_normalize(sf_dir: str):
     return ccnet_normalize(_documents(sf_dir, ["doc_id", "text"]))
 
 
+def q_dedup_normalized(sf_dir: str):
+    """Exact dedup over the CCNet-normalized form — the canonical
+    CCNet first pass (normalization exists precisely so trivially
+    different bytes hash together): min doc_id per distinct
+    normalized text."""
+    from .functions.curation import ccnet_normalize
+    from .functions.dedup import exact_dedup
+
+    norm = ccnet_normalize(_documents(sf_dir, ["doc_id", "text"]))
+    return exact_dedup(norm, text_column="norm_text").select_columns(
+        ["doc_id"]
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic quality-proportional subsampling (soft filter):
     keep ⇔ md5(doc_id) % 8 < min(n_stopwords, 8)."""

@@ -456,3 +456,22 @@ def test_ccnet_normalize_goldens_match_duckdb():
         ).fetchone()[0]
         assert ccnet_normalize_text(g) == d, repr(g)
     assert ccnet_normalize_text("café 42") == "cafe 00"
+
+
+def test_dedup_normalized_collapses_variants(ray_session):
+    """Case/accent/digit variants hash together post-normalization."""
+    from crawl4ai_custom_ray.functions.curation import ccnet_normalize
+    from crawl4ai_custom_ray.functions.dedup import exact_dedup
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 3, "text": "Café opened in 1995"},
+            {"doc_id": 1, "text": "cafe  opened in 2024"},  # same normalized
+            {"doc_id": 2, "text": "something else entirely"},
+        ]
+    )
+    kept = sorted(
+        exact_dedup(ccnet_normalize(ds), text_column="norm_text")
+        .to_pandas()["doc_id"]
+    )
+    assert kept == [1, 2]  # min-id variant survives, distinct doc kept
