@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_urls": q.q_seed_urls,
         "seed_cc": q.q_seed_cc,
         "seed_robots": q.q_seed_robots,
+        "crawl_delay_budget": q.q_crawl_delay_budget,
         "adaptive_crawl": q.q_adaptive_crawl,
     }
 

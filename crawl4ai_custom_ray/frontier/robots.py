@@ -129,6 +129,37 @@ class RobotsGate:
     def allowed_many(self, urls: list[str], hosts: list[str]) -> list[bool]:
         return [self.can_fetch(u, h) for u, h in zip(urls, hosts)]
 
+    def crawl_delay(self, host: str) -> int | None:
+        """Integer ``Crawl-delay`` for this gate's user-agent, or None.
+        Stdlib semantics (``RobotFileParser.crawl_delay``): only
+        integer values inside a matching entry are honored; a
+        ``Request-rate: r/s`` without a crawl-delay maps to ``s // r``
+        seconds between requests (the standard interpretation)."""
+        parser = self._parser_for(host)
+        if parser is None:
+            return None
+        d = parser.crawl_delay(self.user_agent)
+        if d is not None:
+            return int(d)
+        rate = parser.request_rate(self.user_agent)
+        if rate is not None and rate.requests > 0:
+            return rate.seconds // rate.requests
+        return None
+
+    def host_budget(
+        self, host: str, *, round_seconds: int, default_cap: int
+    ) -> int:
+        """Per-round fetch budget a polite crawler gets for ``host``:
+        ``min(default_cap, round_seconds // delay)``, or the cap when
+        no delay is declared — the data-movement form of the
+        reference's per-domain ``RateLimiter`` pacing
+        (``async_dispatcher.py``): instead of sleeping between
+        requests, the round simply selects at most that many URLs."""
+        d = self.crawl_delay(host)
+        if d is None or d <= 0:
+            return default_cap
+        return min(default_cap, round_seconds // d)
+
     def broadcast(self):
         """ray.put the gate once; pass the ref into batch fns."""
         return ray.put(self)

@@ -840,6 +840,27 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             )
             SELECT url FROM locs WHERE url LIKE '%/articles/%'
         """,
+        "crawl_delay_budget": f"""
+            WITH lines AS (
+                SELECT host, unnest(string_split(robots_txt, chr(10))) AS line
+                FROM read_parquet('{_robots_seed_glob(sf_dir)}')
+            ),
+            d AS (
+                SELECT host,
+                       MIN(TRY_CAST(trim(regexp_extract(
+                           line, '(?i)^crawl-delay:(.*)$', 1)) AS BIGINT)) AS delay
+                FROM lines
+                WHERE regexp_matches(line, '(?i)^crawl-delay:')
+                GROUP BY host
+            )
+            SELECT h.host,
+                   d.delay AS crawl_delay,
+                   CASE WHEN d.delay IS NULL OR d.delay <= 0 THEN 1000
+                        ELSE LEAST(1000, 600 // d.delay) END AS budget
+            FROM (SELECT DISTINCT host
+                  FROM read_parquet('{_robots_seed_glob(sf_dir)}')) h
+            LEFT JOIN d USING (host)
+        """,
         "seed_robots": f"""
             WITH lines AS (
                 SELECT host, unnest(string_split(robots_txt, chr(10))) AS line

@@ -951,6 +951,37 @@ def q_seed_robots(sf_dir: str):
     return seed_from_robots(sf_dir, pattern="*/articles/*")
 
 
+def q_crawl_delay_budget(sf_dir: str):
+    """Per-host polite-crawl budget from robots ``Crawl-delay``:
+    ``min(1000, 600s_round // delay)`` (cap when undeclared) — the
+    reference RateLimiter's pacing as a per-round row budget."""
+    import ray.data as rd
+
+    from .frontier.robots import RobotsGate
+    from .sources.seeder import robots_seed_parquet_path
+
+    robots = rd.read_parquet(robots_seed_parquet_path(sf_dir))
+
+    def budget(batch: pa.Table) -> pa.Table:
+        hosts = batch["host"].to_pylist()
+        texts = batch["robots_txt"].to_pylist()
+        gate = RobotsGate(dict(zip(hosts, texts)), user_agent="*")
+        delays = [gate.crawl_delay(h) for h in hosts]
+        budgets = [
+            gate.host_budget(h, round_seconds=600, default_cap=1000)
+            for h in hosts
+        ]
+        return pa.table(
+            {
+                "host": batch["host"],
+                "crawl_delay": pa.array(delays, pa.int64()),
+                "budget": pa.array(budgets, pa.int64()),
+            }
+        )
+
+    return robots.map_batches(budget, batch_format="pyarrow")
+
+
 def q_seed_cc(sf_dir: str):
     """Common-Crawl-style index seeding: domain glob + status/mime
     gate + url pattern + distinct (reference ``_from_cc``,

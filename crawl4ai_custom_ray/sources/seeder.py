@@ -142,14 +142,18 @@ def build_robots_seed_table(sf_dir: str) -> pa.Table:
     """Deterministic per-host robots.txt corpus: every host carries the
     synthetic rules; hosts NOT ending in ``0`` additionally advertise
     their sitemap index via a ``Sitemap:`` line (the omission hosts
-    exercise the reference's none-found early return)."""
+    exercise the reference's none-found early return), and hosts with
+    ``i % 4 != 0`` declare ``Crawl-delay: i%4`` INSIDE the ``*`` entry
+    (stdlib robotparser only honors integer delays within an entry)."""
     from ..frontier.robots import DEFAULT_SYNTHETIC_RULES
 
     smaps = build_sitemaps_table(sf_dir)
     hosts = sorted(set(smaps["host"].to_pylist()))
     texts = []
-    for h in hosts:
+    for i, h in enumerate(hosts):
         txt = DEFAULT_SYNTHETIC_RULES
+        if i % 4:
+            txt += f"Crawl-delay: {i % 4}\n"
         if not h.split(".")[0].endswith("0"):
             txt += f"Sitemap: https://{h}/sitemap.xml\n"
         texts.append(txt)
@@ -163,7 +167,7 @@ def build_robots_seed_table(sf_dir: str) -> pa.Table:
 
 def robots_seed_parquet_path(sf_dir: str) -> str:
     sf_name = os.path.basename(os.path.normpath(sf_dir))
-    out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}_robots_seed")
+    out_dir = os.path.join(PAGES_CACHE_ROOT, f"{sf_name}_robots_seed_g2")
     if os.path.isdir(out_dir) and any(
         n.endswith(".parquet") for n in os.listdir(out_dir)
     ):

@@ -432,3 +432,26 @@ class TestRobotsWildcards:
 
         bad = RobotsGate({"h": "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private/\n"}, user_agent="badbot")
         assert not bad.can_fetch("http://h/x", "h")
+
+
+def test_robots_crawl_delay_and_budget():
+    """Stdlib semantics: integer Crawl-delay inside the matching
+    entry; Request-rate r/s maps to s//r when no delay; budget =
+    min(cap, round // delay), cap when undeclared."""
+    from crawl4ai_custom_ray.frontier.robots import RobotsGate
+
+    rules = {
+        "slow.test": "User-agent: *\nDisallow: /x\nCrawl-delay: 5\n",
+        "rated.test": "User-agent: *\nRequest-rate: 2/10\n",
+        "free.test": "User-agent: *\nDisallow: /y\n",
+        "frac.test": "User-agent: *\nCrawl-delay: 1.5\n",  # non-integer: stdlib ignores
+    }
+    gate = RobotsGate(rules, user_agent="*")
+    assert gate.crawl_delay("slow.test") == 5
+    assert gate.crawl_delay("rated.test") == 5  # 10 // 2
+    assert gate.crawl_delay("free.test") is None
+    assert gate.crawl_delay("frac.test") is None
+    assert gate.crawl_delay("unknown.test") is None
+    assert gate.host_budget("slow.test", round_seconds=600, default_cap=1000) == 120
+    assert gate.host_budget("free.test", round_seconds=600, default_cap=1000) == 1000
+    assert gate.host_budget("slow.test", round_seconds=600, default_cap=50) == 50
