@@ -854,7 +854,7 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 GROUP BY host
             )
             SELECT h.host,
-                   d.delay AS crawl_delay,
+                   COALESCE(d.delay, 0) AS crawl_delay,
                    CASE WHEN d.delay IS NULL OR d.delay <= 0 THEN 1000
                         ELSE LEAST(1000, 600 // d.delay) END AS budget
             FROM (SELECT DISTINCT host

@@ -966,7 +966,9 @@ def q_crawl_delay_budget(sf_dir: str):
         hosts = batch["host"].to_pylist()
         texts = batch["robots_txt"].to_pylist()
         gate = RobotsGate(dict(zip(hosts, texts)), user_agent="*")
-        delays = [gate.crawl_delay(h) for h in hosts]
+        # 0 = "no delay declared" sentinel: keeps the column NULL-free
+        # (NaN-safe for value hashing) and budget-equivalent (<=0 -> cap)
+        delays = [gate.crawl_delay(h) or 0 for h in hosts]
         budgets = [
             gate.host_budget(h, round_seconds=600, default_cap=1000)
             for h in hosts
