@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
         "chunk_fixed": q.q_chunk_fixed,
+        # mergeable sketches
+        "hll_distinct": q.q_hll_distinct,
+        "cms_counts": q.q_cms_counts,
         # curation ops (PII / decontamination / repetition gate)
         "pii_scrub": q.q_pii_scrub,
         "decontaminate": q.q_decontaminate,

@@ -1087,6 +1087,58 @@ r{t} AS (
     sql["knn_ivf"] = sql["knn_topk"]
     sql["knn_lsh"] = sql["knn_topk"]
 
+    # ----------------------------------------------------- sketches
+    # HyperLogLog over distinct hrefs: identical md5 bucketing and the
+    # raw estimator's exact integer floor-divisions (HUGEINT keeps
+    # 7213·m³·2^64 exact); rank = 57 - bit_length(h >> 8), DuckDB
+    # bin() carries no leading zeros so length(bin(x)) = bit_length(x)
+    sql["hll_distinct"] = _LINKS_CTE.format(path=path) + """
+        , h AS (SELECT DISTINCT ('0x' || substr(md5(href), 1, 16))::UBIGINT AS h FROM links),
+        r AS (
+            SELECT CAST(h % 256 AS BIGINT) AS bucket,
+                   CAST(CASE WHEN h >> 8 = 0 THEN 57
+                        ELSE 57 - length(bin(h >> 8)) END AS BIGINT) AS rnk
+            FROM h
+        ),
+        regs AS (SELECT bucket, MAX(rnk) AS rnk FROM r GROUP BY bucket),
+        s AS (
+            SELECT COUNT(*) AS n_nonzero,
+                   SUM(CAST(1 AS HUGEINT) << (64 - rnk)) AS s_nz
+            FROM regs
+        )
+        SELECT CAST(256 AS BIGINT) AS m,
+               CAST(256 - n_nonzero AS BIGINT) AS n_zero,
+               CAST((CAST(7213 AS HUGEINT) * 256 * 256 * 256 * (CAST(1 AS HUGEINT) << 64))
+                    // (10 * (1000 * 256 + 1079)
+                        * (s_nz + (256 - n_nonzero) * (CAST(1 AS HUGEINT) << 64)))
+                    AS BIGINT) AS estimate
+        FROM s
+    """
+    # count-min sketch over events.user_id: same d=4 × w=512 cell
+    # hashes (md5 of 'i|key'), estimate = min over rows; every probe
+    # occupies its own cells so the join always matches
+    sql["cms_counts"] = """
+        WITH rows_i AS (SELECT unnest(generate_series(0, 3)) AS i),
+        cells AS (
+            SELECT i,
+                   ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT % 512 AS j,
+                   COUNT(*) AS cnt
+            FROM events CROSS JOIN rows_i
+            GROUP BY 1, 2
+        ),
+        probes AS (
+            SELECT user_id, COUNT(*) AS true_count
+            FROM events WHERE user_id % 97 = 0 GROUP BY 1
+        )
+        SELECT p.user_id, p.true_count, CAST(MIN(c.cnt) AS BIGINT) AS est_count
+        FROM probes p
+        CROSS JOIN rows_i t
+        JOIN cells c
+          ON c.i = t.i
+         AND c.j = ('0x' || substr(md5(CAST(t.i AS VARCHAR) || '|' || CAST(p.user_id AS VARCHAR)), 1, 16))::UBIGINT % 512
+        GROUP BY 1, 2
+    """
+
     # --------------------------------------------------- curation ops
     # (plain-string concatenation: the regexes carry {m,n} quantifiers
     # that an f-string would eat)

@@ -1353,3 +1353,49 @@ def q_lm_score(sf_dir: str):
 
     ref = docs.map_batches(ref_side, batch_format="pyarrow")
     return lm_score(docs, ref, salt=4)
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-href count over the exploded link table —
+    the "how big is the discovered frontier" diagnostic a 10^10-URL
+    crawl answers per round without an exact global distinct.  Raw
+    integer-exact estimator (see functions/sketches.py); the oracle
+    recomputes the identical registers + floor-divisions in SQL."""
+    from .functions.sketches import hll_distinct
+
+    links = q_extract_links(sf_dir)
+    return hll_distinct(links, column="href")
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch frequency estimates over the events stream:
+    build a 4×512 sketch of user activity (per-block cell combiner →
+    one constant-size groupby merge), probe it for every user with
+    user_id % 97 == 0, and report estimate next to the exact count —
+    the overestimate bound ``est ≥ true`` is visible in the output."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .functions.sketches import cms_estimate
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ninety_seven = pa.scalar(97, pa.int64())
+        # user_id % 97 == 0 (ids are non-negative, so trunc-div mod is fine)
+        rem = _pc.subtract(
+            batch["user_id"],
+            _pc.multiply(_pc.divide(batch["user_id"], ninety_seven), ninety_seven),
+        )
+        keep = batch.filter(_pc.equal(rem, pa.scalar(0, pa.int64())))
+        agg = pa.TableGroupBy(keep, ["user_id"]).aggregate([("user_id", "count")])
+        return agg.rename_columns(["user_id", "n_part"])
+
+    probes = (
+        ds.map_batches(probe_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("n_part", alias_name="true_count"))
+    )
+    return cms_estimate(ds, probes, column="user_id")
