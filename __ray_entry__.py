@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable sketches
         "hll_distinct": q.q_hll_distinct,
         "cms_counts": q.q_cms_counts,
+        # windowed top-k + exact prefix-filtered similarity join
+        "window_topk": q.q_window_topk,
+        "jaccard_prefix": q.q_jaccard_prefix,
         # curation ops (PII / decontamination / repetition gate)
         "pii_scrub": q.q_pii_scrub,
         "decontaminate": q.q_decontaminate,

@@ -1768,3 +1768,183 @@ def recrawl_schedule(
         )
 
     return per_url.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------- prefix filtering
+
+
+def jaccard_prefix_pairs(
+    ds,
+    *,
+    threshold_num: int,
+    threshold_den: int,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_n: int = 1,
+    num_partitions: int = 16,
+    max_bucket: int | None = None,
+):
+    """EXACT all pairs (a < b) with token/shingle-set Jaccard ≥
+    ``threshold_num/threshold_den`` via prefix filtering — the
+    AllPairs/PPJoin candidate generation (Chaudhuri et al. ICDE'06
+    prefix-filtering principle; Bayardo et al. WWW'07).
+
+    Tokens get a global rarity total order ``(df asc, token asc)``; a
+    document's PREFIX is its first ``n - ceil(t·n) + 1`` tokens in
+    that order.  Any two sets with J ≥ t share a prefix token (if
+    A∩B avoided A's prefix it would fit in A's last ``ceil(t·n)-1``
+    tokens, contradicting ``|A∩B| ≥ t·n``), so only prefix tokens are
+    indexed: the quadratic bucket fan-out runs over each document's
+    RAREST tokens instead of all of them, while the result stays
+    exactly equal to the all-pairs join — unlike ``max_df``, this
+    prunes without changing the answer.
+
+    The threshold is a rational so prefix lengths use exact integer
+    ceil; the emitted ``jaccard`` column is the same float division
+    the exact path (and the oracle) computes.
+
+    Scale shape: df via per-block combiner + vocabulary groupby;
+    tok ⋈ df hash join; per-doc prefix selection inside ONE
+    ``groupby(id)`` aggregate whose state is that doc's tokens;
+    verification attaches each candidate's full packed token list by
+    hash join on a then b (never a corpus broadcast) and intersects
+    vectorized.  ``max_bucket`` optionally caps pathological prefix
+    buckets (identical-corpus skew) at the cost of recall — leave
+    ``None`` for the exact guarantee.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import AggregateFn, Count, Sum
+
+    t_num, t_den = threshold_num, threshold_den
+    threshold = t_num / t_den
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, toks = [], []
+        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
+            tokens = (
+                set(tokenize_words(t)) if shingle_n == 1 else word_shingles(t, shingle_n)
+            )
+            for tok in tokens:
+                ids_out.append(i)
+                toks.append(tok)
+        return pa.table(
+            {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
+        )
+
+    tok = ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c = Counter(batch["token"].to_pylist())
+        toks = sorted(c)
+        return pa.table(
+            {
+                "token": pa.array(toks, pa.string()),
+                "df_part": pa.array([c[t] for t in toks], pa.int64()),
+            }
+        )
+
+    df = (
+        tok.select_columns(["token"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("df_part", alias_name="df"))
+    )
+    df, _ = _coalesce_for_join(df)
+    joined = hash_join_safe(tok, df, on=("token",), num_partitions=num_partitions)
+
+    # one groupby(id): state is the doc's own (df, token) pairs;
+    # finalize orders them by global rarity and packs prefix_len +
+    # full sorted token list into one string cell
+    def _acc(acc, block):
+        toks = (
+            block["token"].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block["token"])
+        )
+        dfs = (
+            block["df"].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block["df"])
+        )
+        acc.extend(zip(dfs, toks))
+        return acc
+
+    def _fin(acc):
+        acc.sort()
+        n = len(acc)
+        prefix_len = n - (-(-(t_num * n) // t_den)) + 1  # n - ceil(t·n) + 1
+        return str(prefix_len) + "\x1e" + "\x1f".join(t for _, t in acc)
+
+    packed_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=_acc,
+        merge=lambda a, b: a + b,
+        finalize=_fin,
+        name="packed",
+    )
+    per_doc = (
+        joined.groupby("id").aggregate(packed_agg).materialize()
+    )
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids_out, toks = [], []
+        for i, packed in zip(batch["id"].to_pylist(), batch["packed"].to_pylist()):
+            plen_s, _, body = packed.partition("\x1e")
+            for tok in body.split("\x1f")[: int(plen_s)]:
+                ids_out.append(i)
+                toks.append(tok)
+        return pa.table(
+            {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
+        )
+
+    pairs = (
+        per_doc.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_collect_ids_agg("id", max_members=max_bucket))
+        .map_batches(_explode_pairs_batch, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="n_buckets"))
+    )
+    pairs, n_pairs = _coalesce_for_join(pairs)
+    if n_pairs == 0:
+        return _empty_dataset(
+            {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
+        )
+
+    with_a = _attach_by_id(
+        pairs.select_columns(["a", "b"]),
+        per_doc,
+        "a",
+        {"packed": "packed_a"},
+        num_partitions=num_partitions,
+    )
+    with_ab = _attach_by_id(
+        with_a, per_doc, "b", {"packed": "packed_b"}, num_partitions=num_partitions
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        a_out, b_out, j_out = [], [], []
+        for a, b, pa_, pb_ in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["packed_a"].to_pylist(),
+            batch["packed_b"].to_pylist(),
+        ):
+            sa = set(pa_.partition("\x1e")[2].split("\x1f"))
+            sb = set(pb_.partition("\x1e")[2].split("\x1f"))
+            c = len(sa & sb)
+            j = c / (len(sa) + len(sb) - c)
+            if j >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+                j_out.append(j)
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "jaccard": pa.array(j_out, pa.float64()),
+            }
+        )
+
+    return with_ab.map_batches(score, batch_format="pyarrow")

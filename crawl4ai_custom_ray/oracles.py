@@ -1114,6 +1114,49 @@ r{t} AS (
                     AS BIGINT) AS estimate
         FROM s
     """
+    # exact all-pairs Jaccard with NO hot-token filter: the oracle for
+    # the prefix-filtered path — equality proves the candidate
+    # generation lossless, not just the verification
+    sql["jaccard_prefix"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+        zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+        w AS (
+            SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz
+        ),
+        sh AS (
+            SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+            FROM w a
+            JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT inter.a, inter.b,
+               CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) AS jaccard
+        FROM inter
+        JOIN counts ca ON ca.doc_id = inter.a
+        JOIN counts cb ON cb.doc_id = inter.b
+        WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= 0.5
+    """
+    # per-hour top-3 event types, ties type-asc — the windowed top-k
+    sql["window_topk"] = """
+        WITH c AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events,
+               CAST(row_number() OVER (
+                   PARTITION BY window_start
+                   ORDER BY n_events DESC, event_type) AS BIGINT) AS "rank"
+        FROM c
+        QUALIFY "rank" <= 3
+    """
     # count-min sketch over events.user_id: same d=4 × w=512 cell
     # hashes (md5 of 'i|key'), estimate = min over rows; every probe
     # occupies its own cells so the join always matches

@@ -1399,3 +1399,111 @@ def q_cms_counts(sf_dir: str):
         .aggregate(Sum("n_part", alias_name="true_count"))
     )
     return cms_estimate(ds, probes, column="user_id")
+
+
+def q_jaccard_prefix(sf_dir: str):
+    """EXACT Jaccard near-dup pairs (3-word shingles, ≥ 1/2) with
+    prefix-filtering candidate generation (AllPairs/PPJoin): only each
+    document's rarest ``n - ceil(n/2) + 1`` shingles are indexed, yet
+    the output equals the full all-pairs join — the skew-safe exact
+    path next to ``jaccard_pairs``' max_df recall-trading one.  The
+    oracle is the unfiltered all-pairs SQL, so candidate-generation
+    losslessness is itself driver-checked."""
+    from .functions.dedup import jaccard_prefix_pairs
+
+    ds = _documents(sf_dir, ["doc_id", "text"])
+    return jaccard_prefix_pairs(
+        ds, threshold_num=1, threshold_den=2, shingle_n=3
+    )
+
+
+def q_window_topk(sf_dir: str):
+    """Per-hour top-3 event types by count ("trending now", the
+    windowed top-k every stream pipeline runs): per-block
+    (window, type) count combiner → exact counts in one groupby →
+    per-window bounded top-k accumulator (state ≤ 4k tuples per
+    window, no per-window pandas groups).  Ties break event_type-asc
+    so ranks are total-ordered and oracle-exact."""
+    import ray.data as rd
+    from ray.data.aggregate import AggregateFn, Sum
+
+    K = 3
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keyed = pa.table(
+            {
+                "window_start": _pc.floor_temporal(batch["ts"], unit="hour"),
+                "event_type": batch["event_type"],
+            }
+        )
+        agg = pa.TableGroupBy(keyed, ["window_start", "event_type"]).aggregate(
+            [("event_type", "count")]
+        )
+        return agg.rename_columns(["window_start", "event_type", "n_part"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("n_part", alias_name="n_events"))
+    )
+
+    # accumulator entries are SORTABLE STRINGS (a list of strings
+    # stays Arrow-native between accumulate and merge — tuples would
+    # fall back to pickled blocks): "{BIG - n:013d}\x1etype" sorts
+    # lexicographically as (count desc, type asc)
+    BIG = 10**12
+
+    def _prune(acc):
+        if len(acc) > 4 * K:
+            acc.sort()
+            del acc[K:]
+        return acc
+
+    def _acc(acc, block):
+        types = (
+            block["event_type"].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block["event_type"])
+        )
+        ns = (
+            block["n_events"].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block["n_events"])
+        )
+        acc.extend(f"{BIG - n:013d}\x1e{t}" for n, t in zip(ns, types))
+        return _prune(acc)
+
+    topk_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=_acc,
+        merge=lambda a, b: _prune(a + b),
+        finalize=lambda acc: "\x1f".join(sorted(acc)[:K]),
+        name="topk",
+    )
+
+    per_window = counts.groupby("window_start").aggregate(topk_agg)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ws, types, ns, ranks = [], [], [], []
+        for w, packed in zip(
+            batch["window_start"].to_pylist(), batch["topk"].to_pylist()
+        ):
+            for r, item in enumerate(packed.split("\x1f"), start=1):
+                key, _, t = item.partition("\x1e")
+                ws.append(w)
+                types.append(t)
+                ns.append(10**12 - int(key))
+                ranks.append(r)
+        return pa.table(
+            {
+                "window_start": pa.array(ws, pa.timestamp("us")),
+                "event_type": pa.array(types, pa.string()),
+                "n_events": pa.array(ns, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+            }
+        )
+
+    return per_window.map_batches(explode, batch_format="pyarrow")

@@ -1,0 +1,100 @@
+"""Unit tests for prefix-filtered exact Jaccard pairs and the
+windowed top-k query."""
+
+import itertools
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from crawl4ai_custom_ray.functions.dedup import (
+    jaccard_prefix_pairs,
+    tokenize_words,
+    word_shingles,
+)
+
+
+def _brute_pairs(docs, threshold, shingle_n):
+    sets = {
+        i: (set(tokenize_words(t)) if shingle_n == 1 else word_shingles(t, shingle_n))
+        for i, t in docs
+    }
+    out = set()
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sets.items()), 2):
+        if not sa or not sb:
+            continue
+        c = len(sa & sb)
+        if c / (len(sa) + len(sb) - c) >= threshold:
+            out.add((a, b))
+    return out
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "a completely different document about ray data pipelines"),
+    (3, "a completely different document about ray data engines"),
+    (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (5, "one two three"),
+    (6, "unrelated singleton text body here"),
+]
+
+
+@pytest.mark.parametrize("t_num,t_den", [(1, 3), (1, 2), (2, 3)])
+@pytest.mark.parametrize("shingle_n", [1, 3])
+def test_prefix_pairs_equal_brute_force(ray_session, t_num, t_den, shingle_n):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["a"], r["b"])
+        for r in jaccard_prefix_pairs(
+            ds, threshold_num=t_num, threshold_den=t_den, shingle_n=shingle_n
+        ).take_all()
+    }
+    assert got == _brute_pairs(DOCS, t_num / t_den, shingle_n)
+
+
+def test_prefix_pairs_empty_result(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["aaa bbb ccc", "xxx yyy zzz"], pa.string()),
+            }
+        )
+    )
+    out = jaccard_prefix_pairs(ds, threshold_num=1, threshold_den=2).take_all()
+    assert out == []
+
+
+def test_window_topk_tiebreak(ray_session):
+    import datetime as dt
+
+    from crawl4ai_custom_ray.queries import q_window_topk  # noqa: F401 (shape ref)
+
+    # craft events: one hour, counts b=3, a=3, c=2, d=1 → top-3 is
+    # a(1), b(2) by type-asc tie-break, then c(3)
+    base = dt.datetime(2024, 1, 1, 10, 5)
+    rows = ["b"] * 3 + ["a"] * 3 + ["c"] * 2 + ["d"]
+    tbl = pa.table(
+        {
+            "ts": pa.array([base] * len(rows), pa.timestamp("us")),
+            "event_type": pa.array(rows, pa.string()),
+        }
+    )
+    import tempfile, os
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        out = sorted(
+            (r["rank"], r["event_type"], r["n_events"])
+            for r in q_window_topk(d).take_all()
+        )
+    assert out == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
