@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed top-k + exact prefix-filtered similarity join
         "window_topk": q.q_window_topk,
         "jaccard_prefix": q.q_jaccard_prefix,
+        "semantic_dedup": q.q_semantic_dedup,
         # curation ops (PII / decontamination / repetition gate)
         "pii_scrub": q.q_pii_scrub,
         "decontaminate": q.q_decontaminate,

@@ -233,12 +233,21 @@ def cosine_neardup_pairs_lsh(
 
     cap = max_bucket + 1 if max_bucket is not None else None
 
+    # accumulator holds PRE-ENCODED self-describing records
+    # ([n_vec_bytes:8][id:8][vec bytes]) — a list of bytes stays
+    # Arrow-native between accumulate and merge, where (id, bytes)
+    # tuples would fall back to pickled blocks
     def acc_block(acc, block):
         if cap is not None and len(acc) >= cap:
             return acc
         ids = block["id"].to_pylist() if hasattr(block, "column_names") else list(block["id"])
         vecs = block["vec"].to_pylist() if hasattr(block, "column_names") else list(block["vec"])
-        acc.extend(zip(ids, vecs))
+        acc.extend(
+            len(v).to_bytes(8, "little")
+            + int(i).to_bytes(8, "little", signed=True)
+            + v
+            for i, v in zip(ids, vecs)
+        )
         return acc[:cap] if cap is not None else acc
 
     def finalize(acc):
@@ -246,14 +255,7 @@ def cosine_neardup_pairs_lsh(
         # (quadratic blow-up guard; see dedup._collect_ids_agg)
         if max_bucket is not None and len(acc) > max_bucket:
             return b""
-        # each member is a self-describing record:
-        # [n_vec_bytes:8][id:8][vec bytes]
-        return b"".join(
-            len(v).to_bytes(8, "little")
-            + int(i).to_bytes(8, "little", signed=True)
-            + v
-            for i, v in acc
-        )
+        return b"".join(acc)
 
     members_agg = AggregateFn(
         init=lambda k: [],
@@ -446,3 +448,184 @@ def knn_lsh(
         id_column=id_column,
         vector_column=vector_column,
     )
+
+
+def semantic_dedup(
+    ds,
+    *,
+    threshold: float,
+    n_clusters: int = 8,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    max_cluster: int | None = None,
+    num_partitions: int = 8,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then drop every vector that has a smaller-id
+    near-duplicate (cosine ≥ ``threshold``) inside its own cluster →
+    ``(vec_id, cluster, keep)``.
+
+    Deterministic-by-construction choices so a SQL oracle can replay
+    every bit: centroids are the vectors with ``id < n_clusters``
+    (k-means refinement via :func:`kmeans_lite` would move cluster
+    QUALITY, not the operator shape), assignment is argmax cosine with
+    ties to the smallest centroid id, and the keep rule is
+    "min-id-wins" (the same representative rule the exact/minhash
+    dedups use) rather than SemDeDup's arbitrary-member choice.
+
+    Scale shape: the centroid matrix (k×d) is the only broadcast
+    (``ray.put`` once, read per batch); assignment is one vectorized
+    matmul pass; the within-cluster verify reuses the LSH bucket-verify
+    layout (pack (id, vec) per cluster group, pairwise matmul per
+    blob).  Within-cluster work is quadratic in cluster size — at
+    scale pick ``n_clusters ∝ N / target_cluster_size`` (SemDeDup's own
+    regime) and/or set ``max_cluster``, the hot-bucket guard the LSH
+    paths use (an over-cap cluster then drops nothing).
+    """
+    import ray
+    from ray.data.aggregate import AggregateFn
+
+    from .dedup import _coalesce_for_join, hash_join_safe
+
+    cent_rows = sorted(
+        ds.filter(expr=f"{id_column} < {n_clusters}").take_all(),
+        key=lambda r: r[id_column],
+    )
+    cmat = _normalize(
+        np.asarray([r[vector_column] for r in cent_rows], dtype=np.float64)
+    )
+    cref = ray.put(cmat)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_matrix(batch, vector_column))
+        # argmax returns the FIRST maximum → ties break to min cid,
+        # matching the oracle's ORDER BY sim DESC, cid
+        cl = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        ids = batch[id_column].to_pylist()
+        return pa.table(
+            {
+                id_column: pa.array(ids, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
+                "vec": pa.array(
+                    [m[i].astype("<f8").tobytes() for i in range(len(ids))],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    asg = ds.select_columns([id_column, vector_column]).map_batches(
+        assign, batch_format="pyarrow"
+    ).materialize()
+
+    cap = max_cluster + 1 if max_cluster is not None else None
+
+    # accumulator holds PRE-ENCODED byte records (a list of bytes is
+    # Arrow-native between accumulate and merge; (id, bytes) tuples
+    # would fall back to pickled blocks)
+    def acc_block(acc, block):
+        if cap is not None and len(acc) >= cap:
+            return acc
+        ids = (
+            block[id_column].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block[id_column])
+        )
+        vecs = (
+            block["vec"].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block["vec"])
+        )
+        acc.extend(
+            len(v).to_bytes(8, "little")
+            + int(i).to_bytes(8, "little", signed=True)
+            + v
+            for i, v in zip(ids, vecs)
+        )
+        return acc[:cap] if cap is not None else acc
+
+    def finalize(acc):
+        if max_cluster is not None and len(acc) > max_cluster:
+            return b""
+        return b"".join(acc)
+
+    members_agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=lambda a, b: (a + b)[:cap] if cap is not None else a + b,
+        finalize=finalize,
+        name="members",
+    )
+
+    def dropped_in_cluster(batch: pa.Table) -> pa.Table:
+        out = []
+        for blob in batch["members"].to_pylist():
+            if not blob:
+                continue
+            ids_l, vecs = [], []
+            off = 0
+            while off < len(blob):
+                nv = int.from_bytes(blob[off : off + 8], "little")
+                ids_l.append(
+                    int.from_bytes(blob[off + 8 : off + 16], "little", signed=True)
+                )
+                vecs.append(
+                    np.frombuffer(blob, dtype="<f8", count=nv // 8, offset=off + 16)
+                )
+                off += 16 + nv
+            if len(ids_l) < 2:
+                continue
+            ids = np.asarray(ids_l, dtype=np.int64)
+            mat = np.vstack(vecs)
+            order = np.argsort(ids)
+            ids, mat = ids[order], mat[order]
+            sims = mat @ mat.T
+            hit_i, hit_j = np.nonzero(sims >= threshold)
+            # b dropped when some a < b is near: strict upper triangle
+            out.extend(ids[hit_j[hit_i < hit_j]].tolist())
+        uniq = sorted(set(out))
+        return pa.table(
+            {
+                "b": pa.array(uniq, pa.int64()),
+                # non-key marker: join key columns coalesce in the
+                # left_outer output, so null-ness is read off this one
+                "is_dup": pa.array([True] * len(uniq), pa.bool_()),
+            }
+        )
+
+    dropped = (
+        asg.groupby("cluster")
+        .aggregate(members_agg)
+        .map_batches(dropped_in_cluster, batch_format="pyarrow")
+    )
+    dropped, n_dropped = _coalesce_for_join(dropped)
+    keep_all = asg.select_columns([id_column, "cluster"])
+    if n_dropped == 0:
+        return keep_all.map_batches(
+            lambda t: t.append_column(
+                "keep", pa.array([True] * t.num_rows, pa.bool_())
+            ),
+            batch_format="pyarrow",
+        )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flagged = pc.is_valid(batch["is_dup"])
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "cluster": batch["cluster"],
+                "keep": pc.invert(flagged),
+            }
+        )
+
+    joined = hash_join_safe(
+        keep_all,
+        dropped,
+        on=(id_column,),
+        right_on=("b",),
+        join_type="left_outer",
+        num_partitions=num_partitions,
+    )
+    return joined.map_batches(mark, batch_format="pyarrow")

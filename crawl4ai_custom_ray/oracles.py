@@ -1157,6 +1157,30 @@ r{t} AS (
         FROM c
         QUALIFY "rank" <= 3
     """
+    # SemDeDup: deterministic centroids (vec_id < 8), argmax-cosine
+    # assignment (ties → min cid = numpy argmax first-max), drop any
+    # vector with a smaller-id near-dup (cosine ≥ 0.4) in its cluster
+    sql["semantic_dedup"] = """
+        WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        sims AS (
+            SELECT e.vec_id, c.cid, list_cosine_similarity(e.embedding, c.cv) AS sim
+            FROM embeddings e CROSS JOIN c
+        ),
+        asg AS (
+            SELECT vec_id, cid AS cluster FROM sims
+            QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT y.vec_id AS b
+            FROM asg x
+            JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+            JOIN embeddings ex ON ex.vec_id = x.vec_id
+            JOIN embeddings ey ON ey.vec_id = y.vec_id
+            WHERE list_cosine_similarity(ex.embedding, ey.embedding) >= 0.4
+        )
+        SELECT a.vec_id, a.cluster, d.b IS NULL AS keep
+        FROM asg a LEFT JOIN dropped d ON d.b = a.vec_id
+    """
     # count-min sketch over events.user_id: same d=4 × w=512 cell
     # hashes (md5 of 'i|key'), estimate = min over rows; every probe
     # occupies its own cells so the join always matches

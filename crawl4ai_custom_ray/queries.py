@@ -1507,3 +1507,17 @@ def q_window_topk(sf_dir: str):
         )
 
     return per_window.map_batches(explode, batch_format="pyarrow")
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table: cluster (8 deterministic
+    centroids = vec_id < 8, argmax-cosine assignment), then drop any
+    vector with a smaller-id near-duplicate (cosine ≥ 0.4) in its own
+    cluster — the embedding-space dedup that scales by bucketing
+    before the quadratic verify (Abbas et al. 2023)."""
+    import ray.data as rd
+
+    from .functions.similarity import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, threshold=0.4, n_clusters=8)
