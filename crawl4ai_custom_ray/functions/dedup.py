@@ -288,6 +288,27 @@ def word_shingles(text: str, n: int = 3) -> set[str]:
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
 
 
+def _token_rows_fn(id_column: str, text_column: str, shingle_n: int):
+    """Batch fn emitting one ``(id, token)`` row per DISTINCT
+    token/shingle per document — shared by the Jaccard paths so the
+    tokenization convention cannot drift between them."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, toks = [], []
+        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
+            tokens = (
+                set(tokenize_words(t)) if shingle_n == 1 else word_shingles(t, shingle_n)
+            )
+            for tok in tokens:
+                ids_out.append(i)
+                toks.append(tok)
+        return pa.table(
+            {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
+        )
+
+    return explode
+
+
 def jaccard_pairs(
     ds,
     *,
@@ -309,19 +330,7 @@ def jaccard_pairs(
     joins stream the sizes on."""
     from ray.data.aggregate import Count
 
-    # token explode (distinct per doc)
-    def explode(batch: pa.Table) -> pa.Table:
-        ids_out, toks = [], []
-        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
-            tokens = (
-                set(tokenize_words(t)) if shingle_n == 1 else word_shingles(t, shingle_n)
-            )
-            for tok in tokens:
-                ids_out.append(i)
-                toks.append(tok)
-        return pa.table(
-            {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
-        )
+    explode = _token_rows_fn(id_column, text_column, shingle_n)
 
     # groupby token → id lists, with the max_df skew guard applied
     # BEFORE anything quadratic; materialized because both the sizes
@@ -1819,20 +1828,9 @@ def jaccard_prefix_pairs(
     t_num, t_den = threshold_num, threshold_den
     threshold = t_num / t_den
 
-    def explode(batch: pa.Table) -> pa.Table:
-        ids_out, toks = [], []
-        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
-            tokens = (
-                set(tokenize_words(t)) if shingle_n == 1 else word_shingles(t, shingle_n)
-            )
-            for tok in tokens:
-                ids_out.append(i)
-                toks.append(tok)
-        return pa.table(
-            {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
-        )
-
-    tok = ds.map_batches(explode, batch_format="pyarrow").materialize()
+    tok = ds.map_batches(
+        _token_rows_fn(id_column, text_column, shingle_n), batch_format="pyarrow"
+    ).materialize()
 
     def df_partial(batch: pa.Table) -> pa.Table:
         c = Counter(batch["token"].to_pylist())

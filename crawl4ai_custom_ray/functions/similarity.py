@@ -178,6 +178,66 @@ def cosine_neardup_pairs(
     return rd.from_arrow_refs(tasks)
 
 
+def _members_agg(id_col: str, vec_col: str, max_members: int | None):
+    """AggregateFn packing a group's (id, vector-bytes) members into
+    one blob of self-describing records ``[n_vec_bytes:8][id:8][vec]``
+    — the bucket-local verify layout shared by the LSH and SemDeDup
+    paths.  Accumulator state is a list of PRE-ENCODED bytes
+    (Arrow-native between accumulate and merge; (id, bytes) tuples
+    would fall back to pickled blocks).  An over-cap group finalizes
+    to ``b""`` — the hot-bucket quadratic-blow-up guard (see
+    ``dedup._collect_ids_agg``)."""
+    from ray.data.aggregate import AggregateFn
+
+    cap = max_members + 1 if max_members is not None else None
+
+    def acc_block(acc, block):
+        if cap is not None and len(acc) >= cap:
+            return acc
+        ids = (
+            block[id_col].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block[id_col])
+        )
+        vecs = (
+            block[vec_col].to_pylist()
+            if hasattr(block, "column_names")
+            else list(block[vec_col])
+        )
+        acc.extend(
+            len(v).to_bytes(8, "little")
+            + int(i).to_bytes(8, "little", signed=True)
+            + v
+            for i, v in zip(ids, vecs)
+        )
+        return acc[:cap] if cap is not None else acc
+
+    def finalize(acc):
+        if max_members is not None and len(acc) > max_members:
+            return b""
+        return b"".join(acc)
+
+    return AggregateFn(
+        init=lambda k: [],
+        accumulate_block=acc_block,
+        merge=lambda a, b: (a + b)[:cap] if cap is not None else a + b,
+        finalize=finalize,
+        name="members",
+    )
+
+
+def _decode_members(blob: bytes) -> tuple[list[int], list[np.ndarray]]:
+    """Decode a ``_members_agg`` blob back into (ids, vectors)."""
+    ids_l, vecs = [], []
+    off = 0
+    while off < len(blob):
+        nv = int.from_bytes(blob[off : off + 8], "little")
+        ids_l.append(int.from_bytes(blob[off + 8 : off + 16], "little", signed=True))
+        vecs.append(np.frombuffer(blob, dtype="<f8", count=nv // 8, offset=off + 16))
+        off += 16 + nv
+    return ids_l, vecs
+
+
 def cosine_neardup_pairs_lsh(
     ds,
     *,
@@ -229,54 +289,16 @@ def cosine_neardup_pairs_lsh(
                 }
             )
 
-    from ray.data.aggregate import AggregateFn, Max
+    from ray.data.aggregate import Max
 
-    cap = max_bucket + 1 if max_bucket is not None else None
-
-    # accumulator holds PRE-ENCODED self-describing records
-    # ([n_vec_bytes:8][id:8][vec bytes]) — a list of bytes stays
-    # Arrow-native between accumulate and merge, where (id, bytes)
-    # tuples would fall back to pickled blocks
-    def acc_block(acc, block):
-        if cap is not None and len(acc) >= cap:
-            return acc
-        ids = block["id"].to_pylist() if hasattr(block, "column_names") else list(block["id"])
-        vecs = block["vec"].to_pylist() if hasattr(block, "column_names") else list(block["vec"])
-        acc.extend(
-            len(v).to_bytes(8, "little")
-            + int(i).to_bytes(8, "little", signed=True)
-            + v
-            for i, v in zip(ids, vecs)
-        )
-        return acc[:cap] if cap is not None else acc
-
-    def finalize(acc):
-        # hot-bucket guard: an over-cap bucket contributes no pairs
-        # (quadratic blow-up guard; see dedup._collect_ids_agg)
-        if max_bucket is not None and len(acc) > max_bucket:
-            return b""
-        return b"".join(acc)
-
-    members_agg = AggregateFn(
-        init=lambda k: [],
-        accumulate_block=acc_block,
-        merge=lambda a, b: (a + b)[:cap] if cap is not None else a + b,
-        finalize=finalize,
-        name="members",
-    )
+    members_agg = _members_agg("id", "vec", max_bucket)
 
     def verify_bucket(batch: pa.Table) -> pa.Table:
         a_out, b_out, s_out = [], [], []
         for blob in batch["members"].to_pylist():
             if blob is None or not blob:
                 continue
-            ids_l, vecs = [], []
-            off = 0
-            while off < len(blob):
-                nv = int.from_bytes(blob[off : off + 8], "little")
-                ids_l.append(int.from_bytes(blob[off + 8 : off + 16], "little", signed=True))
-                vecs.append(np.frombuffer(blob, dtype="<f8", count=nv // 8, offset=off + 16))
-                off += 16 + nv
+            ids_l, vecs = _decode_members(blob)
             if len(ids_l) < 2:
                 continue
             ids = np.asarray(ids_l, dtype=np.int64)
@@ -481,9 +503,17 @@ def semantic_dedup(
     scale pick ``n_clusters ∝ N / target_cluster_size`` (SemDeDup's own
     regime) and/or set ``max_cluster``, the hot-bucket guard the LSH
     paths use (an over-cap cluster then drops nothing).
+
+    Oracle-precision caveat (shared with ``dedup_embedding``): the
+    engine computes cosines in float64 while DuckDB's
+    ``list_cosine_similarity`` on a ``list<float>`` column returns
+    float32, so a pair within float32 rounding of ``threshold`` (or
+    two centroid sims within rounding of each other) could flip a
+    boolean output between the two sides.  Data-dependent; the
+    synthetic corpora keep wide margins (measured min argmax gap
+    4e-4 at sf0.01).
     """
     import ray
-    from ray.data.aggregate import AggregateFn
 
     from .dedup import _coalesce_for_join, hash_join_safe
 
@@ -491,17 +521,25 @@ def semantic_dedup(
         ds.filter(expr=f"{id_column} < {n_clusters}").take_all(),
         key=lambda r: r[id_column],
     )
+    if not cent_rows:
+        raise ValueError(
+            f"semantic_dedup: no centroid rows (need rows with "
+            f"{id_column} < {n_clusters})"
+        )
+    # cluster label = CENTROID ID, not list position: stable under
+    # non-contiguous/missing ids and exactly the oracle's cid
+    cids = np.asarray([r[id_column] for r in cent_rows], dtype=np.int64)
     cmat = _normalize(
         np.asarray([r[vector_column] for r in cent_rows], dtype=np.float64)
     )
-    cref = ray.put(cmat)
+    cref = ray.put((cids, cmat))
 
     def assign(batch: pa.Table) -> pa.Table:
-        c = ray.get(cref)
+        cid_arr, c = ray.get(cref)
         m = _normalize(_matrix(batch, vector_column))
-        # argmax returns the FIRST maximum → ties break to min cid,
-        # matching the oracle's ORDER BY sim DESC, cid
-        cl = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        # argmax returns the FIRST maximum and cid_arr is ascending →
+        # ties break to min cid, matching ORDER BY sim DESC, cid
+        cl = cid_arr[np.argmax(m @ c.T, axis=1)]
         ids = batch[id_column].to_pylist()
         return pa.table(
             {
@@ -518,61 +556,14 @@ def semantic_dedup(
         assign, batch_format="pyarrow"
     ).materialize()
 
-    cap = max_cluster + 1 if max_cluster is not None else None
-
-    # accumulator holds PRE-ENCODED byte records (a list of bytes is
-    # Arrow-native between accumulate and merge; (id, bytes) tuples
-    # would fall back to pickled blocks)
-    def acc_block(acc, block):
-        if cap is not None and len(acc) >= cap:
-            return acc
-        ids = (
-            block[id_column].to_pylist()
-            if hasattr(block, "column_names")
-            else list(block[id_column])
-        )
-        vecs = (
-            block["vec"].to_pylist()
-            if hasattr(block, "column_names")
-            else list(block["vec"])
-        )
-        acc.extend(
-            len(v).to_bytes(8, "little")
-            + int(i).to_bytes(8, "little", signed=True)
-            + v
-            for i, v in zip(ids, vecs)
-        )
-        return acc[:cap] if cap is not None else acc
-
-    def finalize(acc):
-        if max_cluster is not None and len(acc) > max_cluster:
-            return b""
-        return b"".join(acc)
-
-    members_agg = AggregateFn(
-        init=lambda k: [],
-        accumulate_block=acc_block,
-        merge=lambda a, b: (a + b)[:cap] if cap is not None else a + b,
-        finalize=finalize,
-        name="members",
-    )
+    members_agg = _members_agg(id_column, "vec", max_cluster)
 
     def dropped_in_cluster(batch: pa.Table) -> pa.Table:
         out = []
         for blob in batch["members"].to_pylist():
             if not blob:
                 continue
-            ids_l, vecs = [], []
-            off = 0
-            while off < len(blob):
-                nv = int.from_bytes(blob[off : off + 8], "little")
-                ids_l.append(
-                    int.from_bytes(blob[off + 8 : off + 16], "little", signed=True)
-                )
-                vecs.append(
-                    np.frombuffer(blob, dtype="<f8", count=nv // 8, offset=off + 16)
-                )
-                off += 16 + nv
+            ids_l, vecs = _decode_members(blob)
             if len(ids_l) < 2:
                 continue
             ids = np.asarray(ids_l, dtype=np.int64)

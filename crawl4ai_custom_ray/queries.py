@@ -1452,8 +1452,10 @@ def q_window_topk(sf_dir: str):
 
     # accumulator entries are SORTABLE STRINGS (a list of strings
     # stays Arrow-native between accumulate and merge — tuples would
-    # fall back to pickled blocks): "{BIG - n:013d}\x1etype" sorts
-    # lexicographically as (count desc, type asc)
+    # fall back to pickled blocks): "{BIG - n:013d}\x1ehex(type)"
+    # sorts lexicographically as (count desc, type asc) — utf-8 hex
+    # preserves byte order AND escapes the delimiters, so an
+    # event_type containing \x1e/\x1f cannot corrupt the packing
     BIG = 10**12
 
     def _prune(acc):
@@ -1473,7 +1475,9 @@ def q_window_topk(sf_dir: str):
             if hasattr(block, "column_names")
             else list(block["n_events"])
         )
-        acc.extend(f"{BIG - n:013d}\x1e{t}" for n, t in zip(ns, types))
+        acc.extend(
+            f"{BIG - n:013d}\x1e{t.encode().hex()}" for n, t in zip(ns, types)
+        )
         return _prune(acc)
 
     topk_agg = AggregateFn(
@@ -1492,10 +1496,10 @@ def q_window_topk(sf_dir: str):
             batch["window_start"].to_pylist(), batch["topk"].to_pylist()
         ):
             for r, item in enumerate(packed.split("\x1f"), start=1):
-                key, _, t = item.partition("\x1e")
+                key, _, hexed = item.partition("\x1e")
                 ws.append(w)
-                types.append(t)
-                ns.append(10**12 - int(key))
+                types.append(bytes.fromhex(hexed).decode())
+                ns.append(BIG - int(key))
                 ranks.append(r)
         return pa.table(
             {

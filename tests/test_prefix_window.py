@@ -79,9 +79,10 @@ def test_window_topk_tiebreak(ray_session):
     from crawl4ai_custom_ray.queries import q_window_topk  # noqa: F401 (shape ref)
 
     # craft events: one hour, counts b=3, a=3, c=2, d=1 → top-3 is
-    # a(1), b(2) by type-asc tie-break, then c(3)
+    # a(1), b(2) by type-asc tie-break, then c(3); the delimiter-laden
+    # type ("z\x1f\x1ez", count 1) must survive the packing unharmed
     base = dt.datetime(2024, 1, 1, 10, 5)
-    rows = ["b"] * 3 + ["a"] * 3 + ["c"] * 2 + ["d"]
+    rows = ["b"] * 3 + ["a"] * 3 + ["c"] * 2 + ["d", "z\x1f\x1ez"]
     tbl = pa.table(
         {
             "ts": pa.array([base] * len(rows), pa.timestamp("us")),
