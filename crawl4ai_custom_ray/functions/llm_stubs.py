@@ -1,64 +1,38 @@
-"""Gated stubs for the reference's LLM-backed strategies.
+"""Compatibility shim for the LLM-backed strategy names.
 
-The reference ships ``LLMContentFilter``
-(``content_filter_strategy.py:780-1060``), ``LLMExtractionStrategy``
-(``extraction_strategy.py:493-987``) and ``LLMTableExtraction``
-(``table_extraction.py:320-1395``) — all thin orchestration around a
-litellm completion client (chunk → prompt → parse), plus
-``NaivePDFProcessorStrategy`` (``processors/pdf/processor.py``).
+The real orchestration now lives in :mod:`.llm` —
+``LLMExtractionStrategy`` / ``LLMContentFilter`` /
+``LLMTableExtraction`` implement the reference's chunk → prompt →
+parse → merge pipelines around an INJECTABLE completion client
+(``Callable[[str], str]``), and raise ``NotImplementedError`` when
+constructed without one (no LLM client exists in this environment —
+the gate is honest, not a fake-output stub).
 
-No LLM client or PDF library exists in this environment.  These
-classes define the engine-side integration points — the actor-pool
-``map_batches`` stage shape with once-per-actor client setup and
-rate-budget state — and raise ``NotImplementedError`` with clear
-guidance instead of silently faking model output.  (The deterministic
-parts of those strategies — chunking, schema handling, table merge —
-live in :mod:`.chunkers`, :mod:`.structured`, :mod:`..html.tables`.)
+``PDFProcessorStrategy`` is likewise no longer a stub: the naive PDF
+processor (reference ``processors/pdf/processor.py``) is implemented
+from scratch on stdlib in :mod:`.pdf` (COS parser, Flate streams,
+page-tree walk, text operators; oracled by the ``pdf_extract``
+driver query).  The name here stays importable and points at it.
 """
 
 from __future__ import annotations
 
-_MSG = (
-    "{name} needs {dep}, which is not available in this environment. "
-    "The deterministic pipeline pieces (chunking, schema extraction, table "
-    "merge) are implemented in crawl4ai_custom_ray.functions; plug a client "
-    "into __init__ (once per actor) and implement __call__ per batch to "
-    "enable this stage."
+from .llm import (  # noqa: F401 — re-exported integration points
+    LLMContentFilter,
+    LLMExtractionStrategy,
+    LLMTableExtraction,
 )
 
 
-class _GatedStage:
-    NAME = "LLM stage"
-    DEP = "an LLM client (litellm)"
+class PDFProcessorStrategy:
+    """Alias-with-guidance: use :mod:`crawl4ai_custom_ray.functions.pdf`
+    (``PdfDocument`` / ``extract_text_ops``) — kept so reference-shaped
+    imports fail loudly with a pointer instead of silently."""
 
     def __init__(self, *args, **kwargs):
-        raise NotImplementedError(_MSG.format(name=self.NAME, dep=self.DEP))
-
-
-class LLMContentFilter(_GatedStage):
-    """Reference: content_filter_strategy.py:780-1060 — chunk html,
-    LLM-filter per chunk with md5 disk cache, 4-way thread pool."""
-
-    NAME = "LLMContentFilter"
-
-
-class LLMExtractionStrategy(_GatedStage):
-    """Reference: extraction_strategy.py:493-987 — merge_chunks →
-    prompt → completion → parsed JSON blocks with token accounting."""
-
-    NAME = "LLMExtractionStrategy"
-
-
-class LLMTableExtraction(_GatedStage):
-    """Reference: table_extraction.py:320-1395 — LLM table parsing
-    with header-preserving chunk merge."""
-
-    NAME = "LLMTableExtraction"
-
-
-class PDFProcessorStrategy(_GatedStage):
-    """Reference: processors/pdf/processor.py — PDF → per-page
-    text/images/markdown. Needs a PDF library."""
-
-    NAME = "PDFProcessorStrategy"
-    DEP = "a PDF library (pypdf/pdfium)"
+        raise NotImplementedError(
+            "Use crawl4ai_custom_ray.functions.pdf (PdfDocument, "
+            "extract_text_ops, clean_pdf_text) — the stdlib naive PDF "
+            "processor implementing the reference's "
+            "NaivePDFProcessorStrategy semantics."
+        )
