@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_normalize": q.q_ccnet_normalize,
         "dedup_normalized": q.q_dedup_normalized,
         "sample_per_group": q.q_sample_per_group,
+        "mixture_sample": q.q_mixture_sample,
         "length_quantiles": q.q_length_quantiles,
         "dsir_select": q.q_dsir_select,
         "domain_filter": q.q_domain_filter,

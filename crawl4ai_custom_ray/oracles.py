@@ -1157,6 +1157,29 @@ r{t} AS (
         FROM c
         QUALIFY "rank" <= 3
     """
+    # mixture sampling: per-source quota floor(w·total/1000) with
+    # per-mille weight 10·(N%5+1) derived from the source name; same
+    # seedless md5-rank as sample_per_group
+    sql["mixture_sample"] = r"""
+        WITH q AS (
+            SELECT source,
+                   LEAST(COUNT(*),
+                         (CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 5 + 1)
+                         * 10 * 400 // 1000) AS quota
+            FROM documents GROUP BY source
+        ),
+        r AS (
+            SELECT source, doc_id,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS sample_rank
+            FROM documents
+        )
+        SELECT r.source, r.doc_id, CAST(r.sample_rank AS BIGINT) AS sample_rank
+        FROM r JOIN q USING (source)
+        WHERE r.sample_rank <= q.quota
+    """
     # SemDeDup: deterministic centroids (vec_id < 8), argmax-cosine
     # assignment (ties → min cid = numpy argmax first-max), drop any
     # vector with a smaller-id near-dup (cosine ≥ 0.4) in its cluster

@@ -1525,3 +1525,23 @@ def q_semantic_dedup(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return semantic_dedup(ds, threshold=0.4, n_clusters=8)
+
+
+def q_mixture_sample(sf_dir: str):
+    """Training-mixture sampling: each source srcN gets per-mille
+    weight 10·(N % 5 + 1) against a 400-doc budget — quotas of 4/8/12/
+    16/20 docs per source, selected by the seedless md5-rank.  The
+    oracle derives the same weights from the source name, so the
+    mixture math is driver-checked end to end."""
+    import re
+
+    from .functions.curation import mixture_sample
+
+    docs = _documents(sf_dir, ["doc_id", "source"])
+    sources = {r["source"] for r in docs.groupby("source").count().take_all()}
+    weights = {
+        s: 10 * (int(re.search(r"(\d+)$", s).group(1)) % 5 + 1)
+        for s in sources
+        if re.search(r"(\d+)$", s)
+    }
+    return mixture_sample(docs, weights_permille=weights, total=400)

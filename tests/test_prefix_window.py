@@ -99,3 +99,27 @@ def test_window_topk_tiebreak(ray_session):
             for r in q_window_topk(d).take_all()
         )
     assert out == [(1, "a", 3), (2, "b", 3), (3, "c", 2)]
+
+
+def test_mixture_sample_quotas(ray_session):
+    from crawl4ai_custom_ray.functions.curation import mixture_sample
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "source": pa.array(
+                ["a"] * 10 + ["b"] * 10 + ["c"] * 10, pa.string()
+            ),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    # a: 500‰ of 20 → 10 (all); b: 100‰ → 2; c absent → quota 0
+    out = mixture_sample(
+        ds, weights_permille={"a": 500, "b": 100}, total=20
+    ).take_all()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["sample_rank"])
+    assert sorted(by_src["a"]) == list(range(1, 11))
+    assert sorted(by_src["b"]) == [1, 2]
+    assert "c" not in by_src
