@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "pdf_extract": q.q_pdf_extract,
         "events_window": q.q_events_window,
+        "events_hopping": q.q_events_hopping,
         "sessionize": q.q_sessionize,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,

@@ -808,6 +808,19 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
         """,
+        # hopping windows: 1 h windows every 30 min — each event in
+        # exactly the two windows starting at floor30(ts) and
+        # floor30(ts) − 30 min
+        "events_hopping": """
+            SELECT event_type,
+                   time_bucket(INTERVAL 30 MINUTE, ts)
+                     - CASE o.i WHEN 1 THEN INTERVAL 30 MINUTE
+                       ELSE INTERVAL 0 MINUTE END AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i) o
+            GROUP BY 1, 2
+        """,
         "link_head_preview": _LINKS_CTE.format(path=path)
         + f"""
             , heads AS (

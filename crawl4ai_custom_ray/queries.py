@@ -1545,3 +1545,58 @@ def q_mixture_sample(sf_dir: str):
         if re.search(r"(\d+)$", s)
     }
     return mixture_sample(docs, weights_permille=weights, total=400)
+
+
+def q_events_hopping(sf_dir: str):
+    """HOPPING-window aggregate (1-hour windows, 30-minute hop): every
+    event lands in exactly two overlapping windows — the sliding-dash-
+    board shape tumbling windows can't express.  Replication happens
+    inside the per-block combiner (each event contributes two
+    (window, type) partial rows), so the shuffle still moves only
+    aggregated partials."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    HOP_US = 30 * 60 * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        ts_us = _pc.cast(batch["ts"], pa.int64())
+        floor30 = _pc.multiply(
+            _pc.divide(ts_us, pa.scalar(HOP_US, pa.int64())),
+            pa.scalar(HOP_US, pa.int64()),
+        )
+        cents = _pc.cast(
+            _pc.round(_pc.multiply(batch["value"], pa.scalar(100.0)), ndigits=0),
+            pa.int64(),
+        )
+        parts = []
+        for off in (0, HOP_US):
+            start = _pc.cast(
+                _pc.subtract(floor30, pa.scalar(off, pa.int64())),
+                pa.timestamp("us"),
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": batch["event_type"],
+                        "window_start": start,
+                        "cents": cents,
+                    }
+                )
+            )
+        keyed = pa.concat_tables(parts)
+        agg = pa.TableGroupBy(keyed, ["event_type", "window_start"]).aggregate(
+            [("cents", "count"), ("cents", "sum")]
+        )
+        return agg.rename_columns(
+            ["event_type", "window_start", "n_part", "cents_part"]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    return parts.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n_part", alias_name="n_events"),
+        Sum("cents_part", alias_name="sum_value_cents"),
+    )

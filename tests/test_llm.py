@@ -179,3 +179,21 @@ def test_llm_extract_stage_actor_pool(ray_session):
     for row in out:
         blocks = json.loads(row["extracted_content"])
         assert blocks and blocks[0]["error"] is False
+
+
+# ------------------------------------------------------------- fuzz
+
+
+def test_parse_blocks_never_raises_on_arbitrary_text():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=400), st.booleans())
+    def check(text, force_json):
+        out = parse_blocks(text, force_json=force_json)
+        assert isinstance(out, list)
+        for b in out:
+            assert isinstance(b, dict) and "error" in b
+
+    check()
