@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
+        "rolling_window": q.q_rolling_window,
+        "host_triangles": q.q_host_triangles,
         "chunk_fixed": q.q_chunk_fixed,
         # mergeable sketches
         "hll_distinct": q.q_hll_distinct,

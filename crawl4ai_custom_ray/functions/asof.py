@@ -260,3 +260,116 @@ def range_join(
         return merged[out_order]
 
     return both.groupby("_gkey").map_groups(_join_group, batch_format="pandas")
+
+
+def rolling_window(
+    events,
+    *,
+    by: str = "user_id",
+    on: str = "ts",
+    id_column: str = "event_id",
+    value_column: str = "value",
+    window_us: int = 1_800_000_000,
+    n_buckets: int = 64,
+):
+    """Trailing RANGE-frame window per key: for every event, the count
+    and integer-cents sum of all events of the same ``by`` key with
+    ``ts in [ts - window_us, ts]`` (inclusive both ends — the
+    semantics of SQL ``RANGE BETWEEN <w> PRECEDING AND CURRENT ROW``,
+    peers of the current row included).  The streaming-dashboard /
+    rate-limiter shape a tumbling window can't express: one result row
+    per input row, each looking back over its own bounded horizon.
+
+    Scale shape (same epoch-sharding family as :func:`range_join`):
+    time is cut into epochs of width ``window_us``.  Each event rides
+    the ONE shuffle twice — once as a probe in its own epoch, once as
+    context replicated into its epoch and the next (the only two a
+    probe window ``[ts-w, ts]`` can reach back from) — so every
+    (probe, context) pair meets in exactly one ``(key-bucket, epoch)``
+    group and counts are exact, never doubled.  Within a group the
+    lookback is fully vectorized: context sorted once by (key, ts),
+    per-key slices addressed through a combined ``rank*span + offset``
+    integer key, counts/sums by two ``searchsorted`` calls against a
+    prefix-sum — no per-key pandas groups, no Python loop over rows.
+
+    Partitioning assumption: one (bucket, epoch) group — ~3× the
+    epoch's event rows (probe + ≤2 context copies) — fits a worker's
+    heap; raise ``n_buckets`` with cluster size.  All outputs are
+    integers (count, cents), so results are bit-identical at any
+    parallelism.
+    """
+    if window_us <= 0:
+        raise ValueError("window_us must be positive")
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        keys = batch[by].to_numpy(zero_copy_only=False)
+        ts_us = batch[on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.rint(
+            batch[value_column].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        e = np.floor_divide(ts_us, window_us)
+        bucket = _bucket_of(keys, n_buckets).astype(np.int64)
+        n = len(batch)
+        # probe copy (side 0, own epoch) + context copies (side 1,
+        # epochs e and e+1)
+        idx = np.concatenate([np.arange(n)] * 3)
+        epochs = np.concatenate([e, e, e + 1])
+        sides = np.concatenate(
+            [
+                np.zeros(n, dtype=np.int8),
+                np.ones(n, dtype=np.int8),
+                np.ones(n, dtype=np.int8),
+            ]
+        )
+        rep = batch.take(pa.array(idx))
+        return pa.table(
+            {
+                id_column: rep[id_column],
+                by: rep[by],
+                on: rep[on],
+                "_ts_us": pa.array(ts_us[idx], pa.int64()),
+                "_cents": pa.array(cents[idx], pa.int64()),
+                "_gkey": pa.array(
+                    bucket[idx] * np.int64(1 << 40) + epochs, pa.int64()
+                ),
+                "_side": pa.array(sides),
+            }
+        )
+
+    tagged = events.map_batches(_tag, batch_format="pyarrow")
+
+    out_cols = [id_column, by, on, "n_window", "sum_cents_window"]
+
+    def _win_group(df: pd.DataFrame) -> pd.DataFrame:
+        probe = df.loc[df["_side"] == 0]
+        if len(probe) == 0:
+            empty = probe[[id_column, by, on]].copy()
+            empty["n_window"] = pd.Series(dtype="int64")
+            empty["sum_cents_window"] = pd.Series(dtype="int64")
+            return empty[out_cols]
+        ctx = df.loc[df["_side"] == 1].sort_values([by, "_ts_us"], kind="stable")
+        u = ctx[by].to_numpy()
+        t = ctx["_ts_us"].to_numpy()
+        c = ctx["_cents"].to_numpy()
+        uu = np.unique(u)
+        rank = np.searchsorted(uu, u)
+        tmin = int(t.min())
+        span = int(t.max()) - tmin + 2
+        keys = rank * np.int64(span) + (t - tmin)
+        csum = np.concatenate([[0], np.cumsum(c)])
+
+        p_rank = np.searchsorted(uu, probe[by].to_numpy())
+        p_ts = probe["_ts_us"].to_numpy()
+        # lower bound clipped to -1: below every offset of this key's
+        # slice but above the previous key's largest combined key
+        lo_key = p_rank * np.int64(span) + np.maximum(p_ts - window_us - tmin, -1)
+        hi_key = p_rank * np.int64(span) + (p_ts - tmin)
+        lo = np.searchsorted(keys, lo_key, side="left")
+        hi = np.searchsorted(keys, hi_key, side="right")
+
+        out = probe[[id_column, by, on]].copy()
+        out["n_window"] = (hi - lo).astype(np.int64)
+        out["sum_cents_window"] = (csum[hi] - csum[lo]).astype(np.int64)
+        return out[out_cols]
+
+    return tagged.groupby("_gkey").map_groups(_win_group, batch_format="pandas")

@@ -1193,6 +1193,46 @@ r{t} AS (
         FROM r JOIN q USING (source)
         WHERE r.sample_rank <= q.quota
     """
+    # trailing RANGE-frame window per user: SQL window with RANGE
+    # PRECEDING is the exact semantics (peers of the current row
+    # included at both frame ends)
+    sql["rolling_window"] = """
+        SELECT event_id, user_id, ts,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                   AS sum_cents_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+    """
+    # per-host triangle counts: lexicographic enumeration (a<b<c via
+    # two ascending joins) finds each triangle once, as does the Ray
+    # side's degree-oriented enumeration — per-host contributions match
+    sql["host_triangles"] = _LINKS_CTE.format(path=path) + """
+        , hp AS (
+            SELECT DISTINCT
+                least(regexp_extract(src_url, 'https://([^/]+)', 1),
+                      regexp_extract(href, 'https://([^/]+)', 1)) AS a,
+                greatest(regexp_extract(src_url, 'https://([^/]+)', 1),
+                         regexp_extract(href, 'https://([^/]+)', 1)) AS b
+            FROM links
+            WHERE regexp_extract(src_url, 'https://([^/]+)', 1)
+                  <> regexp_extract(href, 'https://([^/]+)', 1)
+              AND regexp_extract(src_url, 'https://([^/]+)', 1) <> ''
+              AND regexp_extract(href, 'https://([^/]+)', 1) <> ''
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM hp e1
+            JOIN hp e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN hp e3 ON e3.a = e1.b AND e3.b = e2.b
+        )
+        SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (SELECT x AS host FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+        GROUP BY 1
+    """
     # SemDeDup: deterministic centroids (vec_id < 8), argmax-cosine
     # assignment (ties → min cid = numpy argmax first-max), drop any
     # vector with a smaller-id near-dup (cosine ≥ 0.4) in its cluster

@@ -1600,3 +1600,40 @@ def q_events_hopping(sf_dir: str):
         Sum("n_part", alias_name="n_events"),
         Sum("cents_part", alias_name="sum_value_cents"),
     )
+
+
+def q_rolling_window(sf_dir: str):
+    """Per-event trailing 30-minute window per user (count + cents
+    sum): the SQL RANGE-frame / streaming rate-limiter shape — one
+    output row per event, each with its own bounded lookback.  Epoch-
+    sharded so the single shuffle moves each event ≤3 times and every
+    (probe, context) pair meets exactly once."""
+    import ray.data as rd
+
+    from .functions.asof import rolling_window
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return rolling_window(
+        ev,
+        by="user_id",
+        on="ts",
+        id_column="event_id",
+        value_column="value",
+        window_us=1_800_000_000,
+    )
+
+
+def q_host_triangles(sf_dir: str):
+    """Per-host triangle counts over the undirected host link graph
+    (degree-oriented wedge generation + one candidate⋈edge hash join
+    — the MapReduce-standard √m-bounded algorithm); the local-closure
+    signal for link-farm detection."""
+    from .functions.graph import host_triangles
+
+    links = q_extract_links(sf_dir)
+    # host key space is tiny at test scale — cap join partitioning
+    # (same floor-guard note as q_host_rank)
+    return host_triangles(links, num_partitions=4)

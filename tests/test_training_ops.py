@@ -1397,3 +1397,143 @@ def test_host_rank_authority_ordering(ray_session):
         .set_index("host")["rank"]
     )
     assert out["hub"] > out["a"] > out["b"] == out["c"]
+
+
+class TestRollingWindow:
+    """Trailing RANGE-frame window (functions/asof.py:rolling_window):
+    inclusive bounds, epoch-boundary lookback, no double counting from
+    context replication, brute-force + bucket-count invariance."""
+
+    def test_bounds_and_epoch_boundary(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from crawl4ai_custom_ray.functions.asof import rolling_window
+
+        # window 30 min; probe at 11:00 (epoch boundary for W=30min
+        # epochs) must see 10:30 (inclusive lower bound, previous
+        # epoch), 10:45, 11:00 (itself) — not 10:29:59.
+        ev = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4, 5],
+                "ts": pd.to_datetime(
+                    [
+                        "2024-01-01 10:29:59",
+                        "2024-01-01 10:30:00",
+                        "2024-01-01 10:45:00",
+                        "2024-01-01 11:00:00",
+                        "2024-01-01 11:00:00",  # peer row, same ts
+                    ]
+                ).astype("datetime64[us]"),
+                "user_id": [7, 7, 7, 7, 7],
+                "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+            }
+        )
+        out = (
+            rolling_window(rd.from_pandas(ev), window_us=1_800_000_000)
+            .to_pandas()
+            .set_index("event_id")
+            .sort_index()
+        )
+        assert out.loc[4, "n_window"] == 4  # 2,3,4,5 — peers included
+        assert out.loc[4, "sum_cents_window"] == (2 + 4 + 8 + 16) * 100
+        assert out.loc[5, "n_window"] == 4
+        assert out.loc[1, "n_window"] == 1
+        assert out.loc[2, "n_window"] == 2  # 10:29:59 within 30 min
+
+    def test_brute_force_and_bucket_invariance(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from crawl4ai_custom_ray.functions.asof import rolling_window
+
+        rng = np.random.default_rng(20260818)
+        n = 400
+        w_us = 600_000_000  # 10 min
+        ev = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10_000, n), unit="s"),
+                "user_id": rng.integers(0, 12, n),
+                "value": np.round(rng.random(n) * 20, 2),
+            }
+        )
+        ev["ts"] = ev["ts"].astype("datetime64[us]")
+        cents = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+
+        expect_n, expect_s = {}, {}
+        for _, r in ev.iterrows():
+            m = (
+                (ev["user_id"] == r["user_id"])
+                & (ev["ts"] >= r["ts"] - pd.to_timedelta(w_us, unit="us"))
+                & (ev["ts"] <= r["ts"])
+            )
+            expect_n[r["event_id"]] = int(m.sum())
+            expect_s[r["event_id"]] = int(cents[m.to_numpy()].sum())
+
+        for nb in (1, 16):
+            out = rolling_window(
+                rd.from_pandas(ev), window_us=w_us, n_buckets=nb
+            ).to_pandas()
+            assert len(out) == n
+            got_n = dict(zip(out["event_id"], out["n_window"]))
+            got_s = dict(zip(out["event_id"], out["sum_cents_window"]))
+            assert got_n == expect_n
+            assert got_s == expect_s
+
+
+class TestHostTriangles:
+    """Degree-oriented triangle counting (functions/graph.py:
+    host_triangles): crafted K4 + pendant, bucket invariance."""
+
+    @staticmethod
+    def _links_ds(edges):
+        import pyarrow as pa
+        import ray.data as rd
+
+        rows = {"src_url": [], "href": []}
+        for a, b in edges:
+            rows["src_url"].append(f"https://{a}/page")
+            rows["href"].append(f"https://{b}/page")
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src_url": pa.array(rows["src_url"], pa.string()),
+                    "href": pa.array(rows["href"], pa.string()),
+                }
+            )
+        )
+
+    def test_k4_plus_pendant(self, ray_session):
+        hosts = ["a.com", "b.com", "c.com", "d.com"]
+        edges = [
+            (hosts[i], hosts[j])
+            for i in range(4)
+            for j in range(i + 1, 4)
+        ]
+        edges.append(("a.com", "e.com"))  # pendant — no triangle
+        # directed duplicates + self-loop must not change the count
+        edges.append(("b.com", "a.com"))
+        edges.append(("a.com", "a.com"))
+
+        from crawl4ai_custom_ray.functions.graph import host_triangles
+
+        for nb in (1, 8):
+            out = (
+                host_triangles(self._links_ds(edges), n_buckets=nb, num_partitions=2)
+                .to_pandas()
+                .set_index("host")["n_triangles"]
+                .to_dict()
+            )
+            # K4 has 4 triangles; every K4 vertex is in C(3,2)=3
+            assert out == {h: 3 for h in hosts}
+
+    def test_no_triangles_empty(self, ray_session):
+        from crawl4ai_custom_ray.functions.graph import host_triangles
+
+        out = host_triangles(
+            self._links_ds([("a.com", "b.com"), ("b.com", "c.com")]),
+            num_partitions=2,
+        ).to_pandas()
+        assert len(out) == 0
