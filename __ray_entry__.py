@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_topk": q.q_window_topk,
         "jaccard_prefix": q.q_jaccard_prefix,
         "semantic_dedup": q.q_semantic_dedup,
+        "kmeans_assign": q.q_kmeans_assign,
         # curation ops (PII / decontamination / repetition gate)
         "pii_scrub": q.q_pii_scrub,
         "decontaminate": q.q_decontaminate,

@@ -1233,6 +1233,49 @@ r{t} AS (
               UNION ALL SELECT z FROM tri)
         GROUP BY 1
     """
+    # distributed Lloyd k-means (functions/clustering.py): fixed-point
+    # integers (floor(v·10^6)), seed centroids = vec_id < 8, 2 update
+    # rounds then a final assignment; argmin ties → smallest cid;
+    # centroid update = floor(sum/count) (SQL floor(s::DOUBLE/n) is
+    # exact while |s| < 2^53 — sums here are ≤ N·6e5).  Chained CTEs
+    # replay the BSP rounds exactly, like the pagerank oracle.
+    km = """
+        WITH x AS (
+            SELECT vec_id, t.i AS d,
+                   CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT) AS v
+            FROM embeddings, range(0, 64) t(i)
+        ),
+        c0 AS (SELECT vec_id AS cid, d, v FROM x WHERE vec_id < 8)"""
+    for t in range(2):
+        km += f""",
+        a{t} AS (
+            SELECT vec_id, cid FROM (
+                SELECT x.vec_id, c.cid,
+                       SUM((x.v - c.v) * (x.v - c.v)) AS dist
+                FROM x JOIN c{t} c ON c.d = x.d
+                GROUP BY x.vec_id, c.cid
+            ) QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) = 1
+        ),
+        c{t + 1} AS (
+            SELECT a{t}.cid, x.d,
+                   CAST(floor(SUM(x.v)::DOUBLE / COUNT(*)) AS BIGINT) AS v
+            FROM x JOIN a{t} ON a{t}.vec_id = x.vec_id
+            GROUP BY a{t}.cid, x.d
+        )"""
+    km += """,
+        af AS (
+            SELECT vec_id, cid FROM (
+                SELECT x.vec_id, c.cid,
+                       SUM((x.v - c.v) * (x.v - c.v)) AS dist
+                FROM x JOIN c2 c ON c.d = x.d
+                GROUP BY x.vec_id, c.cid
+            ) QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) = 1
+        )
+        SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af"""
+    sql["kmeans_assign"] = km
     # SemDeDup: deterministic centroids (vec_id < 8), argmax-cosine
     # assignment (ties → min cid = numpy argmax first-max), drop any
     # vector with a smaller-id near-dup (cosine ≥ 0.4) in its cluster

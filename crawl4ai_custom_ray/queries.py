@@ -1637,3 +1637,19 @@ def q_host_triangles(sf_dir: str):
     # host key space is tiny at test scale — cap join partitioning
     # (same floor-guard note as q_host_rank)
     return host_triangles(links, num_partitions=4)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (k=8, 2 BSP
+    update rounds, integer fixed-point): broadcast centroids, one
+    integer matmul per block, k×d combiner rows per block through the
+    shuffle — bit-identical at any parallelism, replayed exactly by a
+    chained-CTE oracle."""
+    import ray.data as rd
+
+    from .functions.clustering import kmeans_lloyd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_lloyd(ds, k=8, iters=2)
