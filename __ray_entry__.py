@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q.q_events_window,
         "events_hopping": q.q_events_hopping,
         "sessionize": q.q_sessionize,
+        "funnel": q.q_funnel,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
         "rolling_window": q.q_rolling_window,

@@ -1233,6 +1233,35 @@ r{t} AS (
               UNION ALL SELECT z FROM tri)
         GROUP BY 1
     """
+    # conversion funnel: greedy ordered view→click→purchase per user
+    # (each stage strictly after the previous); -1 sentinels keep the
+    # output NULL-free for stable value hashes
+    sql["funnel"] = """
+        WITH f AS (
+            SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('view', 'click', 'purchase')
+        ),
+        v AS (SELECT user_id, MIN(ts) AS t1 FROM f
+              WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT f.user_id, MIN(f.ts) AS t2 FROM f
+              JOIN v USING (user_id)
+              WHERE f.event_type = 'click' AND f.ts > v.t1 GROUP BY 1),
+        p AS (SELECT f.user_id, MIN(f.ts) AS t3 FROM f
+              JOIN c USING (user_id)
+              WHERE f.event_type = 'purchase' AND f.ts > c.t2 GROUP BY 1),
+        u AS (SELECT DISTINCT user_id FROM f)
+        SELECT u.user_id,
+               CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                         WHEN t2 IS NOT NULL THEN 2
+                         WHEN t1 IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS funnel_stage,
+               COALESCE(CAST(epoch_us(t1) AS BIGINT), -1) AS t_view_us,
+               COALESCE(CAST(epoch_us(t2) AS BIGINT), -1) AS t_click_us,
+               COALESCE(CAST(epoch_us(t3) AS BIGINT), -1) AS t_purchase_us
+        FROM u LEFT JOIN v USING (user_id)
+               LEFT JOIN c USING (user_id)
+               LEFT JOIN p USING (user_id)
+    """
     # distributed Lloyd k-means (functions/clustering.py): fixed-point
     # integers (floor(v·10^6)), seed centroids = vec_id < 8, 2 update
     # rounds then a final assignment; argmin ties → smallest cid;

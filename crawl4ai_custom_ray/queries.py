@@ -1653,3 +1653,104 @@ def q_kmeans_assign(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return kmeans_lloyd(ds, k=8, iters=2)
+
+
+def q_funnel(sf_dir: str):
+    """Conversion-funnel analysis per user: greedy ordered-sequence
+    match view → click → purchase (each stage's timestamp is the
+    earliest STRICTLY after the previous stage's) — the
+    sequential-pattern shape none of the windowed aggregates express.
+
+    Scale shape: rows of other event types are dropped BEFORE the
+    shuffle; one groupby(user) whose aggregate packs (ts, kind) pairs
+    as bytes and replays the greedy scan vectorized at finalize —
+    same skew-lean packed-aggregate pattern as ``sessionize``.
+    Timestamps are emitted as int64 epoch-µs with -1 for unreached
+    stages (NULL-free so value hashes are stable)."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import AggregateFn
+
+    KINDS = {"view": 0, "click": 1, "purchase": 2}
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(
+            batch["event_type"], value_set=pa.array(list(KINDS), pa.string())
+        )
+        t = batch.filter(mask)
+        kind = pa.array(
+            [KINDS[k] for k in t["event_type"].to_pylist()], pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts_us": t["ts"].cast(pa.int64()),
+                "kind": kind,
+            }
+        )
+
+    slim = ds.map_batches(prefilter, batch_format="pyarrow")
+
+    def _pack(acc, block):
+        rec = np.empty(
+            block.num_rows, dtype=[("ts", "<i8"), ("kind", "<i8")]
+        )
+        rec["ts"] = block["ts_us"].to_numpy(zero_copy_only=False)
+        rec["kind"] = block["kind"].to_numpy(zero_copy_only=False)
+        acc.append(rec.tobytes())
+        return acc
+
+    def _finalize(acc):
+        rec = np.frombuffer(
+            b"".join(acc), dtype=[("ts", "<i8"), ("kind", "<i8")]
+        )
+        out = np.full(4, -1, dtype=np.int64)  # stage, t1, t2, t3
+        stage = 0
+        prev = np.int64(-(1 << 62))
+        for s in range(3):
+            m = (rec["kind"] == s) & (rec["ts"] > prev)
+            if not m.any():
+                break
+            prev = rec["ts"][m].min()
+            out[1 + s] = prev
+            stage = s + 1
+        out[0] = stage
+        return out.tobytes()
+
+    agg = AggregateFn(
+        init=lambda k: [],
+        accumulate_block=_pack,
+        merge=lambda a, b: a + b,
+        finalize=_finalize,
+        name="funnel",
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        users = batch["user_id"].to_pylist()
+        mats = np.stack(
+            [
+                np.frombuffer(blob, dtype=np.int64)
+                for blob in batch["funnel"].to_pylist()
+            ]
+        ) if users else np.empty((0, 4), dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "funnel_stage": pa.array(mats[:, 0], pa.int64()),
+                "t_view_us": pa.array(mats[:, 1], pa.int64()),
+                "t_click_us": pa.array(mats[:, 2], pa.int64()),
+                "t_purchase_us": pa.array(mats[:, 3], pa.int64()),
+            }
+        )
+
+    return (
+        slim.groupby("user_id")
+        .aggregate(agg)
+        .map_batches(explode, batch_format="pyarrow")
+    )

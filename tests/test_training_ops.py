@@ -1614,3 +1614,49 @@ class TestKmeansLloyd:
         # vec 2 sits inside blob A → must label 0 or 2 consistently;
         # the real assertion is determinism + no crash on a vanished
         # centroid, verified by the unique-label set
+
+
+class TestFunnel:
+    """Greedy ordered funnel (queries.q_funnel): partial stages,
+    out-of-order events don't count, strict-after semantics."""
+
+    def test_crafted_stages(self, ray_session, tmp_path, monkeypatch):
+        import pandas as pd
+        import ray.data as rd
+
+        from crawl4ai_custom_ray import queries as q
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        m = pd.Timedelta(minutes=1)
+        rows = []
+        # user 1: full funnel in order → stage 3
+        rows += [(1, t0, "view"), (1, t0 + m, "click"), (1, t0 + 2 * m, "purchase")]
+        # user 2: purchase BEFORE click → stage 2 (strictly-after rule)
+        rows += [(2, t0, "view"), (2, t0 + 2 * m, "click"), (2, t0 + m, "purchase")]
+        # user 3: click before any view → stage 1 (view alone)
+        rows += [(3, t0 + m, "view"), (3, t0, "click")]
+        # user 4: click only, no view → stage 0
+        rows += [(4, t0, "click")]
+        # user 5: click at SAME ts as view → not strictly after → stage 1
+        rows += [(5, t0, "view"), (5, t0, "click")]
+        # user 6: only 'error'/'signup' events → absent from output
+        rows += [(6, t0, "error"), (6, t0, "signup")]
+        ev = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+        ev["ts"] = ev["ts"].astype("datetime64[us]")
+        ev["event_id"] = range(len(ev))
+        ev["value"] = 1.0
+        path = str(tmp_path / "events.parquet")
+        ev.to_parquet(path, index=False)
+
+        out = (
+            q.q_funnel(str(tmp_path))
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        assert out["funnel_stage"].to_dict() == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+        assert out.loc[1, "t_purchase_us"] == int(
+            (t0 + 2 * m).value // 1000
+        )
+        assert out.loc[2, "t_purchase_us"] == -1
+        assert out.loc[4, "t_view_us"] == -1
