@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": q.q_length_quantiles,
         "dsir_select": q.q_dsir_select,
         "domain_filter": q.q_domain_filter,
+        "pmi_pairs": q.q_pmi_pairs,
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,

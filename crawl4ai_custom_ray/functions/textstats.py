@@ -489,3 +489,158 @@ def tfidf_topk(
         )
 
     return picked.map_batches(explode, batch_format="pyarrow")
+
+
+def pmi_pairs(
+    docs,
+    *,
+    text_column: str = "text",
+    window: int = 3,
+    min_count: int = 10,
+    top_k: int = 100,
+    num_partitions: int = 8,
+):
+    """Top-k co-occurring token pairs by PMI lift — the collocation /
+    phrase-mining signal (Church & Hanks 1990).  A pair is two tokens
+    of the same document at positions ``0 < j - i <= window``,
+    canonicalized to lexicographic order; its lift is
+
+        lift_ppm = floor(n_pair · T² · 10⁶ / (P · n_a · n_b))
+
+    (T = total tokens, P = total pairs) — the integer-exact monotone
+    transform of PMI (log of lift/10⁶), so ranking matches PMI and the
+    score is bit-identical at any parallelism.  Output: the ``top_k``
+    pairs with ``n_pair >= min_count`` ordered by
+    (lift desc, n_pair desc, tok_a, tok_b) — a total order, so the
+    cutoff is deterministic.
+
+    Scale shape: pair counting is fully combiner-first — each block
+    emits one row per DISTINCT pair it contains (vectorized numpy
+    shifts + np.unique, no Python loop over token pairs), so the
+    shuffle carries vocabulary²-bounded rows, never corpus positions.
+    Unigram attach is two hash joins of the pair table onto the
+    unigram table (skew spread by the hash partitioner); T and P are
+    single-row aggregates (bounded driver scalars).  Tokenization is
+    ``text.split(' ')`` — the same convention as vocab/tfidf and their
+    SQL oracles."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tok_a": pa.array([], pa.string()),
+                "tok_b": pa.array([], pa.string()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+        texts = batch[text_column].to_pylist()
+        toks_list = [t.split(" ") for t in texts if t]
+        if not toks_list:
+            return empty
+        all_toks = np.concatenate([np.asarray(t, dtype=object) for t in toks_list])
+        doc_idx = np.repeat(
+            np.arange(len(toks_list)), [len(t) for t in toks_list]
+        )
+        los, his = [], []
+        for off in range(1, window + 1):
+            if off >= len(all_toks):
+                break
+            a, b = all_toks[:-off], all_toks[off:]
+            same = doc_idx[:-off] == doc_idx[off:]
+            aa = np.asarray(a[same], dtype=str)
+            bb = np.asarray(b[same], dtype=str)
+            swap = aa > bb
+            los.append(np.where(swap, bb, aa))
+            his.append(np.where(swap, aa, bb))
+        if not los:
+            return empty
+        lo_all, hi_all = np.concatenate(los), np.concatenate(his)
+        # common fixed width so stack/unique(axis=0) views rows as void
+        # bytes — no separator char (numpy U-dtype strips trailing NULs,
+        # so a sentinel-join would corrupt on pathological tokens)
+        width = max(lo_all.dtype.itemsize, hi_all.dtype.itemsize) // 4
+        dt = f"<U{max(width, 1)}"
+        stacked = np.stack([lo_all.astype(dt), hi_all.astype(dt)], axis=1)
+        uniq, cnt = np.unique(stacked, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "tok_a": pa.array(uniq[:, 0].tolist(), pa.string()),
+                "tok_b": pa.array(uniq[:, 1].tolist(), pa.string()),
+                "n_part": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("n_part", alias_name="n_pair"))
+    )
+    pairs, _ = _coalesce_for_join(pairs)
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        toks = [w for t in texts if t for w in t.split(" ")]
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
+            )
+        uniq, cnt = np.unique(np.asarray(toks, dtype=str), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq.tolist(), pa.string()),
+                "n_part": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    uni = (
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    uni, _ = _coalesce_for_join(uni)
+
+    # bounded single-row aggregates → driver scalars
+    T = uni.aggregate(Sum("n"))["sum(n)"]
+    P = pairs.aggregate(Sum("n_pair"))["sum(n_pair)"]
+
+    nparts = _join_partitions(num_partitions)
+    j1 = hash_join_safe(
+        pairs, uni, on=("tok_a",), right_on=("token",), join_type="inner",
+        num_partitions=nparts,
+    ).rename_columns({"n": "n_a"})
+    j2 = hash_join_safe(
+        j1, uni, on=("tok_b",), right_on=("token",), join_type="inner",
+        num_partitions=nparts,
+    ).rename_columns({"n": "n_b"})
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = batch.filter(_pc.greater_equal(batch["n_pair"], min_count))
+        # Python bigints: n_pair·T²·10⁶ exceeds int64; the table here
+        # is the already-aggregated pair vocabulary, not the corpus
+        lifts = [
+            (np_ * T * T * 1_000_000) // (P * na * nb)
+            for np_, na, nb in zip(
+                t["n_pair"].to_pylist(),
+                t["n_a"].to_pylist(),
+                t["n_b"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "tok_a": t["tok_a"],
+                "tok_b": t["tok_b"],
+                "n_pair": t["n_pair"],
+                "lift_ppm": pa.array(lifts, pa.int64()),
+            }
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    return scored.sort(
+        ["lift_ppm", "n_pair", "tok_a", "tok_b"],
+        descending=[True, True, False, False],
+    ).limit(top_k)

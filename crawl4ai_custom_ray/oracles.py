@@ -1568,4 +1568,38 @@ r{t} AS (
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # PMI collocations (functions/textstats.py:pmi_pairs): pairs are
+    # same-doc tokens at distance 1..3, canonicalized lexicographically
+    # (UTF-8 byte order == codepoint order, matching numpy/Arrow);
+    # lift_ppm = floor(n_pair·T²·10⁶ / (P·n_a·n_b)) in HUGEINT so the
+    # intermediate (~1e19 at sf0.01) cannot overflow BIGINT.  The
+    # (lift, n_pair, tok_a, tok_b) order is total → deterministic top-100.
+    sql["pmi_pairs"] = """
+        WITH d AS (SELECT string_split(text, ' ') AS ws
+                   FROM documents WHERE text IS NOT NULL AND text <> ''),
+        d2 AS (SELECT row_number() OVER () AS doc,
+                      list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+        zz AS (SELECT doc, unnest(z) AS p FROM d2),
+        w AS (SELECT doc, p[1]::VARCHAR AS w, p[2]::BIGINT AS i FROM zz),
+        pr AS (
+            SELECT LEAST(a.w, b.w) AS tok_a, GREATEST(a.w, b.w) AS tok_b,
+                   COUNT(*) AS n_pair
+            FROM w a JOIN w b
+              ON b.doc = a.doc AND b.i > a.i AND b.i <= a.i + 3
+            GROUP BY 1, 2
+        ),
+        uni AS (SELECT w AS token, COUNT(*) AS n FROM w GROUP BY 1),
+        tot AS (SELECT (SELECT CAST(SUM(n) AS HUGEINT) FROM uni) AS t_toks,
+                       (SELECT CAST(SUM(n_pair) AS HUGEINT) FROM pr) AS p_pairs)
+        SELECT pr.tok_a, pr.tok_b, CAST(pr.n_pair AS BIGINT) AS n_pair,
+               CAST((CAST(pr.n_pair AS HUGEINT) * t_toks * t_toks * 1000000)
+                    // (p_pairs * ua.n * ub.n) AS BIGINT) AS lift_ppm
+        FROM pr
+        JOIN uni ua ON ua.token = pr.tok_a
+        JOIN uni ub ON ub.token = pr.tok_b
+        CROSS JOIN tot
+        WHERE pr.n_pair >= 10
+        ORDER BY lift_ppm DESC, n_pair DESC, tok_a, tok_b
+        LIMIT 100
+    """
     return sql

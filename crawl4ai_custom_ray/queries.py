@@ -1754,3 +1754,17 @@ def q_funnel(sf_dir: str):
         .aggregate(agg)
         .map_batches(explode, batch_format="pyarrow")
     )
+
+
+def q_pmi_pairs(sf_dir: str):
+    """Top-100 co-occurring token pairs by integer PMI lift (window 3,
+    min count 10) over the documents table — combiner-first pair
+    counting, two hash joins for unigram attach, total-ordered cutoff."""
+    from .functions.textstats import pmi_pairs
+
+    return pmi_pairs(
+        _documents(sf_dir, ["doc_id", "text"]),
+        window=3,
+        min_count=10,
+        top_k=100,
+    )

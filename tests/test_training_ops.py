@@ -1660,3 +1660,43 @@ class TestFunnel:
         )
         assert out.loc[2, "t_purchase_us"] == -1
         assert out.loc[4, "t_view_us"] == -1
+
+
+def test_pmi_pairs_hand_computed(ray_session):
+    """PMI collocations match a by-hand lift computation on a tiny
+    corpus — pair canonicalization, window semantics (1..window token
+    distance, same doc only), the integer lift formula, the total
+    (lift desc, n_pair desc, tok_a, tok_b) order — and the result is
+    parallelism-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.textstats import pmi_pairs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["a b a b", "c d"], pa.string()),
+        }
+    )
+    # window=2 pairs: doc1 off1 → (a,b)x3 [b,a canonicalizes], off2 →
+    # (a,a),(b,b); doc2 off1 → (c,d).  P=6, T=6; n_a=n_b=2 for a,b.
+    # lift(c,d)=floor(36e6/6)=6e6; lift(a,b)=floor(3·36e6/24)=4.5e6;
+    # lift(a,a)=lift(b,b)=floor(36e6/24)=1.5e6 (tie → tok order).
+    expected = [
+        ("c", "d", 1, 6_000_000),
+        ("a", "b", 3, 4_500_000),
+        ("a", "a", 1, 1_500_000),
+        ("b", "b", 1, 1_500_000),
+    ]
+    for parts in (1, 3):
+        out = pmi_pairs(
+            rd.from_arrow(docs).repartition(parts),
+            window=2,
+            min_count=1,
+            top_k=10,
+        ).to_pandas()
+        got = [
+            (r.tok_a, r.tok_b, r.n_pair, r.lift_ppm) for r in out.itertuples()
+        ]
+        assert got == expected, (parts, got)
