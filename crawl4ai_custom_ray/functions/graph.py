@@ -130,6 +130,128 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges,
+    nodes,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    node_column: str = "host",
+    iters: int = 3,
+    scale: int = 1_000_000,
+    num_partitions: int = 16,
+):
+    """Integer fixed-point HITS hubs & authorities (Kleinberg 1999) —
+    the link-topology complement to PageRank: authorities are pages
+    pointed to by good hubs, hubs point to good authorities.
+
+    Semantics (documented contract, mirrored by the DuckDB oracle);
+    every round updates authorities from the PREVIOUS hubs, then hubs
+    from the NEW authorities — the classic alternating sweep:
+
+        hub_0(v)    = scale                         (scale = 10^6)
+        araw_t(v)   = Σ_{(u,v)∈E} hub_{t-1}(u)
+        auth_t(v)   = araw_t(v) // max(Σ araw_t // scale, 1)
+        hraw_t(u)   = Σ_{(u,v)∈E} auth_t(v)
+        hub_t(u)    = hraw_t(u) // max(Σ hraw_t // scale, 1)
+
+    The normalizer replaces the usual L2 norm with an integer
+    sum-to-~scale rescale: it is associative-commutative exact, keeps
+    every value ≈ scale so raw sums stay within int64 at any graph
+    size (araw ≤ max_deg·scale ≈ 10^14 even at 10^8 hosts), and gives
+    the same ranking as normalized HITS because normalization is a
+    positive per-round scalar.  Floor division makes the result
+    bit-identical at any parallelism.
+
+    Scale shape: per half-round one hash join (scores onto edges), one
+    groupby-sum, one left join back onto nodes; the only driver-side
+    values are the two per-round normalizer scalars (single-row
+    aggregates).  Score tables are O(nodes), edges shuffle as
+    (key, int64) rows, nothing corpus-sized is collected.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _coalesce_for_join, _join_partitions
+
+    nparts = _join_partitions(num_partitions)
+    edges = edges.select_columns([src_column, dst_column]).materialize()
+    nodes = nodes.select_columns([node_column]).materialize()
+
+    def _init(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                node_column: batch[node_column],
+                "score": pa.array([scale] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    def _sweep(scores, join_on, emit):
+        """One half-round: propagate ``scores`` across edges joined on
+        ``join_on`` (src → collects into dst for authorities, dst →
+        collects into src for hubs), normalize, return O(nodes) table."""
+        prop = edges.join(
+            scores,
+            join_type="inner",
+            num_partitions=nparts,
+            on=(join_on,),
+            right_on=(node_column,),
+        )
+
+        def per_edge(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node_": batch[emit], "con": batch["score"]}
+            )
+
+        raw = (
+            prop.map_batches(per_edge, batch_format="pyarrow")
+            .groupby("node_")
+            .aggregate(Sum("con", alias_name="s"))
+            .materialize()
+        )
+        total = raw.aggregate(Sum("s"))["sum(s)"] or 0
+        norm = max(total // scale, 1)
+        raw, _ = _coalesce_for_join(raw)
+
+        joined = nodes.join(
+            raw,
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=(node_column,),
+            right_on=("node_",),
+        )
+
+        def update(batch: pa.Table) -> pa.Table:
+            s = pc.coalesce(batch["s"], pa.scalar(0, pa.int64()))
+            return pa.table(
+                {
+                    node_column: batch[node_column],
+                    "score": pc.cast(
+                        pc.divide(s, pa.scalar(norm, pa.int64())), pa.int64()
+                    ),
+                }
+            )
+
+        out = joined.map_batches(update, batch_format="pyarrow")
+        out, _ = _coalesce_for_join(out)
+        return out
+
+    hubs = nodes.map_batches(_init, batch_format="pyarrow")
+    hubs, _ = _coalesce_for_join(hubs)
+    auths = None
+    for _ in range(iters):
+        auths = _sweep(hubs, src_column, dst_column)
+        hubs = _sweep(auths, dst_column, src_column)
+
+    merged = hubs.rename_columns({"score": "hub"}).join(
+        auths.rename_columns({"score": "auth"}),
+        join_type="inner",
+        num_partitions=nparts,
+        on=(node_column,),
+        right_on=(node_column,),
+    )
+    return merged.select_columns([node_column, "hub", "auth"])
+
+
 # -------------------------------------------------- host-level link graph
 
 _HOST_RE = None  # compiled lazily so the module imports without re cost

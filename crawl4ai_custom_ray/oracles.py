@@ -1094,6 +1094,53 @@ r{t} AS (
 )"""
     sql["host_rank"] = hr + '\nSELECT host, r AS "rank" FROM r5'
 
+    # host-level HITS (functions/graph.py:hits): alternating integer
+    # sweeps over the same edges/nodes CTEs — auth from previous hubs,
+    # hub from the NEW auths; normalizer = GREATEST(total // 10^6, 1)
+    # (sum-to-~scale integer rescale; a positive per-round scalar, so
+    # the ranking matches L2-normalized HITS)
+    ht = _LINKS_CTE.format(path=path).rstrip() + """,
+e0 AS (
+    SELECT DISTINCT regexp_extract(src_url, 'https://([^/]+)', 1) AS src,
+           regexp_extract(href, 'https://([^/]+)', 1) AS dst
+    FROM links
+),
+edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT DISTINCT h AS host FROM (
+    SELECT src AS h FROM e0 UNION SELECT dst AS h FROM e0)),
+h0 AS (SELECT host, CAST(1000000 AS BIGINT) AS s FROM nodes)"""
+    for t in range(1, 4):
+        ht += f""",
+ar{t} AS (
+    SELECT n.host, COALESCE(SUM(h{t - 1}.s), 0) AS s
+    FROM nodes n
+    LEFT JOIN edges e ON e.dst = n.host
+    LEFT JOIN h{t - 1} ON h{t - 1}.host = e.src
+    GROUP BY n.host
+),
+a{t} AS (
+    SELECT host,
+           CAST(s // GREATEST((SELECT SUM(s) FROM ar{t}) // 1000000, 1)
+                AS BIGINT) AS s
+    FROM ar{t}
+),
+hr{t} AS (
+    SELECT n.host, COALESCE(SUM(a{t}.s), 0) AS s
+    FROM nodes n
+    LEFT JOIN edges e ON e.src = n.host
+    LEFT JOIN a{t} ON a{t}.host = e.dst
+    GROUP BY n.host
+),
+h{t} AS (
+    SELECT host,
+           CAST(s // GREATEST((SELECT SUM(s) FROM hr{t}) // 1000000, 1)
+                AS BIGINT) AS s
+    FROM hr{t}
+)"""
+    sql["host_hits"] = ht + """
+SELECT h3.host, h3.s AS hub, a3.s AS auth
+FROM h3 JOIN a3 ON a3.host = h3.host"""
+
     # knn_ivf probes every cluster in the driver query, and knn_lsh
     # probes the full Hamming ball, so both results are exactly the
     # brute-force top-k

@@ -117,15 +117,13 @@ def _amplified_captures(sf_dir: str):
     return pages.map_batches(amplify, batch_format="pyarrow")
 
 
-def q_host_rank(sf_dir: str):
-    """Host-level PageRank: the crawl-prioritization authority signal
-    — distinct host→host edges (self-loops dropped) through the same
-    integer fixed-point BSP pagerank as the page-level query."""
+def _host_edges_nodes(sf_dir: str):
+    """Distinct host→host edges (self-loops dropped) and the node set
+    (every host on either side of any raw edge) from the extracted
+    link table — shared by the host-level PageRank and HITS queries."""
     import re as _re
 
     from ray.data.aggregate import Count
-
-    from .functions.graph import pagerank
 
     host_re = _re.compile(r"https://([^/]+)")
     links = q_extract_links(sf_dir)
@@ -164,11 +162,31 @@ def q_host_rank(sf_dir: str):
         .select_columns(["host"])
     )
     edges = e0.filter(expr="src != dst")
+    return edges, nodes
+
+
+def q_host_rank(sf_dir: str):
+    """Host-level PageRank: the crawl-prioritization authority signal
+    — distinct host→host edges (self-loops dropped) through the same
+    integer fixed-point BSP pagerank as the page-level query."""
+    from .functions.graph import pagerank
+
+    edges, nodes = _host_edges_nodes(sf_dir)
     # host-count key space is tiny (~tens at test scale): cap the join
     # partitioning so no Acero partition sees zero rows (the
     # hash_join_safe caveat); at web scale hosts ~10^7-10^8 and the
     # default would be correct, so the cap is a floor-guard only
     return pagerank(edges, nodes, node_column="host", num_partitions=2)
+
+
+def q_host_hits(sf_dir: str):
+    """Host-level HITS hubs & authorities over the same distinct
+    host→host edge set as host_rank — integer fixed-point alternating
+    sweeps, so scores are bit-identical at any parallelism."""
+    from .functions.graph import hits
+
+    edges, nodes = _host_edges_nodes(sf_dir)
+    return hits(edges, nodes, node_column="host", num_partitions=2)
 
 
 def q_trap_detect(sf_dir: str):

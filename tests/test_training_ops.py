@@ -1700,3 +1700,39 @@ def test_pmi_pairs_hand_computed(ray_session):
             (r.tok_a, r.tok_b, r.n_pair, r.lift_ppm) for r in out.itertuples()
         ]
         assert got == expected, (parts, got)
+
+
+def test_hits_hand_computed(ray_session):
+    """One HITS sweep on a 3-node graph matches the documented integer
+    contract: auth from previous hubs with the sum-to-~scale floor
+    normalizer, hubs from the NEW auths; parallelism-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.graph import hits
+
+    edges = pa.table(
+        {
+            "src": pa.array(["a", "a", "b"], pa.string()),
+            "dst": pa.array(["b", "c", "c"], pa.string()),
+        }
+    )
+    nodes = pa.table({"host": pa.array(["a", "b", "c"], pa.string())})
+    # h0 = 1e6 each.  araw: a=0, b=1e6, c=2e6 → total 3e6, norm 3 →
+    # auth: a=0, b=333333, c=666666.  hraw: a=999999, b=666666, c=0 →
+    # total 1666665, norm 1 → hub unchanged.
+    expected = {
+        "a": (999999, 0),
+        "b": (666666, 333333),
+        "c": (0, 666666),
+    }
+    for parts in (1, 2):
+        out = hits(
+            rd.from_arrow(edges).repartition(parts),
+            rd.from_arrow(nodes),
+            node_column="host",
+            iters=1,
+            num_partitions=2,
+        ).to_pandas()
+        got = {r.host: (r.hub, r.auth) for r in out.itertuples()}
+        assert got == expected, (parts, got)
