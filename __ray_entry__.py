@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select": q.q_dsir_select,
         "domain_filter": q.q_domain_filter,
         "pmi_pairs": q.q_pmi_pairs,
+        "curate_pipeline": q.q_curate_pipeline,
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,

@@ -1615,6 +1615,56 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # end-to-end curation composition (queries.py:q_curate_pipeline):
+    # the four component oracles chained — CCNet normalization,
+    # md5-grouped min-id dedup, the Gopher/C4 rule set, then the
+    # pack_sequences exclusive-cumsum assignment over survivors only
+    sql["curate_pipeline"] = r"""
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       regexp_replace(
+                           nfc_normalize(strip_accents(lower(text))),
+                           '[0-9]', '0', 'g'),
+                       '[ \t\n\r\f]+', ' ', 'g')) AS norm_text
+            FROM documents
+        ),
+        win AS (SELECT MIN(doc_id) AS doc_id FROM n GROUP BY md5(norm_text)),
+        sv AS (
+            SELECT d.doc_id, d.source, d.text,
+                   string_split(d.text, ' ') AS ws
+            FROM documents d JOIN win USING (doc_id)
+        ),
+        s AS (
+            SELECT doc_id, source, text,
+                   len(ws) AS n_words,
+                   CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS BIGINT) AS sum_word_len,
+                   len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha_words,
+                   len(list_filter(ws, x -> list_contains(
+                       ['the','a','of','to','and','in','is','that','it','with'],
+                       x))) AS n_stop
+            FROM sv
+        ),
+        kept AS (
+            SELECT source, doc_id,
+                   CAST(n_words AS BIGINT) AS n_tokens
+            FROM s
+            WHERE n_words BETWEEN 30 AND 90
+              AND 10 * sum_word_len BETWEEN 40 * n_words AND 50 * n_words
+              AND 5 * n_alpha_words >= 4 * n_words
+              AND n_stop >= 3
+              AND NOT contains(text, 'lorem ipsum')
+              AND NOT contains(text, '{')
+        )
+        SELECT source, doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 1024 AS seq_index
+        FROM kept
+    """
     # PMI collocations (functions/textstats.py:pmi_pairs): pairs are
     # same-doc tokens at distance 1..3, canonicalized lexicographically
     # (UTF-8 byte order == codepoint order, matching numpy/Arrow);

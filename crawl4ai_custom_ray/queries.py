@@ -1786,3 +1786,52 @@ def q_pmi_pairs(sf_dir: str):
         min_count=10,
         top_k=100,
     )
+
+
+def q_curate_pipeline(sf_dir: str):
+    """End-to-end corpus curation as ONE lazy streaming graph — the
+    CCNet/FineWeb shape (Wenzek 2020, Penedo 2024) every web-scale
+    training-data run executes: normalize → exact dedup on the
+    normalized form → Gopher document-quality gate → pack survivors
+    into fixed-budget training sequences.
+
+    Composition of four already-oracled stages, wired so nothing
+    corpus-sized ever leaves the streaming plan: the dedup winner set
+    is (hash, id) rows only; survivor text is re-attached by ONE hash
+    semi-join on doc_id; the quality gate is a stateless vectorized
+    pass that filters in place (no second join); packing shuffles only
+    (source, id, n_tokens).  Output: (source, doc_id, n_tokens,
+    seq_index) for every kept document."""
+    import functools
+
+    from .functions.curation import ccnet_normalize, gopher_doc_filter_batch
+    from .functions.dedup import _join_partitions, exact_dedup, hash_join_safe
+    from .functions.textstats import pack_sequences
+
+    docs = _documents(sf_dir, ["doc_id", "source", "text"])
+    winners = exact_dedup(
+        ccnet_normalize(docs), text_column="norm_text"
+    ).select_columns(["doc_id"])
+    survivors = hash_join_safe(
+        docs,
+        winners,
+        on=("doc_id",),
+        right_on=("doc_id",),
+        join_type="inner",
+        num_partitions=_join_partitions(8),
+    )
+
+    gate = functools.partial(
+        gopher_doc_filter_batch,
+        min_words=30,
+        max_words=90,
+        mean_len_lo_x10=40,
+        mean_len_hi_x10=50,
+        min_stop=3,
+    )
+
+    def keep_passing(batch: pa.Table) -> pa.Table:
+        return batch.filter(gate(batch)["passed"])
+
+    kept = survivors.map_batches(keep_passing, batch_format="pyarrow")
+    return pack_sequences(kept, budget=1024)
