@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": q.q_pdf_extract,
         "events_window": q.q_events_window,
         "events_hopping": q.q_events_hopping,
+        "rate_anomaly": q.q_rate_anomaly,
         "sessionize": q.q_sessionize,
         "funnel": q.q_funnel,
         "asof_join": q.q_asof_join,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_filter": q.q_domain_filter,
         "pmi_pairs": q.q_pmi_pairs,
         "curate_pipeline": q.q_curate_pipeline,
+        "novelty_score": q.q_novelty_score,
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,

@@ -1243,3 +1243,91 @@ def mixture_sample(
         return batch.filter(pa.array(keep, pa.bool_()))
 
     return ranked.map_batches(trim, batch_format="pyarrow")
+
+
+def novelty_score(
+    docs,
+    *,
+    shingle_n: int = 3,
+    common_df: int = 2,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    num_partitions: int = 16,
+):
+    """Per-document n-gram novelty: how much of a document's content
+    is boilerplate shared with the rest of the corpus — the
+    originality signal RefinedWeb-style curation uses alongside dedup
+    (a doc can evade near-dup thresholds yet be mostly template).
+
+    For each document: ``n_shingles`` = distinct word ``shingle_n``-grams,
+    ``n_common`` = those whose corpus document frequency is
+    ≥ ``common_df``, and ``novel`` ⇔ 2·n_common ≤ n_shingles (more
+    than half the shingles are corpus-unique) — integer
+    cross-multiplied, no float ratio.
+
+    Scale shape: one (id, shingle)-distinct explode (same tokenization
+    as the Jaccard family via ``_token_rows_fn``), a combiner-backed
+    df groupby, ONE hash join of the df table back onto the explode
+    (shingle-keyed, skew spread by the hash partitioner), then a
+    per-doc count groupby — shuffles carry only (id, token) and
+    (token, df) rows, never document text."""
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _coalesce_for_join, _join_partitions, _token_rows_fn, hash_join_safe
+
+    pairs = docs.select_columns([id_column, text_column]).map_batches(
+        _token_rows_fn(id_column, text_column, shingle_n),
+        batch_format="pyarrow",
+    )
+
+    df = pairs.groupby("token").aggregate(Count(alias_name="df"))
+    df, _ = _coalesce_for_join(df)
+    pairs, _ = _coalesce_for_join(pairs)
+
+    joined = hash_join_safe(
+        pairs,
+        df,
+        on=("token",),
+        right_on=("token",),
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        common = _pc.cast(
+            _pc.greater_equal(batch["df"], pa.scalar(common_df, pa.int64())),
+            pa.int64(),
+        )
+        keyed = pa.table({"id": batch["id"], "one": common})
+        agg = pa.TableGroupBy(keyed, ["id"]).aggregate(
+            [("one", "count"), ("one", "sum")]
+        )
+        return agg.rename_columns(["id", "n_part", "c_part"])
+
+    per_doc = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("id")
+        .aggregate(
+            Sum("n_part", alias_name="n_shingles"),
+            Sum("c_part", alias_name="n_common"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                id_column: batch["id"],
+                "n_shingles": batch["n_shingles"],
+                "n_common": batch["n_common"],
+                "novel": _pc.less_equal(
+                    _pc.multiply(batch["n_common"], pa.scalar(2, pa.int64())),
+                    batch["n_shingles"],
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")

@@ -1615,6 +1615,49 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # per-doc n-gram novelty (functions/curation.py:novelty_score):
+    # same 3-gram shingle convention as the Jaccard family; common ⇔
+    # corpus df ≥ 2; novel ⇔ 2·n_common ≤ n_shingles
+    sql["novelty_score"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+        zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+        w AS (SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz),
+        sh AS (
+            SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+            FROM w a
+            JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        ),
+        df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s)
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_common,
+               2 * SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) <= COUNT(*)
+                   AS novel
+        FROM sh JOIN df ON df.s = sh.s
+        GROUP BY sh.doc_id
+    """
+    # hourly event-rate spike detection (queries.py:q_rate_anomaly):
+    # spike ⇔ 2·n·H > 3·C (count > 1.5× the type's mean over its
+    # active hours), integer cross-multiplied — no float mean
+    sql["rate_anomaly"] = """
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2
+        ),
+        t AS (
+            SELECT event_type, CAST(SUM(n_events) AS BIGINT) AS type_total,
+                   CAST(COUNT(*) AS BIGINT) AS type_hours
+            FROM h GROUP BY 1
+        )
+        SELECT h.event_type, h.window_start, h.n_events,
+               t.type_total, t.type_hours,
+               2 * h.n_events * t.type_hours > 3 * t.type_total AS spike
+        FROM h JOIN t USING (event_type)
+    """
     # end-to-end curation composition (queries.py:q_curate_pipeline):
     # the four component oracles chained — CCNet normalization,
     # md5-grouped min-id dedup, the Gopher/C4 rule set, then the

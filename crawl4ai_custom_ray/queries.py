@@ -1835,3 +1835,79 @@ def q_curate_pipeline(sf_dir: str):
 
     kept = survivors.map_batches(keep_passing, batch_format="pyarrow")
     return pack_sequences(kept, budget=1024)
+
+
+def q_rate_anomaly(sf_dir: str):
+    """Per-type hourly event-rate spike detection — the stream-health
+    monitor every crawl/ingest pipeline runs: an (event_type, hour)
+    bucket spikes when its count exceeds 1.5× the type's mean count
+    over its active hours, compared integer-exactly by
+    cross-multiplication (2·n·H > 3·C — no float mean).
+
+    Scale shape: per-block partial counts collapse each block to its
+    distinct (type, hour) keys before the shuffle; everything after
+    the first groupby is bounded by types × hours, so the per-type
+    totals and the attach join are small."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keyed = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": _pc.floor_temporal(batch["ts"], unit="hour"),
+            }
+        )
+        agg = pa.TableGroupBy(keyed, ["event_type", "window_start"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["event_type", "window_start", "n_part"])
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_part", alias_name="n_events"))
+    )
+    hourly, _ = _coalesce_for_join(hourly)
+
+    totals = hourly.groupby("event_type").aggregate(
+        Sum("n_events", alias_name="type_total"),
+        Count(alias_name="type_hours"),
+    )
+    totals, _ = _coalesce_for_join(totals)
+
+    joined = hash_join_safe(
+        hourly,
+        totals,
+        on=("event_type",),
+        right_on=("event_type",),
+        join_type="inner",
+        num_partitions=_join_partitions(2),
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        lhs = _pc.multiply(
+            _pc.multiply(batch["n_events"], pa.scalar(2, pa.int64())),
+            batch["type_hours"],
+        )
+        rhs = _pc.multiply(batch["type_total"], pa.scalar(3, pa.int64()))
+        return batch.append_column("spike", _pc.greater(lhs, rhs))
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
+def q_novelty_score(sf_dir: str):
+    """Per-document 3-gram novelty vs the corpus: distinct-shingle
+    count, shared-shingle count (df ≥ 2), and the integer
+    more-than-half-unique flag."""
+    from .functions.curation import novelty_score
+
+    return novelty_score(_documents(sf_dir, ["doc_id", "text"]))
