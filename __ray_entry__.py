@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": q.q_pagerank,
         "host_rank": q.q_host_rank,
         "host_hits": q.q_host_hits,
+        "host_distance": q.q_host_distance,
         "anchor_stats": q.q_anchor_stats,
         "page_metadata": q.q_page_metadata,
         "link_head_preview": q.q_link_head_preview,

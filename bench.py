@@ -259,6 +259,14 @@ def run_bench() -> dict:
 
     queries["tfidf_topk"] = _timed(tfidf)
 
+    # end-to-end curation composition (normalize → dedup → gate → pack)
+    from crawl4ai_custom_ray.queries import q_curate_pipeline
+
+    def curate():
+        q_curate_pipeline(SF_DIR).count()
+
+    queries["curate_pipeline"] = _timed(curate)
+
     # CCNet-style bigram-LM scoring (salted left joins, fixed point)
     from crawl4ai_custom_ray.functions.curation import lm_score
     import pyarrow as pa

@@ -252,6 +252,84 @@ def hits(
     return merged.select_columns([node_column, "hub", "auth"])
 
 
+def hop_distance(
+    edges,
+    seeds,
+    *,
+    src_column: str = "src",
+    dst_column: str = "dst",
+    node_column: str = "host",
+    max_hops: int = 3,
+    num_partitions: int = 16,
+):
+    """Multi-source BFS hop distance over the link graph — the crawl
+    radius question ("how many hops from the seed set is each host?")
+    that sizes a deep-crawl budget before running it.
+
+    BSP min-label propagation, ``max_hops`` fixed rounds: each round
+    joins the current distance table onto edges by source, emits
+    (dst, d+1), and folds it into the distance table with a
+    union + groupby-min — the min over a union is
+    associative-commutative exact, so the result is bit-identical at
+    any parallelism and mirrors a chained-CTE oracle round for round.
+    Returns (node, dist) for every host reached within ``max_hops``;
+    unreached hosts are absent (no sentinel rows).
+
+    Scale shape: shuffles carry only (host-key, int64) rows; each
+    round is one hash join + one groupby.  Rounds re-propagate the
+    whole settled set rather than a frontier delta — at ``max_hops``
+    this costs ≤ max_hops× the frontier-only traffic and keeps every
+    round identical (no driver-side frontier bookkeeping); a
+    frontier-delta variant is the optimization when max_hops is deep.
+    """
+    from ray.data.aggregate import Min
+
+    from .dedup import _coalesce_for_join, _join_partitions
+
+    nparts = _join_partitions(num_partitions)
+    edges = edges.select_columns([src_column, dst_column]).materialize()
+
+    def init0(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                node_column: batch[node_column],
+                "dist": pa.array([0] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    dist = seeds.select_columns([node_column]).map_batches(
+        init0, batch_format="pyarrow"
+    )
+    dist, _ = _coalesce_for_join(dist)
+
+    for _ in range(max_hops):
+        prop = edges.join(
+            dist,
+            join_type="inner",
+            num_partitions=nparts,
+            on=(src_column,),
+            right_on=(node_column,),
+        )
+
+        def step(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    node_column: batch[dst_column],
+                    "dist": pc.add(batch["dist"], pa.scalar(1, pa.int64())),
+                }
+            )
+
+        cand = prop.map_batches(step, batch_format="pyarrow")
+        dist = (
+            dist.union(cand)
+            .groupby(node_column)
+            .aggregate(Min("dist", alias_name="dist"))
+        )
+        dist, _ = _coalesce_for_join(dist)
+
+    return dist
+
+
 # -------------------------------------------------- host-level link graph
 
 _HOST_RE = None  # compiled lazily so the module imports without re cost

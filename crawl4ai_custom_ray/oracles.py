@@ -1615,6 +1615,35 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # BFS hop distance from seed hosts (functions/graph.py:hop_distance):
+    # fixed rounds of (join, +1, union, min) over the same edges/nodes
+    # CTEs as host_rank; unreached hosts absent
+    hd = _LINKS_CTE.format(path=path).rstrip() + """,
+e0 AS (
+    SELECT DISTINCT regexp_extract(src_url, 'https://([^/]+)', 1) AS src,
+           regexp_extract(href, 'https://([^/]+)', 1) AS dst
+    FROM links
+),
+edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT DISTINCT h AS host FROM (
+    SELECT src AS h FROM e0 UNION SELECT dst AS h FROM e0)),
+d0 AS (SELECT host, CAST(0 AS BIGINT) AS dist FROM nodes
+       WHERE host LIKE 'site0.%')"""
+    for t in range(1, 4):
+        hd += f""",
+c{t} AS (
+    SELECT e.dst AS host, MIN(d{t - 1}.dist) + 1 AS dist
+    FROM edges e JOIN d{t - 1} ON d{t - 1}.host = e.src
+    GROUP BY e.dst
+),
+d{t} AS (
+    SELECT host, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+        SELECT host, dist FROM d{t - 1}
+        UNION ALL SELECT host, dist FROM c{t}
+    ) GROUP BY host
+)"""
+    sql["host_distance"] = hd + "\nSELECT host, dist FROM d3"
+
     # per-doc n-gram novelty (functions/curation.py:novelty_score):
     # same 3-gram shingle convention as the Jaccard family; common ⇔
     # corpus df ≥ 2; novel ⇔ 2·n_common ≤ n_shingles

@@ -1911,3 +1911,21 @@ def q_novelty_score(sf_dir: str):
     from .functions.curation import novelty_score
 
     return novelty_score(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_host_distance(sf_dir: str):
+    """Crawl-radius report: BFS hop distance of every host from the
+    'site0.*' seed hosts over the distinct host→host link graph,
+    capped at 3 hops — BSP min-label rounds, bit-identical at any
+    parallelism."""
+    from .functions.graph import hop_distance
+
+    edges, nodes = _host_edges_nodes(sf_dir)
+
+    def is_seed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.starts_with(batch["host"], "site0."))
+
+    seeds = nodes.map_batches(is_seed, batch_format="pyarrow")
+    return hop_distance(edges, seeds, node_column="host", max_hops=3, num_partitions=2)
