@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_prefix": q.q_jaccard_prefix,
         "semantic_dedup": q.q_semantic_dedup,
         "kmeans_assign": q.q_kmeans_assign,
+        "kmeans_medoids": q.q_kmeans_medoids,
         # curation ops (PII / decontamination / repetition gate)
         "pii_scrub": q.q_pii_scrub,
         "decontaminate": q.q_decontaminate,

@@ -39,6 +39,16 @@ def _int_vectors(batch: pa.Table, vector_column: str, scale: int) -> np.ndarray:
     return mat.reshape(len(chunk), -1)
 
 
+def _assign(mat: np.ndarray, cents_m: np.ndarray) -> np.ndarray:
+    # ||x-c||² = ||x||² - 2x·c + ||c||²; int64 throughout (d·max²
+    # ≈ 64·(1.2e6)² ≈ 9e13 ≪ 2^63).  np.argmin takes the FIRST
+    # minimum → ties break to the smallest cid (cids ascending).
+    x2 = np.einsum("ij,ij->i", mat, mat)[:, None]
+    c2 = np.einsum("ij,ij->i", cents_m, cents_m)[None, :]
+    d2 = x2 - 2 * (mat @ cents_m.T) + c2
+    return np.argmin(d2, axis=1)
+
+
 def kmeans_lloyd(
     embeddings,
     *,
@@ -52,6 +62,44 @@ def kmeans_lloyd(
     smallest ids (their ids become the cluster labels).  Returns a
     Dataset ``(id_column, cluster)`` with the assignment after
     ``iters`` centroid updates."""
+    import ray
+
+    ds, cids, cents = _kmeans_fit(
+        embeddings,
+        k=k,
+        iters=iters,
+        scale=scale,
+        id_column=id_column,
+        vector_column=vector_column,
+    )
+    final_ref = ray.put((cids, cents))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c_ids, c_m = ray.get(final_ref)
+        mat = _int_vectors(batch, vector_column, scale)
+        lab = _assign(mat, c_m)
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "cluster": pa.array(c_ids[lab], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
+def _kmeans_fit(
+    embeddings,
+    *,
+    k: int,
+    iters: int,
+    scale: int,
+    id_column: str,
+    vector_column: str,
+):
+    """The Lloyd fit loop: returns (materialized input, centroid ids,
+    k×d centroid matrix after ``iters`` updates) — shared by the
+    assignment and medoid-selection operators."""
     import ray
     import ray.data  # noqa: F401  (Dataset ops on the input)
     from ray.data.aggregate import Sum
@@ -72,15 +120,6 @@ def kmeans_lloyd(
             for r in seed_rows
         ]
     )
-
-    def _assign(mat: np.ndarray, cents_m: np.ndarray) -> np.ndarray:
-        # ||x-c||² = ||x||² - 2x·c + ||c||²; int64 throughout (d·max²
-        # ≈ 64·(1.2e6)² ≈ 9e13 ≪ 2^63).  np.argmin takes the FIRST
-        # minimum → ties break to the smallest cid (cids ascending).
-        x2 = np.einsum("ij,ij->i", mat, mat)[:, None]
-        c2 = np.einsum("ij,ij->i", cents_m, cents_m)[None, :]
-        d2 = x2 - 2 * (mat @ cents_m.T) + c2
-        return np.argmin(d2, axis=1)
 
     for _ in range(iters):
         ref = ray.put((cids, cents))
@@ -130,17 +169,87 @@ def kmeans_lloyd(
         cids = np.array(new_cids, dtype=np.int64)
         cents = np.stack(new_rows)
 
-    final_ref = ray.put((cids, cents))
+    return ds, cids, cents
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        c_ids, c_m = ray.get(final_ref)
+
+def kmeans_medoids(
+    embeddings,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1_000_000,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    num_partitions: int = 2,
+):
+    """Per-cluster medoid selection after the Lloyd fit: for each
+    final cluster, the vector with the smallest squared distance to
+    its centroid (ties → smallest id) — the prototype/exemplar pick
+    used for cluster labeling, SemDeDup representative choice, and
+    coreset-style data selection.  Returns (cluster, medoid_id, d2).
+
+    Exact distributed argmin without per-cluster groups: each block's
+    combiner emits one candidate row per cluster it contains (min
+    (d2, id) lexicographically — a masked row can never be the global
+    min), then groupby-min over d2, a join back on (cluster, d2), and
+    a groupby-min over id break ties.  Shuffles carry O(k·blocks)
+    fixed-width rows."""
+    import ray
+    from ray.data.aggregate import Min
+
+    from .dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+
+    ds, cids, cents = _kmeans_fit(
+        embeddings,
+        k=k,
+        iters=iters,
+        scale=scale,
+        id_column=id_column,
+        vector_column=vector_column,
+    )
+    ref = ray.put((cids, cents))
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        c_ids, c_m = ray.get(ref)
         mat = _int_vectors(batch, vector_column, scale)
-        lab = _assign(mat, c_m)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        x2 = np.einsum("ij,ij->i", mat, mat)[:, None]
+        c2 = np.einsum("ij,ij->i", c_m, c_m)[None, :]
+        dall = x2 - 2 * (mat @ c_m.T) + c2
+        lab = np.argmin(dall, axis=1)
+        dmin = dall[np.arange(len(lab)), lab]
+        out_c, out_i, out_d = [], [], []
+        for j in np.unique(lab):
+            m = lab == j
+            best = dmin[m].min()
+            tie = m & (dmin == best)
+            out_c.append(int(c_ids[j]))
+            out_i.append(int(ids[tie].min()))
+            out_d.append(int(best))
         return pa.table(
             {
-                id_column: batch[id_column],
-                "cluster": pa.array(c_ids[lab], pa.int64()),
+                "cluster": pa.array(out_c, pa.int64()),
+                id_column: pa.array(out_i, pa.int64()),
+                "d2": pa.array(out_d, pa.int64()),
             }
         )
 
-    return ds.map_batches(finalize, batch_format="pyarrow")
+    cand = ds.map_batches(block_candidates, batch_format="pyarrow")
+    cand, _ = _coalesce_for_join(cand)
+
+    best_d = cand.groupby("cluster").aggregate(Min("d2", alias_name="d2"))
+    best_d, _ = _coalesce_for_join(best_d)
+
+    at_min = hash_join_safe(
+        cand,
+        best_d,
+        on=("cluster", "d2"),
+        right_on=("cluster", "d2"),
+        join_type="inner",
+        num_partitions=_join_partitions(num_partitions),
+    )
+    return (
+        at_min.groupby(["cluster", "d2"])
+        .aggregate(Min(id_column, alias_name="medoid_id"))
+        .select_columns(["cluster", "medoid_id", "d2"])
+    )

@@ -1352,6 +1352,50 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         )
         SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM af"""
     sql["kmeans_assign"] = km
+
+    # per-cluster medoid after the same fit: keep the assignment
+    # round's distance, then argmin (dist, vec_id) per cluster
+    kmed = """
+        WITH x AS (
+            SELECT vec_id, t.i AS d,
+                   CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT) AS v
+            FROM embeddings, range(0, 64) t(i)
+        ),
+        c0 AS (SELECT vec_id AS cid, d, v FROM x WHERE vec_id < 8)"""
+    for t in range(2):
+        kmed += f""",
+        a{t} AS (
+            SELECT vec_id, cid FROM (
+                SELECT x.vec_id, c.cid,
+                       SUM((x.v - c.v) * (x.v - c.v)) AS dist
+                FROM x JOIN c{t} c ON c.d = x.d
+                GROUP BY x.vec_id, c.cid
+            ) QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) = 1
+        ),
+        c{t + 1} AS (
+            SELECT a{t}.cid, x.d,
+                   CAST(floor(SUM(x.v)::DOUBLE / COUNT(*)) AS BIGINT) AS v
+            FROM x JOIN a{t} ON a{t}.vec_id = x.vec_id
+            GROUP BY a{t}.cid, x.d
+        )"""
+    kmed += """,
+        afd AS (
+            SELECT vec_id, cid, dist FROM (
+                SELECT x.vec_id, c.cid,
+                       SUM((x.v - c.v) * (x.v - c.v)) AS dist
+                FROM x JOIN c2 c ON c.d = x.d
+                GROUP BY x.vec_id, c.cid
+            ) QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY dist, cid) = 1
+        )
+        SELECT CAST(cid AS BIGINT) AS cluster,
+               vec_id AS medoid_id,
+               CAST(dist AS BIGINT) AS d2
+        FROM afd QUALIFY row_number() OVER (
+            PARTITION BY cid ORDER BY dist, vec_id) = 1"""
+    sql["kmeans_medoids"] = kmed
     # SemDeDup: deterministic centroids (vec_id < 8), argmax-cosine
     # assignment (ties → min cid = numpy argmax first-max), drop any
     # vector with a smaller-id near-dup (cosine ≥ 0.4) in its cluster

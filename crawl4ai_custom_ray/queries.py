@@ -1929,3 +1929,17 @@ def q_host_distance(sf_dir: str):
 
     seeds = nodes.map_batches(is_seed, batch_format="pyarrow")
     return hop_distance(edges, seeds, node_column="host", max_hops=3, num_partitions=2)
+
+
+def q_kmeans_medoids(sf_dir: str):
+    """Per-cluster medoid (closest vector to the final centroid, ties
+    → smallest vec_id) after the same integer Lloyd fit as
+    kmeans_assign — the exemplar-selection decision."""
+    import ray.data as rd
+
+    from .functions.clustering import kmeans_medoids
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return kmeans_medoids(emb, k=8, iters=2)
