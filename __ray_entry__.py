@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_pairs": q.q_pmi_pairs,
         "curate_pipeline": q.q_curate_pipeline,
         "novelty_score": q.q_novelty_score,
+        "rank_blend": q.q_rank_blend,
         # structured extraction
         "structured_extract": q.q_structured_extract,
         "semantic_cluster": q.q_semantic_cluster,

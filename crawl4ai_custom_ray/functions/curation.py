@@ -1331,3 +1331,87 @@ def novelty_score(
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def rank_blend(
+    docs,
+    *,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+):
+    """Rank-based multi-signal quality ensemble (the FineWeb-Edu-style
+    blend: combine heterogeneous quality signals on a common scale by
+    replacing each value with its corpus rank).  Signals here are the
+    two cheap integer gates — word count and stop-word count — each
+    mapped to ``rank = #docs with a strictly smaller value`` (ties
+    share a rank, SQL ``RANK() - 1``), then summed into ``blend``.
+
+    Scale shape: ranking never sorts the corpus.  Each signal is an
+    INTEGER with a bounded value domain (word counts, rule counts —
+    the repo's integer-signal convention), so its distribution is an
+    exact histogram: per-block distinct-value combiner → groupby-sum
+    → a value-domain-sized table collected and cumsum'd on the driver
+    (bounded by the domain, never the corpus) → broadcast via
+    ``ray.put`` into one stateless rank-attach pass.  Total shuffle =
+    two bounded histograms."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    stop = set(STOPWORDS)
+
+    def signals(batch: pa.Table) -> pa.Table:
+        nw, ns = [], []
+        for t in batch[text_column].to_pylist():
+            words = (t or "").split(" ")
+            nw.append(len(words))
+            ns.append(sum(1 for w in words if w in stop))
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "n_words": pa.array(nw, pa.int64()),
+                "n_stop": pa.array(ns, pa.int64()),
+            }
+        )
+
+    sig = docs.select_columns([id_column, text_column]).map_batches(
+        signals, batch_format="pyarrow"
+    ).materialize()
+
+    def _cum_smaller(col: str) -> dict:
+        def partial(batch: pa.Table) -> pa.Table:
+            agg = pa.TableGroupBy(batch.select([col]), [col]).aggregate(
+                [([], "count_all")]
+            )
+            return agg.rename_columns([col, "n_part"])
+
+        hist = (
+            sig.map_batches(partial, batch_format="pyarrow")
+            .groupby(col)
+            .aggregate(Sum("n_part", alias_name="n"))
+            .take_all()  # bounded by the signal's value domain
+        )
+        hist.sort(key=lambda r: r[col])
+        cum, acc = {}, 0
+        for r in hist:
+            cum[r[col]] = acc
+            acc += r["n"]
+        return cum
+
+    ref = ray.put((_cum_smaller("n_words"), _cum_smaller("n_stop")))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        cw, cs = ray.get(ref)
+        rw = [cw[v] for v in batch["n_words"].to_pylist()]
+        rs = [cs[v] for v in batch["n_stop"].to_pylist()]
+        return pa.table(
+            {
+                id_column: batch[id_column],
+                "n_words": batch["n_words"],
+                "n_stop": batch["n_stop"],
+                "rank_len": pa.array(rw, pa.int64()),
+                "rank_stop": pa.array(rs, pa.int64()),
+                "blend": pa.array([a + b for a, b in zip(rw, rs)], pa.int64()),
+            }
+        )
+
+    return sig.map_batches(attach, batch_format="pyarrow")

@@ -1659,6 +1659,25 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # rank-based quality blend (functions/curation.py:rank_blend):
+    # rank = #docs with strictly smaller value = RANK() - 1
+    sql["rank_blend"] = """
+        WITH s AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       x -> list_contains(
+                           ['the','a','of','to','and','in','is','that','it','with'],
+                           x))) AS BIGINT) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_words, n_stop,
+               CAST(RANK() OVER (ORDER BY n_words) - 1 AS BIGINT) AS rank_len,
+               CAST(RANK() OVER (ORDER BY n_stop) - 1 AS BIGINT) AS rank_stop,
+               CAST((RANK() OVER (ORDER BY n_words) - 1)
+                    + (RANK() OVER (ORDER BY n_stop) - 1) AS BIGINT) AS blend
+        FROM s
+    """
     # BFS hop distance from seed hosts (functions/graph.py:hop_distance):
     # fixed rounds of (join, +1, union, min) over the same edges/nodes
     # CTEs as host_rank; unreached hosts absent

@@ -1943,3 +1943,12 @@ def q_kmeans_medoids(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return kmeans_medoids(emb, k=8, iters=2)
+
+
+def q_rank_blend(sf_dir: str):
+    """Rank-based two-signal quality blend over documents: per-doc
+    word-count and stop-word-count ranks (count-of-smaller, exact via
+    bounded histograms — no corpus sort) and their sum."""
+    from .functions.curation import rank_blend
+
+    return rank_blend(_documents(sf_dir, ["doc_id", "text"]))
