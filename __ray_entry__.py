@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q.q_events_window,
         "events_hopping": q.q_events_hopping,
         "rate_anomaly": q.q_rate_anomaly,
+        "props_stats": q.q_props_stats,
         "sessionize": q.q_sessionize,
         "funnel": q.q_funnel,
         "asof_join": q.q_asof_join,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_fixed": q.q_chunk_fixed,
         # mergeable sketches
         "hll_distinct": q.q_hll_distinct,
+        "hll_by_type": q.q_hll_by_type,
         "cms_counts": q.q_cms_counts,
         # windowed top-k + exact prefix-filtered similarity join
         "window_topk": q.q_window_topk,

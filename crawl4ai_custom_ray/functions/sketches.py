@@ -177,3 +177,97 @@ def cms_estimate(
         return batch.append_column("est_count", pa.array(ests, pa.int64()))
 
     return probes.map_batches(lookup, batch_format="pyarrow")
+
+
+def hll_distinct_by(ds, *, key_column: str, column: str, m: int = HLL_M):
+    """Per-key HyperLogLog distinct count — the GROUPED form of
+    ``hll_distinct`` ("distinct users per event type", "distinct URLs
+    per host") as a pure distributed aggregate: works unchanged at
+    millions of keys because no per-key group is ever materialized.
+
+    Per-block combiner dedups (key, value) and emits per-(key, bucket)
+    max ranks; one groupby-max merges registers.  The per-key harmonic
+    sum Σ 2^(64-rank) exceeds int64, so each term is split into 32-bit
+    halves summed separately as int64 (hi ≤ m·2^31, lo ≤ m·2^32 — both
+    safe) and recombined exactly in Python bigints in the final
+    stateless pass.  Same integer raw estimator and hash convention as
+    ``hll_distinct``; returns (key, m, n_zero, estimate)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    if m & (m - 1):
+        raise ValueError("m must be a power of two")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs: dict[tuple, int] = {}
+        for k, v in zip(
+            batch[key_column].to_pylist(), batch[column].to_pylist()
+        ):
+            if v is None:
+                continue
+            h = _md5_u64(str(v))
+            kk = (k, h % m)
+            r = _hll_rank(h)
+            if r > regs.get(kk, 0):
+                regs[kk] = r
+        keys = list(regs.keys())
+        return pa.table(
+            {
+                key_column: pa.array(
+                    [k for k, _ in keys], batch[key_column].type
+                ),
+                "bucket": pa.array([b for _, b in keys], pa.int64()),
+                "rank": pa.array(list(regs.values()), pa.int64()),
+            }
+        )
+
+    regs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_column, "bucket"])
+        .aggregate(Max("rank", alias_name="rank"))
+    )
+
+    def halves(batch: pa.Table) -> pa.Table:
+        his, los = [], []
+        for r in batch["rank"].to_pylist():
+            t = 1 << (64 - r)
+            his.append(t >> 32)
+            los.append(t & 0xFFFFFFFF)
+        return pa.table(
+            {
+                key_column: batch[key_column],
+                "t_hi": pa.array(his, pa.int64()),
+                "t_lo": pa.array(los, pa.int64()),
+            }
+        )
+
+    sums = (
+        regs.map_batches(halves, batch_format="pyarrow")
+        .groupby(key_column)
+        .aggregate(
+            Sum("t_hi", alias_name="s_hi"),
+            Sum("t_lo", alias_name="s_lo"),
+            Count(alias_name="n_nonzero"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ests, zeros = [], []
+        for hi, lo, nnz in zip(
+            batch["s_hi"].to_pylist(),
+            batch["s_lo"].to_pylist(),
+            batch["n_nonzero"].to_pylist(),
+        ):
+            n_zero = m - nnz
+            s = (hi << 32) + lo + (n_zero << 64)
+            ests.append((7213 * m**3 * (1 << 64)) // (10 * (1000 * m + 1079) * s))
+            zeros.append(n_zero)
+        return pa.table(
+            {
+                key_column: batch[key_column],
+                "m": pa.array([m] * batch.num_rows, pa.int64()),
+                "n_zero": pa.array(zeros, pa.int64()),
+                "estimate": pa.array(ests, pa.int64()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")

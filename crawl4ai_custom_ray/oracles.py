@@ -1659,6 +1659,51 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # grouped HLL distinct users per event type (hll_distinct_by):
+    # same hash/rank/estimator as hll_distinct, GROUP BY added
+    sql["hll_by_type"] = """
+        WITH p AS (SELECT DISTINCT event_type, user_id FROM events),
+        h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT AS h
+            FROM p
+        ),
+        r AS (
+            SELECT event_type, CAST(h % 256 AS BIGINT) AS bucket,
+                   CAST(CASE WHEN h >> 8 = 0 THEN 57
+                        ELSE 57 - length(bin(h >> 8)) END AS BIGINT) AS rnk
+            FROM h
+        ),
+        regs AS (
+            SELECT event_type, bucket, MAX(rnk) AS rnk FROM r GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type, COUNT(*) AS n_nonzero,
+                   SUM(CAST(1 AS HUGEINT) << (64 - rnk)) AS s_nz
+            FROM regs GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(256 AS BIGINT) AS m,
+               CAST(256 - n_nonzero AS BIGINT) AS n_zero,
+               CAST((CAST(7213 AS HUGEINT) * 256 * 256 * 256 * (CAST(1 AS HUGEINT) << 64))
+                    // (10 * (1000 * 256 + 1079)
+                        * (s_nz + (256 - n_nonzero) * (CAST(1 AS HUGEINT) << 64)))
+                    AS BIGINT) AS estimate
+        FROM s
+    """
+    # JSON props schema-on-read aggregate (queries.py:q_props_stats)
+    sql["props_stats"] = """
+        WITH p AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+        FROM p GROUP BY event_type
+    """
     # rank-based quality blend (functions/curation.py:rank_blend):
     # rank = #docs with strictly smaller value = RANK() - 1
     sql["rank_blend"] = """

@@ -1952,3 +1952,90 @@ def q_rank_blend(sf_dir: str):
     from .functions.curation import rank_blend
 
     return rank_blend(_documents(sf_dir, ["doc_id", "text"]))
+
+
+def q_props_stats(sf_dir: str):
+    """Semi-structured column handling: parse the events table's JSON
+    ``props`` payload (schema-on-read — the shape every event/crawl
+    log pipeline hits) and aggregate the extracted integer field per
+    event type: count, sum, and exact distinct-value count.
+
+    Scale shape: the parse is a stateless per-block pass; count/sum
+    ride a per-block distinct-key combiner, and the distinct count
+    shuffles only DISTINCT (type, k) pairs (bounded by the value
+    domain), then reduces per type — raw events never shuffle."""
+    import json as _json
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        ks = [
+            int(_json.loads(p)["k"]) for p in batch["props"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k": pa.array(ks, pa.int64()),
+            }
+        )
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(batch, ["event_type"]).aggregate(
+            [([], "count_all"), ("k", "sum")]
+        )
+        return agg.rename_columns(["event_type", "n_part", "s_part"])
+
+    stats = (
+        parsed.map_batches(stat_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_part", alias_name="n_events"),
+            Sum("s_part", alias_name="sum_k"),
+        )
+    )
+    stats, _ = _coalesce_for_join(stats)
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(batch, ["event_type", "k"]).aggregate([([], "count_all")])
+        return agg.select(["event_type", "k"])
+
+    distinct = (
+        parsed.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["event_type", "k"])
+        .aggregate(Count(alias_name="dup"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_distinct_k"))
+    )
+    distinct, _ = _coalesce_for_join(distinct)
+
+    return hash_join_safe(
+        stats,
+        distinct,
+        on=("event_type",),
+        right_on=("event_type",),
+        join_type="inner",
+        num_partitions=_join_partitions(2),
+    )
+
+
+def q_hll_by_type(sf_dir: str):
+    """Distinct users per event type via the grouped HyperLogLog
+    aggregate — register merges and the integer raw estimator, no
+    per-key group materialization."""
+    import ray.data as rd
+
+    from .functions.sketches import hll_distinct_by
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return hll_distinct_by(ds, key_column="event_type", column="user_id")
