@@ -76,12 +76,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q.q_dedup_embedding,
         "knn_ivf": q.q_knn_ivf,
         "knn_lsh": q.q_knn_lsh,
+        "knn_rrf": q.q_knn_rrf,
         "media_features": q.q_media_features,
         "pdf_extract": q.q_pdf_extract,
         "events_window": q.q_events_window,
         "events_hopping": q.q_events_hopping,
         "rate_anomaly": q.q_rate_anomaly,
         "props_stats": q.q_props_stats,
+        "group_clip": q.q_group_clip,
         "sessionize": q.q_sessionize,
         "funnel": q.q_funnel,
         "asof_join": q.q_asof_join,

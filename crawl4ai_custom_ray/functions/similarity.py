@@ -55,18 +55,27 @@ def knn_brute_force(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     exclude_self: bool = True,
+    metric: str = "cosine",
 ):
-    """Exact cosine top-k neighbors for each query vector.
+    """Exact top-k neighbors for each query vector under ``metric``
+    ("cosine" or "dot" — dot skips the normalization, ranking by raw
+    inner product).
 
     Per-batch: matmul (queries × batch) → per-batch top-k partials →
     final tiny top-k merge on the driver (k × n_queries rows).
     Returns a pyarrow Table (query_id, neighbor_id, sim)."""
-    qm = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric {metric!r}")
+    qm = np.asarray(query_vectors, dtype=np.float64)
+    if metric == "cosine":
+        qm = _normalize(qm)
     q_ref = ray.put(qm)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         q = ray.get(q_ref)
-        m = _normalize(_matrix(batch, vector_column))
+        m = _matrix(batch, vector_column)
+        if metric == "cosine":
+            m = _normalize(m)
         ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
         sims = q @ m.T  # (n_queries, n_batch)
         out_q, out_n, out_s = [], [], []
@@ -620,3 +629,107 @@ def semantic_dedup(
         num_partitions=num_partitions,
     )
     return joined.map_batches(mark, batch_format="pyarrow")
+
+def knn_rrf(
+    ds,
+    query_vectors: np.ndarray,
+    query_ids: list[int],
+    *,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    scale: int = 1_000_000,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+):
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two exact
+    retrieval rankings — inner product and (negative) squared L2 —
+    the standard hybrid-search merge when rankings disagree on scale
+    but agree on relevance (the two genuinely diverge whenever vector
+    norms vary).  Per query each neighbor scores
+    Σ 10⁹ // (rrf_k + rank) over the lists it appears in (top
+    ``k_each`` each; absent ⇒ no contribution).
+
+    Both metrics are computed over FIXED-POINT ``floor(v·10⁶)``
+    integer vectors (the k-means convention): integer dot products
+    and distances are bit-identical across engines, so ranks — and
+    therefore the fused scores and the (score desc, id) cutoff — are
+    exactly reproducible by the SQL oracle (float cosine ranking is
+    ulp-fragile across engines precisely at the near-ties RRF exists
+    to arbitrate).
+
+    Scale shape: ONE streaming pass; each block emits the union of
+    its per-query top-``k_each`` candidates under either metric (a
+    global top-k row is a block top-k row for that metric, so the
+    union is lossless); the driver merge and fusion touch only
+    O(queries · k_each · blocks) fixed-width rows."""
+    import pandas as pd
+
+    qm = np.floor(np.asarray(query_vectors, dtype=np.float64) * scale).astype(
+        np.int64
+    )
+    q_ref = ray.put(qm)
+    qid_arr = np.asarray(query_ids, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = np.floor(_matrix(batch, vector_column) * scale).astype(np.int64)
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        dot = q @ m.T  # (n_queries, n_batch); |v|≤1.2e6 → d·v² ≪ 2^63
+        x2 = np.einsum("ij,ij->i", m, m)[None, :]
+        q2 = np.einsum("ij,ij->i", q, q)[:, None]
+        l2 = x2 - 2 * dot + q2
+        out_q, out_n, out_d, out_l = [], [], [], []
+        kk = min(k_each + 1, dot.shape[1])  # +1 absorbs a self row
+        for qi in range(dot.shape[0]):
+            cand = set()
+            for row, asc in ((dot[qi], False), (l2[qi], True)):
+                key = row if asc else -row
+                idx = (
+                    np.argpartition(key, kk - 1)[:kk]
+                    if kk < len(key)
+                    else np.arange(len(key))
+                )
+                cand.update(int(j) for j in idx)
+            for j in sorted(cand):
+                out_q.append(qi)
+                out_n.append(int(ids[j]))
+                out_d.append(int(dot[qi, j]))
+                out_l.append(int(l2[qi, j]))
+        return pa.table(
+            {
+                "qi": pa.array(out_q, pa.int32()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "dot": pa.array(out_d, pa.int64()),
+                "l2": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([id_column, vector_column]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+
+    rows = []
+    for qi, qid in enumerate(qid_arr):
+        sub = partials[
+            (partials["qi"] == qi) & (partials["neighbor_id"] != qid)
+        ]
+        top_d = sub.sort_values(
+            ["dot", "neighbor_id"], ascending=[False, True]
+        ).head(k_each)
+        top_l = sub.sort_values(
+            ["l2", "neighbor_id"], ascending=[True, True]
+        ).head(k_each)
+        score: dict[int, int] = {}
+        for lst in (top_d, top_l):
+            for r, nid in enumerate(lst["neighbor_id"].tolist(), start=1):
+                score[nid] = score.get(nid, 0) + 10**9 // (rrf_k + r)
+        fused = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        rows.extend((int(qid), nid, s) for nid, s in fused)
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rrf_score": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )

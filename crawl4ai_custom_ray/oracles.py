@@ -1659,6 +1659,68 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # reciprocal-rank fusion of integer dot-product + squared-L2
+    # rankings over fixed-point floor(v·10^6) vectors
+    # (functions/similarity.py:knn_rrf); integer 10^9//(60+rank)
+    # contributions over the two top-20 lists, fused top-10 — all
+    # integer, so ranks and the cutoff replay exactly
+    sql["knn_rrf"] = """
+        WITH x AS (
+            SELECT vec_id, t.i AS d,
+                   CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT) AS v
+            FROM embeddings, range(0, 64) t(i)
+        ),
+        qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5),
+        sims AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   SUM(q.v * e.v) AS dot,
+                   SUM((q.v - e.v) * (q.v - e.v)) AS l2
+            FROM x q JOIN x e ON e.d = q.d
+            WHERE q.vec_id IN (SELECT vec_id FROM qids)
+              AND e.vec_id != q.vec_id
+            GROUP BY 1, 2
+        ),
+        rc AS (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY dot DESC, neighbor_id
+            ) AS r FROM sims QUALIFY r <= 20
+        ),
+        rd_ AS (
+            SELECT query_id, neighbor_id, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY l2 ASC, neighbor_id
+            ) AS r FROM sims QUALIFY r <= 20
+        ),
+        fused AS (
+            SELECT COALESCE(rc.query_id, rd_.query_id) AS query_id,
+                   COALESCE(rc.neighbor_id, rd_.neighbor_id) AS neighbor_id,
+                   COALESCE(1000000000 // (60 + rc.r), 0)
+                       + COALESCE(1000000000 // (60 + rd_.r), 0) AS rrf_score
+            FROM rc FULL OUTER JOIN rd_
+                USING (query_id, neighbor_id)
+        )
+        SELECT query_id, neighbor_id, CAST(rrf_score AS BIGINT) AS rrf_score
+        FROM fused
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id
+        ) <= 10
+    """
+    # per-type p99 winsorization (queries.py:q_group_clip);
+    # quantile_disc matches the histogram cumulative-walk index rule
+    sql["group_clip"] = """
+        WITH e AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        ),
+        c AS (
+            SELECT event_type, quantile_disc(cents, 0.99) AS cut
+            FROM e GROUP BY 1
+        )
+        SELECT e.event_id, e.event_type, e.cents,
+               LEAST(e.cents, c.cut) AS cents_clipped
+        FROM e JOIN c USING (event_type)
+    """
     # grouped HLL distinct users per event type (hll_distinct_by):
     # same hash/rank/estimator as hll_distinct, GROUP BY added
     sql["hll_by_type"] = """

@@ -2039,3 +2039,116 @@ def q_hll_by_type(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return hll_distinct_by(ds, key_column="event_type", column="user_id")
+
+
+def q_group_clip(sf_dir: str):
+    """Per-group winsorization: clip each event's integer-cents value
+    at its event type's exact p99 — outlier taming before value
+    aggregation, with the cutoff computed the scale-safe way.
+
+    The per-type p99 is EXACT without sorting the stream: cents are a
+    bounded integer domain, so each block reduces to a (type, cents)
+    histogram, the groupby moves only distinct pairs, and the
+    cumulative walk runs on that tiny table driver-side (bounded by
+    types × distinct cents, never event count).  Cutoffs broadcast via
+    ``ray.put`` into one stateless clip pass.  Quantile rule =
+    DuckDB ``quantile_disc``: sorted element at max(0, ceil(q·n)-1)."""
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts", "value"]
+    )
+
+    def cents_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": _pc.cast(
+                    _pc.round(_pc.multiply(batch["value"], pa.scalar(100.0)), ndigits=0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cents = ds.map_batches(cents_of, batch_format="pyarrow").materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        agg = pa.TableGroupBy(
+            batch.select(["event_type", "cents"]), ["event_type", "cents"]
+        ).aggregate([([], "count_all")])
+        return agg.rename_columns(["event_type", "cents", "n_part"])
+
+    hist = (
+        cents.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["event_type", "cents"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .take_all()  # bounded by types × distinct cents values
+    )
+    by_type: dict = {}
+    for r in hist:
+        by_type.setdefault(r["event_type"], []).append((r["cents"], r["n"]))
+    cuts = {}
+    for et, rows in by_type.items():
+        rows.sort()
+        n = sum(c for _, c in rows)
+        idx = max(0, math.ceil(0.99 * n) - 1)
+        acc = 0
+        for v, c in rows:
+            acc += c
+            if acc > idx:
+                cuts[et] = v
+                break
+    ref = ray.put(cuts)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        cut_map = ray.get(ref)
+        vals = batch["cents"].to_pylist()
+        clipped = [
+            min(v, cut_map[t])
+            for v, t in zip(vals, batch["event_type"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+                "cents": batch["cents"],
+                "cents_clipped": pa.array(clipped, pa.int64()),
+            }
+        )
+
+    return cents.map_batches(clip, batch_format="pyarrow")
+
+
+def q_knn_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the exact cosine
+    and inner-product top-20 lists for the 5 lowest-id query vectors,
+    integer RRF scores, top-10 fused per query."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .functions.similarity import knn_rrf
+
+    emb = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    qids = emb["vec_id"].head(5).tolist()
+    qvecs = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in emb["embedding"].head(5)]
+    )
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_rrf(ds, qvecs, qids, k=10, k_each=20)
