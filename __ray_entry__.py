@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_stats": q.q_link_stats,
         "host_graph": q.q_host_graph,
         "trap_detect": q.q_trap_detect,
+        "dangling_links": q.q_dangling_links,
         "pagerank": q.q_pagerank,
         "host_rank": q.q_host_rank,
         "host_hits": q.q_host_hits,

@@ -1659,6 +1659,24 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # link-rot audit (queries.py:q_dangling_links): links whose href
+    # is absent from the crawled page set, rolled up per source host
+    sql["dangling_links"] = _LINKS_CTE.format(path=path).rstrip() + f""",
+l AS (
+    SELECT regexp_extract(src_url, 'https://([^/]+)', 1) AS host, href
+    FROM links
+),
+p AS (SELECT DISTINCT url FROM read_parquet('{path}')),
+j AS (
+    SELECT l.host, p.url IS NOT NULL AS ok
+    FROM l LEFT JOIN p ON p.url = l.href
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_links,
+       CAST(SUM(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT) AS n_dangling,
+       CAST(1000 * SUM(CASE WHEN ok THEN 0 ELSE 1 END) // COUNT(*) AS BIGINT)
+           AS dangling_permille
+FROM j GROUP BY host"""
     # reciprocal-rank fusion of integer dot-product + squared-L2
     # rankings over fixed-point floor(v·10^6) vectors
     # (functions/similarity.py:knn_rrf); integer 10^9//(60+rank)

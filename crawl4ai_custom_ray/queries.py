@@ -2152,3 +2152,98 @@ def q_knn_rrf(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return knn_rrf(ds, qvecs, qids, k=10, k_each=20)
+
+
+def q_dangling_links(sf_dir: str):
+    """Link-rot audit: per source host, how many extracted links point
+    at URLs that do NOT exist in the crawled corpus (the 404/frontier
+    -gap signal that drives recrawl and seed decisions), with an
+    integer per-mille rate.
+
+    Scale shape: link rows collapse to distinct (host, href) pairs
+    with counts inside each block before any shuffle; the existence
+    check is ONE href-keyed hash left-join against the (distinct) page
+    URL set — no URL set is ever collected or broadcast — and the
+    per-host rollup is a bounded groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .functions.dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+    from .functions.graph import _host_of
+    from .sources.pages import pages_parquet_path
+
+    links = q_extract_links(sf_dir)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        hosts = [_host_of(u) for u in batch["src_url"].to_pylist()]
+        keyed = pa.table(
+            {"host": pa.array(hosts, pa.string()), "href": batch["href"]}
+        )
+        agg = pa.TableGroupBy(keyed, ["host", "href"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["host", "href", "n_part"])
+
+    pairs = (
+        links.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["host", "href"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    pairs, _ = _coalesce_for_join(pairs)
+
+    page_urls = rd.read_parquet(pages_parquet_path(sf_dir), columns=["url"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "present": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    marked = page_urls.map_batches(mark, batch_format="pyarrow")
+    marked, _ = _coalesce_for_join(marked)
+
+    joined = hash_join_safe(
+        pairs,
+        marked,
+        on=("href",),
+        right_on=("url",),
+        join_type="left_outer",
+        num_partitions=_join_partitions(8),
+    )
+
+    def roll_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        dang = _pc.multiply(
+            batch["n"],
+            _pc.cast(_pc.is_null(batch["present"]), pa.int64()),
+        )
+        keyed = pa.table(
+            {"host": batch["host"], "nl": batch["n"], "nd": dang}
+        )
+        agg = pa.TableGroupBy(keyed, ["host"]).aggregate(
+            [("nl", "sum"), ("nd", "sum")]
+        )
+        return agg.rename_columns(["host", "nl_part", "nd_part"])
+
+    rolled = (
+        joined.map_batches(roll_partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("nl_part", alias_name="n_links"),
+            Sum("nd_part", alias_name="n_dangling"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        permille = _pc.divide(
+            _pc.multiply(batch["n_dangling"], pa.scalar(1000, pa.int64())),
+            batch["n_links"],
+        )
+        return batch.append_column(
+            "dangling_permille", _pc.cast(permille, pa.int64())
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
