@@ -1,0 +1,169 @@
+"""Hand-computed unit tests for the analytics/fusion operators added
+after the first round-2 sweep: grouped HLL, RRF fusion, per-group
+clipping, hop distance, novelty, PMI-adjacent rank blending."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_hll_by_type_matches_global_on_single_key(ray_session):
+    """With one key, the grouped sketch must equal the global sketch
+    (identical registers → identical integer estimate)."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.sketches import hll_distinct, hll_distinct_by
+
+    vals = [f"user-{i % 37}" for i in range(500)]
+    t = pa.table(
+        {
+            "k": pa.array(["only"] * len(vals), pa.string()),
+            "v": pa.array(vals, pa.string()),
+        }
+    )
+    g = hll_distinct(rd.from_arrow(t).repartition(3), column="v").to_pandas()
+    b = hll_distinct_by(
+        rd.from_arrow(t).repartition(3), key_column="k", column="v"
+    ).to_pandas()
+    assert len(b) == 1
+    assert int(b.loc[0, "estimate"]) == int(g.loc[0, "estimate"])
+    assert int(b.loc[0, "n_zero"]) == int(g.loc[0, "n_zero"])
+
+
+def test_hll_by_type_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.sketches import hll_distinct_by
+
+    t = pa.table(
+        {
+            "k": pa.array([f"k{i % 3}" for i in range(300)], pa.string()),
+            "v": pa.array([f"u{i % 50}" for i in range(300)], pa.string()),
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        df = (
+            hll_distinct_by(
+                rd.from_arrow(t).repartition(parts), key_column="k", column="v"
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+
+
+def test_knn_rrf_hand_computed(ray_session):
+    """Dot and L2 rankings diverge when norms vary; the fused integer
+    scores follow Σ 10⁹//(60+r) with absent-list zero contribution."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.similarity import knn_rrf
+
+    # query q = [1, 0].  Candidates: a=[3,0] (dot 3, far), b=[1.1,0]
+    # (dot 1.1, near), c=[0.5,0] (dot .5, nearest to q among a/c...).
+    # fixed-point ints ×1e6: q=[1e6,0]; a=[3e6,0]; b=[1.1e6,0]; c=[5e5,0]
+    # dot: a=3e12, b=1.1e12, c=5e11 → dot rank a,b,c = 1,2,3
+    # l2:  a=4e12, b=1e10,  c=2.5e11 → l2 rank b,c,a = 1,2,3
+    # RRF(k=60): a: 1e9//61 + 1e9//63 = 16393442+15873015 = 32266457
+    #            b: 1e9//62 + 1e9//61 = 16129032+16393442 = 32522474
+    #            c: 1e9//63 + 1e9//62 = 15873015+16129032 = 32002047
+    vecs = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [3.0, 0.0], [1.1, 0.0], [0.5, 0.0]],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    out = knn_rrf(
+        rd.from_arrow(vecs).repartition(2),
+        np.array([[1.0, 0.0]]),
+        [0],
+        k=3,
+        k_each=3,
+    ).to_pandas()
+    got = list(zip(out["neighbor_id"], out["rrf_score"]))
+    assert got == [(2, 32522474), (1, 32266457), (3, 32002047)], got
+
+
+def test_group_clip_hand_computed(ray_session, tmp_path):
+    """p99 via the quantile_disc index rule: for n=100 values 1..100
+    the cutoff is the 99th sorted element."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from crawl4ai_custom_ray import queries as q
+
+    # build a tiny events parquet in the sf layout
+    import datetime as dt
+
+    n = 100
+    df = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i) for i in range(n)],
+            "user_id": [1] * n,
+            "event_type": ["view"] * n,
+            "value": [(i + 1) / 100.0 for i in range(n)],  # cents 1..100
+            "props": ['{"k": 1}'] * n,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = q.q_group_clip(str(tmp_path)).to_pandas()
+    # ceil(0.99*100)-1 = 98 → sorted element index 98 = cents 99
+    assert int(out["cents_clipped"].max()) == 99
+    assert int(out["cents"].max()) == 100
+    assert (out["cents_clipped"] == out["cents"].clip(upper=99)).all()
+
+
+def test_hop_distance_unreached_absent(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.graph import hop_distance
+
+    edges = pa.table(
+        {
+            "src": pa.array(["a", "b", "x"], pa.string()),
+            "dst": pa.array(["b", "c", "y"], pa.string()),
+        }
+    )
+    seeds = pa.table({"host": pa.array(["a"], pa.string())})
+    out = hop_distance(
+        rd.from_arrow(edges),
+        rd.from_arrow(seeds),
+        node_column="host",
+        max_hops=2,
+        num_partitions=2,
+    ).to_pandas()
+    got = dict(zip(out["host"], out["dist"]))
+    assert got == {"a": 0, "b": 1, "c": 2}  # x, y unreached → absent
+
+
+def test_novelty_score_hand_computed(ray_session):
+    """Two docs sharing one 3-gram: the shared shingle has df 2, all
+    others df 1; the integer more-than-half-unique flag follows."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import novelty_score
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            # doc1 shingles: "a b c", "b c d"  |  doc2: "a b c", "b c x"
+            "text": pa.array(["a b c d", "a b c x"], pa.string()),
+        }
+    )
+    out = (
+        novelty_score(rd.from_arrow(docs).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_shingles"].tolist() == [2, 2]
+    assert out["n_common"].tolist() == [1, 1]
+    assert out["novel"].tolist() == [True, True]  # 2*1 <= 2
