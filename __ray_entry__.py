@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster": q.q_dedup_cluster,
         "dedup_keep_best": q.q_dedup_keep_best,
         "line_dedup": q.q_line_dedup,
+        "boilerplate_strip": q.q_boilerplate_strip,
         "dedup_substring": q.q_dedup_substring,
         "dedup_incremental": q.q_dedup_incremental,
         "latest_capture": q.q_latest_capture,

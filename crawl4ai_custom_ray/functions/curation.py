@@ -1415,3 +1415,149 @@ def rank_blend(
         )
 
     return sig.map_batches(attach, batch_format="pyarrow")
+
+
+def boilerplate_strip(
+    ds,
+    *,
+    group_column: str = "source",
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    chunk_words: int = 8,
+    min_docs: int = 2,
+    num_partitions: int = 16,
+):
+    """Per-site template/boilerplate removal — the corpus-level
+    counterpart of in-page boilerplate detection (nav bars, footers,
+    cookie banners repeat VERBATIM across a site's pages): a line
+    (here a ``chunk_words``-word chunk, the repo's derived-line
+    convention) that occurs in ≥ ``min_docs`` DISTINCT documents of
+    the same ``group_column`` is template text, and every occurrence
+    of it in that group is dropped.  Documents are reassembled from
+    the surviving chunks (single-space join — the inverse of the
+    chunking).  Returns (id, text, n_removed).
+
+    Scale shape: explode → per-group-line document frequency over
+    (md5(group+line), id) pairs only → the boilerplate line set joins
+    back onto the exploded lines (hash join, no broadcast) → per-doc
+    reassembly aggregate whose state is one document.  Each input row
+    is one document, so a block's (hash, id) pairs are already
+    globally distinct — the df groupby counts them directly."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Max
+
+    from .dedup import (
+        _assemble_lines_agg,
+        _coalesce_for_join,
+        _join_partitions,
+    )
+
+    docs = ds.select_columns([id_column, group_column, text_column])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, poss, lines, hs, nl = [], [], [], [], []
+        for i, g, t in zip(
+            batch[id_column].to_pylist(),
+            batch[group_column].to_pylist(),
+            batch[text_column].to_pylist(),
+        ):
+            words = (t or "").split(" ")
+            chunks = [
+                " ".join(words[s : s + chunk_words])
+                for s in range(0, len(words), chunk_words)
+            ]
+            for p, line in enumerate(chunks):
+                ids.append(i)
+                poss.append(p)
+                lines.append(line)
+                hs.append(
+                    hashlib.md5((g + "\x00" + line).encode("utf-8")).hexdigest()
+                )
+                nl.append(len(chunks))
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int32()),
+                "line": pa.array(lines, pa.large_string()),
+                "h": pa.array(hs, pa.string()),
+                "n_lines": pa.array(nl, pa.int32()),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow").materialize()
+
+    pf = (
+        exploded.select_columns(["h", "id"])
+        .groupby(["h", "id"])
+        .aggregate(Count(alias_name="dup"))
+        .groupby("h")
+        .aggregate(Count(alias_name="pf"))
+    )
+    boiler = pf.filter(expr=f"pf >= {min_docs}").select_columns(["h"])
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "boiler", pa.array([1] * batch.num_rows, pa.int64())
+        )
+
+    boiler = boiler.map_batches(mark, batch_format="pyarrow")
+    boiler, _ = _coalesce_for_join(boiler)
+
+    joined = exploded.join(
+        boiler,
+        join_type="left_outer",
+        num_partitions=_join_partitions(num_partitions),
+        on=("h",),
+        right_on=("h",),
+    )
+    def keep_non_boiler(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.is_null(batch["boiler"])).select(
+            ["id", "pos", "line", "n_lines"]
+        )
+
+    kept = joined.map_batches(keep_non_boiler, batch_format="pyarrow")
+
+    assembled = kept.groupby("id").aggregate(
+        _assemble_lines_agg(text_column, sep=" "),
+        Count(alias_name="n_kept"),
+        Max("n_lines", alias_name="n_lines"),
+    )
+    assembled, _ = _coalesce_for_join(assembled)
+
+    ids_only = (
+        exploded.select_columns(["id", "n_lines"])
+        .groupby("id")
+        .aggregate(Max("n_lines", alias_name="n_total"))
+    )
+    ids_only, _ = _coalesce_for_join(ids_only)
+    full = ids_only.join(
+        assembled,
+        join_type="left_outer",
+        num_partitions=_join_partitions(num_partitions),
+        on=("id",),
+        right_on=("id",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        text = _pc.coalesce(
+            _pc.cast(batch[text_column], pa.large_string()),
+            pa.scalar("", pa.large_string()),
+        )
+        n_kept = _pc.coalesce(batch["n_kept"], pa.scalar(0, pa.int64()))
+        removed = _pc.subtract(
+            _pc.cast(batch["n_total"], pa.int64()), _pc.cast(n_kept, pa.int64())
+        )
+        return pa.table(
+            {
+                id_column: batch["id"],
+                text_column: text,
+                "n_removed": removed,
+            }
+        )
+
+    return full.map_batches(finish, batch_format="pyarrow")

@@ -1000,9 +1000,9 @@ def near_dedup_clusters(
 # ------------------------------------------------------ line-level dedup
 
 
-def _assemble_lines_agg(name: str = "text"):
+def _assemble_lines_agg(name: str = "text", sep: str = "\n"):
     """AggregateFn collecting the group's (pos, line) rows, finalized
-    as the newline-joined text in position order.  Accumulated state
+    as the ``sep``-joined text in position order.  Accumulated state
     is one document's lines — doc-sized, never corpus-sized."""
     from ray.data.aggregate import AggregateFn
 
@@ -1021,7 +1021,7 @@ def _assemble_lines_agg(name: str = "text"):
         init=lambda k: [],
         accumulate_block=acc_block,
         merge=lambda a, b: a + b,
-        finalize=lambda acc: "\n".join(s[9:] for s in sorted(acc)),
+        finalize=lambda acc: sep.join(s[9:] for s in sorted(acc)),
         name=name,
     )
 

@@ -1659,6 +1659,35 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # per-source boilerplate strip (curation.py:boilerplate_strip):
+    # 8-word chunk lines; pf = COUNT(DISTINCT doc) per (source, line);
+    # pf >= 2 ⇒ drop all occurrences; space-join reassembly
+    sql["boilerplate_strip"] = """
+        WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                   FROM documents),
+        idx AS (SELECT doc_id, source, ws,
+                       unnest(range(0, len(ws), 8)) AS s FROM d),
+        lines AS (
+            SELECT doc_id, source, (s // 8)::INTEGER AS pos,
+                   array_to_string(ws[s + 1 : s + 8], ' ') AS line
+            FROM idx
+        ),
+        pf AS (
+            SELECT source, line, COUNT(DISTINCT doc_id) AS pf
+            FROM lines GROUP BY 1, 2
+        ),
+        kept AS (
+            SELECT l.doc_id, l.pos, l.line
+            FROM lines l JOIN pf ON pf.source = l.source AND pf.line = l.line
+            WHERE pf.pf < 2
+        ),
+        tot AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY 1)
+        SELECT t.doc_id,
+               COALESCE(string_agg(k.line, ' ' ORDER BY k.pos), '') AS text,
+               t.n_total - COUNT(k.line) AS n_removed
+        FROM tot t LEFT JOIN kept k USING (doc_id)
+        GROUP BY t.doc_id, t.n_total
+    """
     # link-rot audit (queries.py:q_dangling_links): links whose href
     # is absent from the crawled page set, rolled up per source host
     sql["dangling_links"] = _LINKS_CTE.format(path=path).rstrip() + f""",

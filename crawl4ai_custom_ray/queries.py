@@ -2247,3 +2247,12 @@ def q_dangling_links(sf_dir: str):
         )
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def q_boilerplate_strip(sf_dir: str):
+    """Per-source boilerplate removal: 8-word chunks appearing in ≥ 2
+    distinct documents of the same source are template text — all
+    occurrences dropped, documents reassembled."""
+    from .functions.curation import boilerplate_strip
+
+    return boilerplate_strip(_documents(sf_dir, ["doc_id", "source", "text"]))

@@ -167,3 +167,41 @@ def test_novelty_score_hand_computed(ray_session):
     assert out["n_shingles"].tolist() == [2, 2]
     assert out["n_common"].tolist() == [1, 1]
     assert out["novel"].tolist() == [True, True]  # 2*1 <= 2
+
+
+def test_boilerplate_strip_hand_computed(ray_session):
+    """A 4-word chunk repeated across two docs of the same source is
+    stripped everywhere; the same chunk in a DIFFERENT source stays."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import boilerplate_strip
+
+    banner = "cookie notice accept all"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "source": pa.array(["a", "a", "b"], pa.string()),
+            "text": pa.array(
+                [
+                    banner + " unique one two three",
+                    banner + " other words go here",
+                    banner + " third doc different site",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        boilerplate_strip(
+            rd.from_arrow(docs).repartition(3), chunk_words=4, min_docs=2
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "unique one two three",
+        "other words go here",
+        banner + " third doc different site",
+    ]
+    assert out["n_removed"].tolist() == [1, 1, 0]
