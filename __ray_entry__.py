@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": q.q_token_count,
         "vocab_topk": q.q_vocab_topk,
         "build_postings": q.q_build_postings,
+        "term_search": q.q_term_search,
         "tfidf_topk": q.q_tfidf_topk,
         "lm_score": q.q_lm_score,
         "ccnet_buckets": q.q_ccnet_buckets,

@@ -1659,6 +1659,24 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # boolean-AND term search (queries.py:q_term_search)
+    sql["term_search"] = """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, w, COUNT(*) AS tf FROM w
+            WHERE w IN ('spark', 'vector') GROUP BY 1, 2
+        ),
+        d AS (
+            SELECT doc_id, COUNT(*) AS n_terms, SUM(tf) AS score
+            FROM tf GROUP BY 1
+        )
+        SELECT doc_id, CAST(score AS BIGINT) AS score
+        FROM d WHERE n_terms = 2
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
     # per-source boilerplate strip (curation.py:boilerplate_strip):
     # 8-word chunk lines; pf = COUNT(DISTINCT doc) per (source, line);
     # pf >= 2 ⇒ drop all occurrences; space-join reassembly

@@ -2256,3 +2256,50 @@ def q_boilerplate_strip(sf_dir: str):
     from .functions.curation import boilerplate_strip
 
     return boilerplate_strip(_documents(sf_dir, ["doc_id", "source", "text"]))
+
+
+def q_term_search(sf_dir: str):
+    """Boolean-AND term search served FROM the corpus the inverted
+    index indexes: documents containing both 'spark' and 'vector',
+    scored by summed term frequency, top-20 by (score desc, doc_id).
+
+    Scale shape: the term filter runs inside the scan batch (a doc
+    emits at most one tiny (doc, term, tf) row per query term — the
+    predicate-pushdown shape), so the shuffle carries only matching
+    docs; the AND is a per-doc count==n_terms check after one
+    groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    TERMS = ("spark", "vector")
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            for term in TERMS:
+                n = sum(1 for w in words if w == term)
+                if n:
+                    ids.append(i)
+                    terms.append(term)
+                    tfs.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    per_doc = (
+        docs.map_batches(tf_rows, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_terms"),
+            Sum("tf", alias_name="score"),
+        )
+    )
+    hits = per_doc.filter(expr=f"n_terms == {len(TERMS)}").select_columns(
+        ["doc_id", "score"]
+    )
+    return hits.sort(["score", "doc_id"], descending=[True, False]).limit(20)
