@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rate_anomaly": q.q_rate_anomaly,
         "props_stats": q.q_props_stats,
         "group_clip": q.q_group_clip,
+        "cohort_retention": q.q_cohort_retention,
+        "suffstats": q.q_suffstats,
         "sessionize": q.q_sessionize,
         "funnel": q.q_funnel,
         "asof_join": q.q_asof_join,

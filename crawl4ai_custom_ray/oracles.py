@@ -1659,6 +1659,37 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # per-source sufficient statistics (queries.py:q_suffstats)
+    sql["suffstats"] = """
+        WITH s AS (
+            SELECT source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+                   CAST(len(list_filter(string_split(text, ' '),
+                       w -> list_contains(
+                           ['the','a','of','to','and','in','is','that','it','with'],
+                           w))) AS BIGINT) AS y
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+               CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+               CAST(SUM(y * y) AS BIGINT) AS sum_yy
+        FROM s GROUP BY source
+    """
+    # weekly cohort retention (queries.py:q_cohort_retention)
+    sql["cohort_retention"] = """
+        WITH p AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        ),
+        f AS (SELECT user_id, MIN(week) AS cohort_week FROM p GROUP BY 1)
+        SELECT f.cohort_week, p.week AS active_week,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p JOIN f USING (user_id) GROUP BY 1, 2
+    """
     # boolean-AND term search (queries.py:q_term_search)
     sql["term_search"] = """
         WITH w AS (

@@ -2303,3 +2303,117 @@ def q_term_search(sf_dir: str):
         ["doc_id", "score"]
     )
     return hits.sort(["score", "doc_id"], descending=[True, False]).limit(20)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention over the events stream: users grouped
+    by first-activity week, counted again in each later week they
+    remain active — the engagement matrix behind every retention
+    curve.  Output: (cohort_week, active_week, n_users).
+
+    Scale shape: distinct (user, week) pairs are the per-block
+    combiner output (raw events never shuffle); first-week is one
+    groupby-min over those pairs; the cohort attach is a user-keyed
+    hash join of two already-distinct tables; the final count is a
+    bounded weeks×weeks groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from .functions.dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keyed = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "week": _pc.floor_temporal(batch["ts"], unit="week"),
+            }
+        )
+        agg = pa.TableGroupBy(keyed, ["user_id", "week"]).aggregate([([], "count_all")])
+        return agg.select(["user_id", "week"])
+
+    pairs = (
+        ds.map_batches(pairs_partial, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="dup"))
+        .select_columns(["user_id", "week"])
+        .materialize()
+    )
+
+    first = pairs.groupby("user_id").aggregate(Min("week", alias_name="cohort_week"))
+    first, _ = _coalesce_for_join(first)
+    pairs_c, _ = _coalesce_for_join(pairs)
+
+    joined = hash_join_safe(
+        pairs_c,
+        first,
+        on=("user_id",),
+        right_on=("user_id",),
+        join_type="inner",
+        num_partitions=_join_partitions(4),
+    )
+    return (
+        joined.groupby(["cohort_week", "week"])
+        .aggregate(Count(alias_name="n_users"))
+        .rename_columns({"week": "active_week"})
+    )
+
+
+def q_suffstats(sf_dir: str):
+    """Distributed sufficient statistics per source over two integer
+    document signals (word count x, stop-word count y): n, Σx, Σy,
+    Σxy, Σx², Σy² — the order-free building blocks every downstream
+    mean/variance/covariance/regression needs, so the cluster ships
+    six int64s per (block, source) instead of raw rows.  Integer sums
+    are associative-commutative exact at any parallelism."""
+    from ray.data.aggregate import Sum
+
+    from .functions.curation import STOPWORDS
+
+    docs = _documents(sf_dir, ["doc_id", "source", "text"])
+    stop = set(STOPWORDS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        srcs = batch["source"].to_pylist()
+        xs, ys = [], []
+        for t in batch["text"].to_pylist():
+            words = (t or "").split(" ")
+            xs.append(len(words))
+            ys.append(sum(1 for w in words if w in stop))
+        x = np.asarray(xs, dtype=np.int64)
+        y = np.asarray(ys, dtype=np.int64)
+        keyed = pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "n": pa.array([1] * len(xs), pa.int64()),
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sxx": pa.array(x * x, pa.int64()),
+                "syy": pa.array(y * y, pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(keyed, ["source"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+        return agg.rename_columns(
+            ["source", "n_p", "sx_p", "sy_p", "sxy_p", "sxx_p", "syy_p"]
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_p", alias_name="n"),
+            Sum("sx_p", alias_name="sum_x"),
+            Sum("sy_p", alias_name="sum_y"),
+            Sum("sxy_p", alias_name="sum_xy"),
+            Sum("sxx_p", alias_name="sum_xx"),
+            Sum("syy_p", alias_name="sum_yy"),
+        )
+    )
