@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suffstats": q.q_suffstats,
         "sessionize": q.q_sessionize,
         "funnel": q.q_funnel,
+        "event_transitions": q.q_event_transitions,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
         "rolling_window": q.q_rolling_window,

@@ -1659,6 +1659,19 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # per-user Markov transition counts (queries.py:q_event_transitions)
+    sql["event_transitions"] = """
+        WITH o AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS nxt
+            FROM events
+        )
+        SELECT event_type AS prev_type, nxt AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+    """
     # per-source sufficient statistics (queries.py:q_suffstats)
     sql["suffstats"] = """
         WITH s AS (

@@ -2417,3 +2417,100 @@ def q_suffstats(sf_dir: str):
             Sum("syy_p", alias_name="sum_yy"),
         )
     )
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's
+    time-ordered event sequence (prev_type → next_type) — the
+    sequence-statistics shape behind behavior modeling and
+    next-event prediction.
+
+    Scale shape: same packed-bytes per-user aggregate as ``funnel`` /
+    ``sessionize`` (one groupby; aggregate state = one user's (ts,
+    event_id, code) triples, order restored at finalize with the
+    deterministic (ts, event_id) tie-break), then per-user counts
+    explode into (prev, next, n) partials and a bounded types² 
+    groupby sums them."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import AggregateFn, Sum
+
+    TYPES = ("click", "error", "purchase", "signup", "view")
+    CODE = {t: i for i, t in enumerate(TYPES)}
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"],
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        codes = []
+        for t in batch["event_type"].to_pylist():
+            if t not in CODE:
+                raise ValueError(f"unknown event type {t!r}")
+            codes.append(CODE[t])
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "code": pa.array(codes, pa.int64()),
+            }
+        )
+
+    slimmed = ds.map_batches(slim, batch_format="pyarrow")
+
+    DT = [("ts", "<i8"), ("eid", "<i8"), ("code", "<i8")]
+
+    def _pack(acc, block):
+        rec = np.empty(block.num_rows, dtype=DT)
+        rec["ts"] = block["ts_us"].to_numpy(zero_copy_only=False)
+        rec["eid"] = block["event_id"].to_numpy(zero_copy_only=False)
+        rec["code"] = block["code"].to_numpy(zero_copy_only=False)
+        acc.append(rec.tobytes())
+        return acc
+
+    k = len(TYPES)
+
+    def _finalize(acc):
+        rec = np.frombuffer(b"".join(acc), dtype=DT)
+        order = np.argsort(rec, order=("ts", "eid"))
+        codes = rec["code"][order]
+        counts = np.zeros((k, k), dtype=np.int64)
+        if len(codes) > 1:
+            np.add.at(counts, (codes[:-1], codes[1:]), 1)
+        return counts.tobytes()
+
+    agg = AggregateFn(
+        init=lambda key: [],
+        accumulate_block=_pack,
+        merge=lambda a, b: a + b,
+        finalize=_finalize,
+        name="cm",
+    )
+    per_user = slimmed.groupby("user_id").aggregate(agg)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        prevs, nexts, ns = [], [], []
+        for blob in batch["cm"].to_pylist():
+            m = np.frombuffer(
+                blob if isinstance(blob, bytes) else bytes(blob), dtype=np.int64
+            ).reshape(k, k)
+            nz = np.nonzero(m)
+            for i, j in zip(*nz):
+                prevs.append(TYPES[i])
+                nexts.append(TYPES[j])
+                ns.append(int(m[i, j]))
+        return pa.table(
+            {
+                "prev_type": pa.array(prevs, pa.string()),
+                "next_type": pa.array(nexts, pa.string()),
+                "n_part": pa.array(ns, pa.int64()),
+            }
+        )
+
+    return (
+        per_user.map_batches(explode, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
