@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dangling_links": q.q_dangling_links,
         "pagerank": q.q_pagerank,
         "host_rank": q.q_host_rank,
+        "host_rank_weighted": q.q_host_rank_weighted,
         "host_hits": q.q_host_hits,
         "host_distance": q.q_host_distance,
         "anchor_stats": q.q_anchor_stats,

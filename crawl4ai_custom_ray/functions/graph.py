@@ -38,6 +38,7 @@ def pagerank(
     src_column: str = "src",
     dst_column: str = "dst",
     node_column: str = "url",
+    weight_column: str | None = None,
     iters: int = 5,
     scale: int = 1_000_000,
     num_partitions: int = 16,
@@ -46,6 +47,13 @@ def pagerank(
     (src, dst) rows (self-loops and duplicates should be removed by
     the caller — semantics count each row once).  ``nodes``: Dataset
     with every vertex exactly once.  Returns (node_column, rank).
+
+    With ``weight_column`` set, each edge carries an int64 weight and
+    a source's rank splits proportionally:
+    ``contrib = (rank · w) // Σ_out w`` (floor division — still
+    order-free and bit-identical; rank·w stays ≪ 2^63 for weights up
+    to ~10^6 at scale 10^6).  Unweighted is the weight≡1 special case
+    with the division done per edge.
 
     Scale shape: the edge table is joined ONCE with out-degrees and
     materialized; each of the ``iters`` rounds then shuffles only
@@ -58,8 +66,16 @@ def pagerank(
 
     base = (15 * scale) // 100
 
-    edges = edges.select_columns([src_column, dst_column])
-    outdeg = edges.groupby(src_column).aggregate(Count(alias_name="outdeg"))
+    edge_cols = [src_column, dst_column] + (
+        [weight_column] if weight_column else []
+    )
+    edges = edges.select_columns(edge_cols)
+    if weight_column:
+        outdeg = edges.groupby(src_column).aggregate(
+            Sum(weight_column, alias_name="outdeg")
+        )
+    else:
+        outdeg = edges.groupby(src_column).aggregate(Count(alias_name="outdeg"))
     outdeg, _ = _coalesce_for_join(outdeg)
     nparts = _join_partitions(num_partitions)
 
@@ -94,7 +110,13 @@ def pagerank(
         )
 
         def per_edge(batch: pa.Table) -> pa.Table:
-            con = pc.divide(batch["rank"], pc.cast(batch["outdeg"], pa.int64()))
+            if weight_column:
+                num = pc.multiply(
+                    batch["rank"], pc.cast(batch[weight_column], pa.int64())
+                )
+            else:
+                num = batch["rank"]
+            con = pc.divide(num, pc.cast(batch["outdeg"], pa.int64()))
             return pa.table(
                 {"dst_": batch[dst_column], "con": pc.cast(con, pa.int64())}
             )

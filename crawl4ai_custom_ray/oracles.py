@@ -1094,6 +1094,35 @@ r{t} AS (
 )"""
     sql["host_rank"] = hr + '\nSELECT host, r AS "rank" FROM r5'
 
+    # weighted host pagerank: edge weight = distinct source pages per
+    # host pair; contrib = r·w // Σ_out w (same floor-split kernel)
+    hw = _LINKS_CTE.format(path=path).rstrip() + """,
+t0 AS (
+    SELECT DISTINCT src_url,
+           regexp_extract(src_url, 'https://([^/]+)', 1) AS src,
+           regexp_extract(href, 'https://([^/]+)', 1) AS dst
+    FROM links
+),
+ew AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM t0
+       WHERE src <> dst GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT h AS host FROM (
+    SELECT src AS h FROM t0 UNION SELECT dst AS h FROM t0)),
+outdeg AS (SELECT src, SUM(w) AS d FROM ew GROUP BY src),
+r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for t in range(1, 6):
+        hw += f""",
+r{t} AS (
+    SELECT n.host,
+           CAST(150000 + (85 * COALESCE(SUM(c.con), 0)) // 100 AS BIGINT) AS r
+    FROM nodes n LEFT JOIN (
+        SELECT e.dst, (r{t - 1}.r * e.w) // o.d AS con
+        FROM ew e JOIN outdeg o ON e.src = o.src
+        JOIN r{t - 1} ON r{t - 1}.host = e.src
+    ) c ON c.dst = n.host
+    GROUP BY n.host
+)"""
+    sql["host_rank_weighted"] = hw + '\nSELECT host, r AS "rank" FROM r5'
+
     # host-level HITS (functions/graph.py:hits): alternating integer
     # sweeps over the same edges/nodes CTEs — auth from previous hubs,
     # hub from the NEW auths; normalizer = GREATEST(total // 10^6, 1)

@@ -2060,7 +2060,7 @@ def q_group_clip(sf_dir: str):
     from ray.data.aggregate import Sum
 
     ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts", "value"]
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
     )
 
     def cents_of(batch: pa.Table) -> pa.Table:
@@ -2513,4 +2513,65 @@ def q_event_transitions(sf_dir: str):
         per_user.map_batches(explode, batch_format="pyarrow")
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
+def q_host_rank_weighted(sf_dir: str):
+    """Weighted host PageRank: edge weight = number of distinct pages
+    of the source host linking to the target host, so a host's rank
+    splits proportionally to real link mass instead of one vote per
+    distinct host pair.  Same integer BSP kernel (weighted floor
+    split), bit-identical at any parallelism.
+
+    Scale shape: each page's links collapse to distinct
+    (page, src_host, dst_host) triples inside its block (a page is
+    one input row, so block-local distinct is global), then one
+    groupby sums page counts per host edge — host-pair bounded."""
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.graph import _host_of, pagerank
+
+    links = q_extract_links(sf_dir)
+
+    def triples(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for su, href in zip(
+            batch["src_url"].to_pylist(), batch["href"].to_pylist()
+        ):
+            seen.add((su, _host_of(su), _host_of(href)))
+        from collections import Counter
+
+        c = Counter((s, d) for _, s, d in seen)
+        return pa.table(
+            {
+                "src": pa.array([s for s, _ in c], pa.string()),
+                "dst": pa.array([d for _, d in c], pa.string()),
+                "w_part": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    ew_all = (
+        links.map_batches(triples, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("w_part", alias_name="weight"))
+        .materialize()
+    )
+
+    def both_hosts(batch: pa.Table) -> pa.Table:
+        hosts = batch["src"].to_pylist() + batch["dst"].to_pylist()
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    nodes = (
+        ew_all.map_batches(both_hosts, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Count(alias_name="dup"))
+        .select_columns(["host"])
+    )
+    edges = ew_all.filter(expr="src != dst")
+    return pagerank(
+        edges,
+        nodes,
+        node_column="host",
+        weight_column="weight",
+        num_partitions=2,
     )
