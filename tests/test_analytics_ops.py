@@ -205,3 +205,93 @@ def test_boilerplate_strip_hand_computed(ray_session):
         banner + " third doc different site",
     ]
     assert out["n_removed"].tolist() == [1, 1, 0]
+
+
+def test_event_transitions_hand_computed(ray_session, tmp_path):
+    """Per-user ordered transitions with the (ts, event_id) tie-break:
+    user 1 view→click→view, user 2 click→click."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from crawl4ai_custom_ray import queries as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3, 4],
+            "ts": [t0, t0 + dt.timedelta(seconds=1), t0 + dt.timedelta(seconds=2),
+                   t0, t0],  # user 2's two events tie on ts → event_id order
+            "user_id": [1, 1, 1, 2, 2],
+            "event_type": ["view", "click", "view", "click", "click"],
+            "value": [0.0] * 5,
+            "props": ['{"k": 0}'] * 5,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = q.q_event_transitions(str(tmp_path)).to_pandas()
+    got = {
+        (r.prev_type, r.next_type): r.n for r in out.itertuples()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "view"): 1,
+        ("click", "click"): 1,
+    }, got
+
+
+def test_weighted_pagerank_proportional_split(ray_session):
+    """One round by hand: src s links to a with weight 3 and b with
+    weight 1 → a gets 3/4 of s's rank, b gets 1/4 (floor division)."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.graph import pagerank
+
+    edges = pa.table(
+        {
+            "src": pa.array(["s", "s"], pa.string()),
+            "dst": pa.array(["a", "b"], pa.string()),
+            "w": pa.array([3, 1], pa.int64()),
+        }
+    )
+    nodes = pa.table({"host": pa.array(["s", "a", "b"], pa.string())})
+    out = (
+        pagerank(
+            rd.from_arrow(edges),
+            rd.from_arrow(nodes),
+            node_column="host",
+            weight_column="w",
+            iters=1,
+            num_partitions=2,
+        )
+        .to_pandas()
+        .set_index("host")["rank"]
+        .to_dict()
+    )
+    # contrib a = 1e6*3//4 = 750000; b = 250000; rank = 150000 + 85*c//100
+    assert out == {
+        "s": 150000,
+        "a": 150000 + (85 * 750000) // 100,
+        "b": 150000 + (85 * 250000) // 100,
+    }, out
+
+
+def test_suffstats_hand_computed(ray_session, tmp_path):
+    import pandas as pd
+
+    from crawl4ai_custom_ray import queries as q
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "source": ["s", "s"],
+            "text": ["the cat", "a big dog ran"],  # x=2,4; y=1,1
+            "lang": ["en", "en"],
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = q.q_suffstats(str(tmp_path)).to_pandas().iloc[0]
+    assert (
+        out["n"], out["sum_x"], out["sum_y"], out["sum_xy"],
+        out["sum_xx"], out["sum_yy"],
+    ) == (2, 6, 2, 6, 20, 2)
