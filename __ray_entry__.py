@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_links": q.q_extract_links,
         "link_stats": q.q_link_stats,
         "host_graph": q.q_host_graph,
+        "degree_hist": q.q_degree_hist,
         "trap_detect": q.q_trap_detect,
         "dangling_links": q.q_dangling_links,
         "pagerank": q.q_pagerank,
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable sketches
         "hll_distinct": q.q_hll_distinct,
         "hll_by_type": q.q_hll_by_type,
+        "kmv_distinct": q.q_kmv_distinct,
         "cms_counts": q.q_cms_counts,
         # windowed top-k + exact prefix-filtered similarity join
         "window_topk": q.q_window_topk,

@@ -271,3 +271,52 @@ def hll_distinct_by(ds, *, key_column: str, column: str, m: int = HLL_M):
         )
 
     return sums.map_batches(finalize, batch_format="pyarrow")
+
+def kmv_distinct(ds, *, column: str, k: int = 256):
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002)
+    — the order-statistics alternative to HLL: keep the ``k`` smallest
+    64-bit hashes of the values; estimate = (k-1)·2⁶⁴ // kth-smallest.
+    Integer-exact end-to-end (same seedless md5 convention), so the
+    DuckDB oracle replays it bit-for-bit.
+
+    Scale shape: per-block combiner dedups values and keeps its k
+    smallest hashes (bounded output per block); the merge is a
+    groupby-dedup + sort + limit over ≤ k·blocks rows — never the
+    corpus.  Returns one row (k, n_kept, estimate); with fewer than
+    ``k`` distinct values the sketch is exact (estimate = n_kept)."""
+    from ray.data.aggregate import Count
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = sorted(
+            {_md5_u64(str(v)) for v in batch[column].to_pylist() if v is not None}
+        )[:k]
+        # shift into signed int64 so Arrow's sort matches unsigned order
+        return pa.table(
+            {"h": pa.array([h - (1 << 63) for h in hs], pa.int64())}
+        )
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Count(alias_name="dup"))
+        .select_columns(["h"])
+        .sort("h")
+        .limit(k)
+        .repartition(1)
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        hs = [h + (1 << 63) for h in batch["h"].to_pylist()]
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            est = ((k - 1) * (1 << 64)) // hs[-1]
+        return pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "n_kept": pa.array([len(hs)], pa.int64()),
+                "estimate": pa.array([est], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow", batch_size=None)

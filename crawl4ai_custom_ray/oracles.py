@@ -1688,6 +1688,35 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # host in-degree histogram (queries.py:q_degree_hist)
+    sql["degree_hist"] = _LINKS_CTE.format(path=path).rstrip() + """,
+e0 AS (
+    SELECT DISTINCT regexp_extract(src_url, 'https://([^/]+)', 1) AS src,
+           regexp_extract(href, 'https://([^/]+)', 1) AS dst
+    FROM links
+),
+edges AS (SELECT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT DISTINCT h AS host FROM (
+    SELECT src AS h FROM e0 UNION SELECT dst AS h FROM e0)),
+deg AS (
+    SELECT n.host, CAST(COUNT(e.src) AS BIGINT) AS indegree
+    FROM nodes n LEFT JOIN edges e ON e.dst = n.host
+    GROUP BY n.host
+)
+SELECT indegree, CAST(COUNT(*) AS BIGINT) AS n_hosts
+FROM deg GROUP BY indegree"""
+    # KMV distinct sketch over link targets (sketches.py:kmv_distinct)
+    sql["kmv_distinct"] = _LINKS_CTE.format(path=path).rstrip() + """,
+h0 AS (SELECT DISTINCT ('0x' || substr(md5(href), 1, 16))::UBIGINT AS h
+       FROM links),
+kk AS (SELECT h FROM h0 ORDER BY h LIMIT 256),
+s AS (SELECT COUNT(*) AS n_kept, MAX(h) AS kth FROM kk)
+SELECT CAST(256 AS BIGINT) AS k,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(CASE WHEN n_kept < 256 THEN n_kept
+            ELSE (255 * (CAST(1 AS HUGEINT) << 64)) // kth END AS BIGINT)
+           AS estimate
+FROM s"""
     # per-user Markov transition counts (queries.py:q_event_transitions)
     sql["event_transitions"] = """
         WITH o AS (

@@ -2575,3 +2575,54 @@ def q_host_rank_weighted(sf_dir: str):
         weight_column="weight",
         num_partitions=2,
     )
+
+
+def q_kmv_distinct(sf_dir: str):
+    """KMV distinct-count of extracted link targets — the
+    order-statistics sketch next to the HLL register sketch, same
+    seedless hash, integer-exact estimator."""
+    from .functions.sketches import kmv_distinct
+
+    return kmv_distinct(
+        q_extract_links(sf_dir).select_columns(["href"]), column="href", k=256
+    )
+
+
+def q_degree_hist(sf_dir: str):
+    """In-degree distribution of the host link graph (how many hosts
+    have k distinct in-linking hosts — the power-law diagnostic):
+    zero-in-degree hosts included via a left join from the node set.
+    Both groupbys are bounded by host count and degree domain."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count
+
+    from .functions.dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+
+    edges, nodes = _host_edges_nodes(sf_dir)
+    indeg = edges.groupby("dst").aggregate(Count(alias_name="indegree"))
+    indeg, _ = _coalesce_for_join(indeg)
+    nodes, _ = _coalesce_for_join(nodes)
+
+    joined = hash_join_safe(
+        nodes,
+        indeg,
+        on=("host",),
+        right_on=("dst",),
+        join_type="left_outer",
+        num_partitions=_join_partitions(2),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "indegree": _pc.coalesce(
+                    batch["indegree"], pa.scalar(0, pa.int64())
+                )
+            }
+        )
+
+    return (
+        joined.map_batches(fill, batch_format="pyarrow")
+        .groupby("indegree")
+        .aggregate(Count(alias_name="n_hosts"))
+    )
