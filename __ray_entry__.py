@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_clip": q.q_group_clip,
         "cohort_retention": q.q_cohort_retention,
         "suffstats": q.q_suffstats,
+        "corpus_report": q.q_corpus_report,
         "sessionize": q.q_sessionize,
         "funnel": q.q_funnel,
         "event_transitions": q.q_event_transitions,

@@ -1688,6 +1688,42 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # corpus report card (queries.py:q_corpus_report): Gopher gate ×
+    # lang rollup — same rule set as gopher_filters
+    sql["corpus_report"] = """
+        WITH w AS (
+            SELECT doc_id, lang, text, n_chars,
+                   string_split(text, ' ') AS ws
+            FROM documents
+        ),
+        s AS (
+            SELECT lang, n_chars,
+                   len(ws) AS n_words,
+                   CAST(list_sum(list_transform(ws, x -> length(x)))
+                        AS BIGINT) AS sum_word_len,
+                   len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha_words,
+                   len(list_filter(ws, x -> list_contains(
+                       ['the','a','of','to','and','in','is','that','it','with'],
+                       x))) AS n_stop,
+                   (len(ws) BETWEEN 30 AND 90
+                    AND 10 * list_sum(list_transform(ws, x -> length(x)))
+                        BETWEEN 40 * len(ws) AND 50 * len(ws)
+                    AND 5 * len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                        >= 4 * len(ws)
+                    AND len(list_filter(ws, x -> list_contains(
+                        ['the','a','of','to','and','in','is','that','it','with'],
+                        x))) >= 3
+                    AND NOT contains(text, 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS passed
+            FROM w
+        )
+        SELECT lang, passed,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM s GROUP BY lang, passed
+    """
     # host in-degree histogram (queries.py:q_degree_hist)
     sql["degree_hist"] = _LINKS_CTE.format(path=path).rstrip() + """,
 e0 AS (

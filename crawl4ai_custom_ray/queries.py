@@ -2626,3 +2626,55 @@ def q_degree_hist(sf_dir: str):
         .groupby("indegree")
         .aggregate(Count(alias_name="n_hosts"))
     )
+
+
+def q_corpus_report(sf_dir: str):
+    """Corpus report card: per (lang, quality-gate outcome) — document
+    count, token sum, and total characters.  The rollup every curation
+    run publishes next to its output so mixture decisions are made on
+    numbers, not vibes.  One pass: the Gopher gate evaluates inside
+    the scan batch, partials collapse per (lang, passed) before the
+    only (tiny) shuffle."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from .functions.curation import gopher_doc_filter_batch
+
+    docs = _documents(sf_dir, ["doc_id", "lang", "text", "n_chars"])
+    gate = functools.partial(
+        gopher_doc_filter_batch,
+        min_words=30,
+        max_words=90,
+        mean_len_lo_x10=40,
+        mean_len_hi_x10=50,
+        min_stop=3,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = gate(batch)
+        keyed = pa.table(
+            {
+                "lang": batch["lang"],
+                "passed": g["passed"],
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+                "toks": g["n_words"],
+                "chars": batch["n_chars"],
+            }
+        )
+        agg = pa.TableGroupBy(keyed, ["lang", "passed"]).aggregate(
+            [("one", "sum"), ("toks", "sum"), ("chars", "sum")]
+        )
+        return agg.rename_columns(
+            ["lang", "passed", "n_p", "t_p", "c_p"]
+        )
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "passed"])
+        .aggregate(
+            Sum("n_p", alias_name="n_docs"),
+            Sum("t_p", alias_name="n_tokens"),
+            Sum("c_p", alias_name="n_chars"),
+        )
+    )
