@@ -295,3 +295,32 @@ def test_suffstats_hand_computed(ray_session, tmp_path):
         out["n"], out["sum_x"], out["sum_y"], out["sum_xy"],
         out["sum_xx"], out["sum_yy"],
     ) == (2, 6, 2, 6, 20, 2)
+
+
+def test_kmv_exact_below_k(ray_session):
+    """With fewer than k distinct values the KMV sketch reports the
+    exact distinct count."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.sketches import kmv_distinct
+
+    t = pa.table({"v": pa.array([f"u{i % 40}" for i in range(500)], pa.string())})
+    out = kmv_distinct(rd.from_arrow(t).repartition(5), column="v", k=256).to_pandas()
+    assert out.loc[0, "n_kept"] == 40
+    assert out.loc[0, "estimate"] == 40
+
+
+def test_kmv_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.sketches import kmv_distinct
+
+    t = pa.table({"v": pa.array([f"u{i}" for i in range(2000)], pa.string())})
+    outs = [
+        kmv_distinct(rd.from_arrow(t).repartition(p), column="v", k=64)
+        .to_pandas()
+        for p in (1, 8)
+    ]
+    assert outs[0].equals(outs[1])
+    # 2000 distinct, k=64 → estimate within ~25% of truth
+    assert 1500 < outs[0].loc[0, "estimate"] < 2700
