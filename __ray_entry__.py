@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q.q_vocab_topk,
         "build_postings": q.q_build_postings,
         "term_search": q.q_term_search,
+        "bm25_search": q.q_bm25_search,
         "tfidf_topk": q.q_tfidf_topk,
         "lm_score": q.q_lm_score,
         "ccnet_buckets": q.q_ccnet_buckets,

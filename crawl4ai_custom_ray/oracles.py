@@ -1688,6 +1688,37 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # BM25 retrieval (queries.py:q_bm25_search): k1=6/5, b=3/4 make
+    # the per-term weight exactly rational; Lucene idf (always
+    # positive — Python // floors, DuckDB // truncates, so sign
+    # matters), tfidf floor(ln·1e6) convention
+    sql["bm25_search"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        stats AS (SELECT COUNT(*) AS n, SUM(len(ws)) AS toks FROM d),
+        c AS (SELECT n, toks // n AS avgdl FROM stats),
+        w AS (SELECT doc_id, len(ws) AS dl, unnest(ws) AS w FROM d),
+        tfr AS (
+            SELECT doc_id, dl, w, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM w WHERE w IN ('spark', 'vector') GROUP BY 1, 2, 3
+        ),
+        dfs AS (SELECT w, COUNT(*) AS df FROM tfr GROUP BY 1),
+        idf AS (
+            SELECT dfs.w,
+                   CAST(floor(ln((2 * c.n + 2)::DOUBLE
+                              / (2 * dfs.df + 1)) * 1000000) AS BIGINT)
+                       AS idf_fp
+            FROM dfs, c
+        ),
+        contrib AS (
+            SELECT t.doc_id,
+                   (i.idf_fp * (44 * t.tf * c.avgdl))
+                       // (20 * c.avgdl * t.tf + 6 * c.avgdl + 18 * t.dl) AS s
+            FROM tfr t JOIN idf i ON i.w = t.w CROSS JOIN c
+        )
+        SELECT doc_id, CAST(SUM(s) AS BIGINT) AS score_fp
+        FROM contrib GROUP BY 1
+        ORDER BY score_fp DESC, doc_id LIMIT 20
+    """
     # corpus report card (queries.py:q_corpus_report): Gopher gate ×
     # lang rollup — same rule set as gopher_filters
     sql["corpus_report"] = """

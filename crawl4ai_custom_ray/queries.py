@@ -2678,3 +2678,104 @@ def q_corpus_report(sf_dir: str):
             Sum("c_p", alias_name="n_chars"),
         )
     )
+
+
+def q_bm25_search(sf_dir: str):
+    """Corpus-level BM25 retrieval (Robertson-Spärck Jones) for the
+    same two-term query as term_search, OR semantics, top-20 by
+    (score desc, doc_id).  With k1=6/5 and b=3/4 the per-term weight
+    is EXACTLY rational —
+
+        tf·(k1+1)/(tf + k1(1-b+b·dl/avgdl))
+            = 44·tf·avgdl / (20·avgdl·tf + 6·avgdl + 18·dl)
+
+    — so the score is idf_fp · that fraction in pure int64 floor
+    division, bit-identical to the SQL oracle.  idf is the LUCENE
+    variant ln(1 + (N-df+½)/(df+½)) = ln((2N+2)/(2df+1)) — always
+    positive, which matters: Python ``//`` floors while DuckDB ``//``
+    truncates, so a negative contribution would drift by one ulp
+    (verified); fixed-point via the tfidf_topk floor(ln·10⁶)
+    convention.
+
+    Scale shape: one pass for the two corpus scalars (N, Σtokens →
+    avgdl, floor), one in-scan term-filtered pass emitting
+    (doc, term, tf, dl) rows for matching docs only; df and idf are a
+    2-row driver table broadcast into the scoring pass; the final
+    groupby-sum and sort touch only matching docs."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    TERMS = ("spark", "vector")
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        tot = sum(len((t or "").split(" ")) for t in batch["text"].to_pylist())
+        return pa.table(
+            {
+                "n_p": pa.array([batch.num_rows], pa.int64()),
+                "t_p": pa.array([tot], pa.int64()),
+            }
+        )
+
+    stats = docs.map_batches(stats_partial, batch_format="pyarrow").aggregate(
+        Sum("n_p"), Sum("t_p")
+    )
+    n_docs, total_toks = stats["sum(n_p)"], stats["sum(t_p)"]
+    avgdl = total_toks // n_docs
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs, dls = [], [], [], []
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            words = (t or "").split(" ")
+            for term in TERMS:
+                n = sum(1 for w in words if w == term)
+                if n:
+                    ids.append(i)
+                    terms.append(term)
+                    tfs.append(n)
+                    dls.append(len(words))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+                "dl": pa.array(dls, pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    dfs = {
+        r["term"]: r["df"]
+        for r in rows.groupby("term").aggregate(Count(alias_name="df")).take_all()
+    }
+    idf_fp = {
+        t: math.floor(
+            math.log((2 * n_docs + 2) / (2 * df + 1)) * 1_000_000
+        )
+        for t, df in dfs.items()
+    }
+    consts = ray.put((idf_fp, avgdl))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf, a = ray.get(consts)
+        out = [
+            (idf[t] * (44 * tf * a)) // (20 * a * tf + 6 * a + 18 * dl)
+            for t, tf, dl in zip(
+                batch["term"].to_pylist(),
+                batch["tf"].to_pylist(),
+                batch["dl"].to_pylist(),
+            )
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "s": pa.array(out, pa.int64())}
+        )
+
+    scored = (
+        rows.map_batches(score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("s", alias_name="score_fp"))
+    )
+    return scored.sort(["score_fp", "doc_id"], descending=[True, False]).limit(20)
