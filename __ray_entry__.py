@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q.q_cohort_retention,
         "suffstats": q.q_suffstats,
         "corpus_report": q.q_corpus_report,
+        "kl_divergence": q.q_kl_divergence,
         "sessionize": q.q_sessionize,
         "funnel": q.q_funnel,
         "event_transitions": q.q_event_transitions,

@@ -1688,6 +1688,34 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # unigram KL divergence src0 ‖ src1 (queries.py:q_kl_divergence):
+    # per-token log-ratio fixed-pointed BEFORE the weighted sum
+    sql["kl_divergence"] = """
+        WITH w AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE source IN ('src0', 'src1')
+        ),
+        c AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS n
+              FROM w GROUP BY 1, 2),
+        t AS (SELECT
+                  (SELECT SUM(n) FROM c WHERE source = 'src0') AS ta,
+                  (SELECT SUM(n) FROM c WHERE source = 'src1') AS tb,
+                  (SELECT COUNT(DISTINCT token) FROM c) AS v),
+        a AS (SELECT token, n AS ca FROM c WHERE source = 'src0'),
+        b AS (SELECT token, n AS cb FROM c WHERE source = 'src1'),
+        contrib AS (
+            SELECT a.ca
+                   * CAST(floor(ln((a.ca * (t.tb + t.v))::DOUBLE
+                                / (t.ta * (COALESCE(b.cb, 0) + 1)))
+                                * 1000000) AS BIGINT) AS s
+            FROM a LEFT JOIN b USING (token) CROSS JOIN t
+        )
+        SELECT 'src0' AS src_a, 'src1' AS src_b,
+               CAST(t.ta AS BIGINT) AS t_a, CAST(t.tb AS BIGINT) AS t_b,
+               CAST(t.v AS BIGINT) AS vocab,
+               CAST((SELECT SUM(s) FROM contrib) // t.ta AS BIGINT) AS kl_ppm
+        FROM t
+    """
     # BM25 retrieval (queries.py:q_bm25_search): k1=6/5, b=3/4 make
     # the per-term weight exactly rational; Lucene idf (always
     # positive — Python // floors, DuckDB // truncates, so sign

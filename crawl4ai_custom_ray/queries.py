@@ -2779,3 +2779,112 @@ def q_bm25_search(sf_dir: str):
         .aggregate(Sum("s", alias_name="score_fp"))
     )
     return scored.sort(["score_fp", "doc_id"], descending=[True, False]).limit(20)
+
+
+def q_kl_divergence(sf_dir: str):
+    """Unigram-distribution KL divergence D(src0 ‖ src1) — the
+    domain-shift diagnostic behind mixture reweighting (DoReMi-style):
+    how surprising source src0's text is under source src1's unigram
+    model (add-1 smoothed over the union vocabulary).
+
+    Contract (mirrored by the oracle, integer-exact): with counts
+    c_a(t), c_b(t), totals T_a, T_b and union-vocab size V,
+
+        kl_ppm = (Σ_t c_a(t) · floor(ln(c_a(t)·(T_b+V)
+                                       / (T_a·(c_b(t)+1))) · 10⁶)) // T_a
+
+    — the per-token log-ratio is fixed-pointed BEFORE the weighted
+    sum, so the result is order-free and bit-identical (same ln
+    convention as tfidf_topk; every factor integer).
+
+    Scale shape: per-source token counts are combiner-first groupbys
+    (vocab-bounded); totals and V are single-row aggregates; the
+    count join is token-keyed.  Nothing corpus-sized moves."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+
+    SRC_A, SRC_B = "src0", "src1"
+    docs = _documents(sf_dir, ["doc_id", "source", "text"])
+
+    def counts_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        per_src: dict = {SRC_A: Counter(), SRC_B: Counter()}
+        for s, t in zip(batch["source"].to_pylist(), batch["text"].to_pylist()):
+            if s in per_src and t:
+                per_src[s].update(t.split(" "))
+        srcs, toks, ns = [], [], []
+        for s, c in per_src.items():
+            for tok, n in c.items():
+                srcs.append(s)
+                toks.append(tok)
+                ns.append(n)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+                "n_part": pa.array(ns, pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(counts_partial, batch_format="pyarrow")
+        .groupby(["source", "token"])
+        .aggregate(Sum("n_part", alias_name="n"))
+        .materialize()
+    )
+
+    totals = {
+        r["source"]: r["t"]
+        for r in counts.groupby("source").aggregate(Sum("n", alias_name="t")).take_all()
+    }
+    t_a, t_b = totals[SRC_A], totals[SRC_B]
+    v = (
+        counts.select_columns(["token"])
+        .groupby("token")
+        .aggregate(Count(alias_name="dup"))
+        .count()
+    )
+
+    a_side = counts.filter(expr=f"source == '{SRC_A}'").select_columns(["token", "n"])
+    b_side = counts.filter(expr=f"source == '{SRC_B}'").select_columns(["token", "n"])
+    a_side, _ = _coalesce_for_join(a_side)
+    b_side, _ = _coalesce_for_join(b_side)
+
+    joined = hash_join_safe(
+        a_side.rename_columns({"n": "ca"}),
+        b_side.rename_columns({"n": "cb"}),
+        on=("token",),
+        right_on=("token",),
+        join_type="left_outer",
+        num_partitions=_join_partitions(4),
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        out = []
+        for ca, cb in zip(batch["ca"].to_pylist(), batch["cb"].to_pylist()):
+            cb = cb or 0
+            out.append(
+                ca
+                * math.floor(
+                    math.log(ca * (t_b + v) / (t_a * (cb + 1))) * 1_000_000
+                )
+            )
+        return pa.table({"s": pa.array(out, pa.int64())})
+
+    total = joined.map_batches(contrib, batch_format="pyarrow").aggregate(Sum("s"))[
+        "sum(s)"
+    ]
+    return pa.table(
+        {
+            "src_a": pa.array([SRC_A], pa.string()),
+            "src_b": pa.array([SRC_B], pa.string()),
+            "t_a": pa.array([t_a], pa.int64()),
+            "t_b": pa.array([t_b], pa.int64()),
+            "vocab": pa.array([v], pa.int64()),
+            "kl_ppm": pa.array([total // t_a], pa.int64()),
+        }
+    )
