@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": q.q_recrawl_schedule,
         "token_count": q.q_token_count,
         "vocab_topk": q.q_vocab_topk,
+        "vocab_growth": q.q_vocab_growth,
         "build_postings": q.q_build_postings,
         "term_search": q.q_term_search,
         "bm25_search": q.q_bm25_search,

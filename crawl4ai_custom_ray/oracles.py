@@ -1688,6 +1688,30 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # vocabulary growth curve (queries.py:q_vocab_growth): first
+    # occurrence per token bucketed by doc-id decile, cumsum'd
+    sql["vocab_growth"] = """
+        WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        f AS (
+            SELECT w, MIN(doc_id) AS first_doc FROM (
+                SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents
+            ) GROUP BY w
+        ),
+        d AS (SELECT unnest(range(1, 11)) AS decile),
+        counts AS (
+            SELECT d.decile,
+                   d.decile * n.n_docs // 10 - 1 AS cutoff_doc_id,
+                   (SELECT COUNT(*) FROM f
+                    WHERE f.first_doc <= d.decile * n.n_docs // 10 - 1)
+                       AS vocab_size
+            FROM d, n
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(cutoff_doc_id AS BIGINT) AS cutoff_doc_id,
+               CAST(vocab_size AS BIGINT) AS vocab_size
+        FROM counts
+    """
     # unigram KL divergence src0 ‖ src1 (queries.py:q_kl_divergence):
     # per-token log-ratio fixed-pointed BEFORE the weighted sum
     sql["kl_divergence"] = """

@@ -2888,3 +2888,76 @@ def q_kl_divergence(sf_dir: str):
             "kl_ppm": pa.array([total // t_a], pa.int64()),
         }
     )
+
+
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (the Heaps-law diagnostic): distinct
+    token count after ingesting each decile of the corpus in doc_id
+    order.  A seemingly sequential statistic computed in ONE groupby:
+    a token enters the vocabulary at its MINIMUM doc_id, so bucketing
+    those first occurrences by decile and cumulative-summing the
+    (10-row) histogram replays the whole curve.
+
+    Output: (decile 1..10, cutoff_doc_id, vocab_size)."""
+    from ray.data.aggregate import Min, Sum
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    # decile cutoffs from the doc-id range: cutoff_d = the largest
+    # doc_id with (rank ≤ d·N//10) — doc_ids are dense 0..N-1 in the
+    # synthetic corpus, so cutoff = d·N//10 - 1 (documented; the
+    # oracle uses the same rule)
+    n_docs = docs.count()
+
+    def first_seen(batch: pa.Table) -> pa.Table:
+        firsts: dict = {}
+        for i, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            for w in set((t or "").split(" ")):
+                if w not in firsts or i < firsts[w]:
+                    firsts[w] = i
+        return pa.table(
+            {
+                "token": pa.array(list(firsts.keys()), pa.string()),
+                "first_part": pa.array(list(firsts.values()), pa.int64()),
+            }
+        )
+
+    firsts = (
+        docs.map_batches(first_seen, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Min("first_part", alias_name="first_doc"))
+    )
+
+    def decile_of(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        fd = batch["first_doc"].to_numpy(zero_copy_only=False)
+        # smallest d (1..10) with first_doc <= d*N//10 - 1
+        dec = np.searchsorted(
+            np.array([d * n_docs // 10 - 1 for d in range(1, 11)]), fd
+        ) + 1
+        return pa.table(
+            {
+                "decile": pa.array(dec, pa.int64()),
+                "one": pa.array([1] * len(fd), pa.int64()),
+            }
+        )
+
+    hist = {
+        r["decile"]: r["n"]
+        for r in firsts.map_batches(decile_of, batch_format="pyarrow")
+        .groupby("decile")
+        .aggregate(Sum("one", alias_name="n"))
+        .take_all()  # ≤ 10 rows
+    }
+    acc, rows = 0, []
+    for d in range(1, 11):
+        acc += hist.get(d, 0)
+        rows.append((d, d * n_docs // 10 - 1, acc))
+    return pa.table(
+        {
+            "decile": pa.array([r[0] for r in rows], pa.int64()),
+            "cutoff_doc_id": pa.array([r[1] for r in rows], pa.int64()),
+            "vocab_size": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
