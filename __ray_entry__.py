@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_cluster": q.q_semantic_cluster,
         # seeding + adaptive
         "seed_urls": q.q_seed_urls,
+        "sitemap_coverage": q.q_sitemap_coverage,
         "seed_cc": q.q_seed_cc,
         "seed_robots": q.q_seed_robots,
         "crawl_delay_budget": q.q_crawl_delay_budget,

@@ -1688,6 +1688,28 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # per-host sitemap coverage audit (queries.py:q_sitemap_coverage)
+    sql["sitemap_coverage"] = f"""
+        WITH crawled AS (
+            SELECT DISTINCT regexp_extract(url, 'https://([^/]+)', 1) AS host,
+                   url
+            FROM read_parquet('{path}')
+        ),
+        locs AS (
+            SELECT DISTINCT
+                   unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS surl
+            FROM read_parquet('{_sitemaps_glob(sf_dir)}')
+            WHERE NOT is_index
+        )
+        SELECT c.host,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(SUM(CASE WHEN l.surl IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_listed,
+               CAST(1000 * SUM(CASE WHEN l.surl IS NOT NULL THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS coverage_permille
+        FROM crawled c LEFT JOIN locs l ON l.surl = c.url
+        GROUP BY c.host
+    """
     # vocabulary growth curve (queries.py:q_vocab_growth): first
     # occurrence per token bucketed by doc-id decile, cumsum'd
     sql["vocab_growth"] = """

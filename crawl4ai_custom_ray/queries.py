@@ -2961,3 +2961,105 @@ def q_vocab_growth(sf_dir: str):
             "vocab_size": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+def q_sitemap_coverage(sf_dir: str):
+    """Sitemap coverage audit: per host, how many crawled pages the
+    host's sitemaps actually list — the crawl-completeness /
+    discoverability gap that decides whether a host needs link
+    discovery or its sitemap suffices.  Integer per-mille coverage.
+
+    Scale shape: both sides reduce to distinct (host, url) rows
+    before ONE url-keyed left join (sitemap side marked, no set is
+    collected or broadcast); the rollup is host-bounded."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .functions.dedup import _coalesce_for_join, _join_partitions, hash_join_safe
+    from .functions.graph import _host_of
+    from .sources.pages import pages_parquet_path
+    from .sources.seeder import seed_urls, sitemaps_parquet_path
+
+    pages = rd.read_parquet(pages_parquet_path(sf_dir), columns=["url"])
+
+    def with_host(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.array(
+                    [_host_of(u) for u in batch["url"].to_pylist()], pa.string()
+                ),
+                "url": batch["url"],
+            }
+        )
+
+    crawled = pages.map_batches(with_host, batch_format="pyarrow")
+    crawled, _ = _coalesce_for_join(crawled)
+
+    from ray.data.aggregate import Count
+
+    smaps = rd.read_parquet(sitemaps_parquet_path(sf_dir))
+    listed = (
+        seed_urls(smaps, pattern=None)
+        .select_columns(["url"])
+        .groupby("url")
+        .aggregate(Count(alias_name="dup"))  # distinct — a loc repeated
+        # across sitemaps must not multiply the join
+        .select_columns(["url"])
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "surl": batch["url"],
+                "listed": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+
+    listed = listed.map_batches(mark, batch_format="pyarrow")
+    listed, _ = _coalesce_for_join(listed)
+
+    joined = hash_join_safe(
+        crawled,
+        listed,
+        on=("url",),
+        right_on=("surl",),
+        join_type="left_outer",
+        num_partitions=_join_partitions(8),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        keyed = pa.table(
+            {
+                "host": batch["host"],
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+                "inmap": _pc.coalesce(batch["listed"], pa.scalar(0, pa.int64())),
+            }
+        )
+        agg = pa.TableGroupBy(keyed, ["host"]).aggregate(
+            [("one", "sum"), ("inmap", "sum")]
+        )
+        return agg.rename_columns(["host", "n_p", "l_p"])
+
+    rolled = (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_p", alias_name="n_pages"),
+            Sum("l_p", alias_name="n_listed"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        pm = _pc.divide(
+            _pc.multiply(batch["n_listed"], pa.scalar(1000, pa.int64())),
+            batch["n_pages"],
+        )
+        return batch.append_column(
+            "coverage_permille", _pc.cast(pm, pa.int64())
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
