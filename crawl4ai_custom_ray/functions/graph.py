@@ -195,6 +195,8 @@ def hits(
 
     from .dedup import _coalesce_for_join, _join_partitions
 
+    if iters < 1:
+        raise ValueError("hits requires iters >= 1 (no authorities otherwise)")
     nparts = _join_partitions(num_partitions)
     edges = edges.select_columns([src_column, dst_column]).materialize()
     nodes = nodes.select_columns([node_column]).materialize()
