@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q.q_pack_sequences,
         "quality_score": q.q_quality_score,
         "lang_id": q.q_lang_id,
+        "lang_confusion": q.q_lang_confusion,
         "fingerprint": q.q_fingerprint,
         "knn_topk": q.q_knn_topk,
         "dedup_embedding": q.q_dedup_embedding,

@@ -103,7 +103,9 @@ class LanguageId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
         preds = [self.predict(t) for t in texts]
-        out = batch.select([c for c in ("doc_id", "url") if c in batch.column_names])
+        out = batch.select(
+            [c for c in ("doc_id", "url", "lang") if c in batch.column_names]
+        )
         out = out.append_column("pred_lang", pa.array([p[0] for p in preds], pa.string()))
         return out.append_column(
             "lang_score", pa.array([p[1] for p in preds], pa.float64())

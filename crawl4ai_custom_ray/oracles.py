@@ -1688,6 +1688,23 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # language-ID confusion matrix (queries.py:q_lang_confusion):
+    # the lang_id detector replay joined onto the declared lang
+    sql["lang_confusion"] = (
+        sql["lang_id"].rstrip()
+        .replace(
+            "SELECT doc_id,\n"
+            "                   CASE WHEN score > 0.02 THEN lang ELSE 'und' END AS pred_lang,\n"
+            "                   score AS lang_score\n"
+            "            FROM ranked",
+            "SELECT d.lang AS declared_lang,\n"
+            "                   CASE WHEN r.score > 0.02 THEN r.lang ELSE 'und' END AS pred_lang,\n"
+            "                   CAST(COUNT(*) AS BIGINT) AS n_docs\n"
+            "            FROM ranked r JOIN documents d USING (doc_id)\n"
+            "            GROUP BY 1, 2",
+        )
+    )
+    assert "declared_lang" in sql["lang_confusion"], "lang_id oracle drifted"
     # per-host sitemap coverage audit (queries.py:q_sitemap_coverage)
     sql["sitemap_coverage"] = f"""
         WITH crawled AS (

@@ -3063,3 +3063,36 @@ def q_sitemap_coverage(sf_dir: str):
         )
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-ID validation: confusion matrix of the table's
+    declared ``lang`` against the heuristic detector — the QA rollup
+    that tells you when to trust the metadata vs the model.  The
+    actor-pool detector feeds straight into a bounded langs² groupby
+    (one shuffle of (declared, predicted) partial counts)."""
+    from ray.data.aggregate import Sum
+
+    from .functions.textstats import language_id
+
+    docs = _documents(sf_dir, ["doc_id", "lang", "text"])
+    pred = language_id(docs)  # passes the declared `lang` column through
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keyed = pa.table(
+            {
+                "declared_lang": batch["lang"],
+                "pred_lang": batch["pred_lang"],
+                "one": pa.array([1] * batch.num_rows, pa.int64()),
+            }
+        )
+        agg = pa.TableGroupBy(keyed, ["declared_lang", "pred_lang"]).aggregate(
+            [("one", "sum")]
+        )
+        return agg.rename_columns(["declared_lang", "pred_lang", "n_p"])
+
+    return (
+        pred.map_batches(partial, batch_format="pyarrow")
+        .groupby(["declared_lang", "pred_lang"])
+        .aggregate(Sum("n_p", alias_name="n_docs"))
+    )
