@@ -607,6 +607,22 @@ def pmi_pairs(
     # bounded single-row aggregates → driver scalars
     T = uni.aggregate(Sum("n"))["sum(n)"]
     P = pairs.aggregate(Sum("n_pair"))["sum(n_pair)"]
+    if not P:
+        # no co-occurring pair anywhere (e.g. every doc is a single
+        # token): an all-empty aggregate output has no schema for the
+        # joins to key on — short-circuit to the typed empty result
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "tok_a": pa.array([], pa.string()),
+                    "tok_b": pa.array([], pa.string()),
+                    "n_pair": pa.array([], pa.int64()),
+                    "lift_ppm": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     nparts = _join_partitions(num_partitions)
     j1 = hash_join_safe(
