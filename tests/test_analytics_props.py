@@ -169,3 +169,79 @@ def test_hits_matches_reference(ray_session, edge_list, iters):
         norm = max(sum(hraw.values()) // scale, 1)
         hub = {n: v // norm for n, v in hraw.items()}
     assert got == {n: (hub[n], auth[n]) for n in nodes}
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_tokens(), min_size=1, max_size=8))
+def test_rank_blend_matches_pandas_rank(ray_session, docs_tokens):
+    import pandas as pd
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import STOPWORDS, rank_blend
+
+    texts = [" ".join(t) for t in docs_tokens]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        rank_blend(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    stop = set(STOPWORDS)
+    ref = pd.DataFrame(
+        {
+            "n_words": [len(x.split(" ")) for x in texts],
+            "n_stop": [sum(1 for w in x.split(" ") if w in stop) for x in texts],
+        }
+    )
+    exp_len = (ref["n_words"].rank(method="min") - 1).astype(int)
+    exp_stop = (ref["n_stop"].rank(method="min") - 1).astype(int)
+    assert out["rank_len"].tolist() == exp_len.tolist()
+    assert out["rank_stop"].tolist() == exp_stop.tolist()
+    assert out["blend"].tolist() == (exp_len + exp_stop).tolist()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=3, max_size=8),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_novelty_matches_bruteforce(ray_session, docs_tokens):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import novelty_score
+
+    texts = [" ".join(t) for t in docs_tokens]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        novelty_score(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    shingles = [
+        {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+        for tk in docs_tokens
+    ]
+    from collections import Counter
+
+    df = Counter(s for sh in shingles for s in sh)
+    for i, sh in enumerate(shingles):
+        row = out[out.doc_id == i].iloc[0]
+        n_common = sum(1 for s in sh if df[s] >= 2)
+        assert row["n_shingles"] == len(sh)
+        assert row["n_common"] == n_common
+        assert row["novel"] == (2 * n_common <= len(sh))
