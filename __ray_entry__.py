@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": q.q_knn_lsh,
         "knn_rrf": q.q_knn_rrf,
         "media_features": q.q_media_features,
+        "frame_sample": q.q_frame_sample,
         "pdf_extract": q.q_pdf_extract,
         "events_window": q.q_events_window,
         "events_hopping": q.q_events_hopping,

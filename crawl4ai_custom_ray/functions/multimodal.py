@@ -113,3 +113,74 @@ def extract_media_features(
         concurrency=concurrency,
         num_cpus=0.5,
     )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for opaque video payloads —
+    the Ray-side plumbing (schema, per-row explosion, batched actor
+    work) is real; the decode is the repo's deterministic stub
+    convention (no codecs in this environment; a real build swaps
+    ``_frame_digest`` for an ffmpeg/PyAV frame grab loaded once in
+    ``__init__``).
+
+    Sampling contract (mirrored by the SQL oracle): one frame per
+    4096-byte span, capped at ``max_frames``; frame f's payload is
+    the 64-byte window at offset f·4096 and its digest is the
+    repo-wide seedless md5 u64 of that window's text."""
+
+    FRAME_SPAN = 4096
+    WINDOW = 64
+
+    def __init__(self, *, binary_column: str = "payload", max_frames: int = 5):
+        from .curation import _md5_u64
+
+        self.binary_column = binary_column
+        self.max_frames = max_frames
+        self._digest = _md5_u64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, idxs, offs, digs = [], [], [], []
+        for u, payload in zip(
+            batch["url"].to_pylist(), batch[self.binary_column].to_pylist()
+        ):
+            data = payload if isinstance(payload, str) else payload.decode(
+                "utf-8", errors="replace"
+            )
+            n = len(data)
+            n_frames = min(max(1, -(-n // self.FRAME_SPAN)), self.max_frames)
+            for f in range(n_frames):
+                off = f * self.FRAME_SPAN
+                window = data[off : off + self.WINDOW]
+                urls.append(u)
+                idxs.append(f)
+                offs.append(off)
+                digs.append(self._digest(window) % (1 << 62))
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "byte_offset": pa.array(offs, pa.int64()),
+                "frame_digest": pa.array(digs, pa.int64()),
+            }
+        )
+
+
+def sample_frames(ds, *, binary_column: str = "payload", max_frames: int = 5,
+                  concurrency: int = 2, batch_size: int = 256):
+    """Video-style frame sampling as an actor-pool flat explosion:
+    each payload row yields ≤ ``max_frames`` frame rows.  Small
+    batches by design — binary payloads are large, so batch_size
+    bounds worker heap (the multimodal sizing rule)."""
+    import functools
+
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={
+            "binary_column": binary_column,
+            "max_frames": max_frames,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        num_cpus=0.5,
+    )

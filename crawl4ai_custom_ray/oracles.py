@@ -1688,6 +1688,25 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # deterministic frame sampling over opaque payloads
+    # (multimodal.py:FrameSampler): one frame per 4096-char span
+    # capped at 5; digest = md5-u64 of the 64-char window mod 2^62
+    sql["frame_sample"] = f"""
+        WITH p AS (SELECT url, decode(html) AS t FROM read_parquet('{path}')),
+        n AS (
+            SELECT url, t,
+                   LEAST(GREATEST(1, (length(t) + 4095) // 4096), 5) AS nf
+            FROM p
+        ),
+        f AS (SELECT url, t, unnest(range(0, nf)) AS frame_idx FROM n)
+        SELECT url,
+               CAST(frame_idx AS BIGINT) AS frame_idx,
+               CAST(frame_idx * 4096 AS BIGINT) AS byte_offset,
+               CAST(('0x' || substr(md5(substr(t, CAST(frame_idx AS INT) * 4096 + 1, 64)),
+                     1, 16))::UBIGINT % 4611686018427387904 AS BIGINT)
+                   AS frame_digest
+        FROM f
+    """
     # language-ID confusion matrix (queries.py:q_lang_confusion):
     # the lang_id detector replay joined onto the declared lang
     sql["lang_confusion"] = (

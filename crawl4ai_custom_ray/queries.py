@@ -3096,3 +3096,13 @@ def q_lang_confusion(sf_dir: str):
         .groupby(["declared_lang", "pred_lang"])
         .aggregate(Sum("n_p", alias_name="n_docs"))
     )
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame-sampling plumbing: pages' html bytes as opaque
+    video payloads → actor-pool sampler → one row per sampled frame
+    (url, frame_idx, byte_offset, frame_digest)."""
+    from .functions.multimodal import sample_frames
+
+    pages = read_pages(sf_dir).select_columns(["url", "html"])
+    return sample_frames(pages, binary_column="html")

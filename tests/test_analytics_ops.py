@@ -324,3 +324,34 @@ def test_kmv_parallelism_invariant(ray_session):
     assert outs[0].equals(outs[1])
     # 2000 distinct, k=64 → estimate within ~25% of truth
     assert 1500 < outs[0].loc[0, "estimate"] < 2700
+
+
+def test_frame_sampler_multiframe_and_cap(ray_session):
+    """Payload spanning 3 frame spans yields 3 frames at the right
+    offsets; a huge payload caps at max_frames; digests match the
+    md5-u64 window convention."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import _md5_u64
+    from crawl4ai_custom_ray.functions.multimodal import sample_frames
+
+    three = "x" * (4096 * 2 + 10)
+    huge = "y" * (4096 * 50)
+    t = pa.table(
+        {
+            "url": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array([three, huge], pa.string()),
+        }
+    )
+    out = (
+        sample_frames(rd.from_arrow(t), max_frames=5)
+        .to_pandas()
+        .sort_values(["url", "frame_idx"])
+        .reset_index(drop=True)
+    )
+    a = out[out.url == "a"]
+    assert a["frame_idx"].tolist() == [0, 1, 2]
+    assert a["byte_offset"].tolist() == [0, 4096, 8192]
+    assert len(out[out.url == "b"]) == 5  # capped
+    exp = _md5_u64(three[4096 : 4096 + 64]) % (1 << 62)
+    assert int(a[a.frame_idx == 1]["frame_digest"].iloc[0]) == exp
