@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q.q_knn_ivf,
         "knn_lsh": q.q_knn_lsh,
         "knn_rrf": q.q_knn_rrf,
+        "quantize_embeddings": q.q_quantize_embeddings,
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
         "pdf_extract": q.q_pdf_extract,

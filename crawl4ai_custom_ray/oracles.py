@@ -1688,6 +1688,34 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # int8 embedding quantization integrity scalars
+    # (queries.py:q_quantize_embeddings); floor(x::DOUBLE/s) == the
+    # numpy signed floor-div here (|x| < 2^53, gap 1/s >> ulp)
+    sql["quantize_embeddings"] = """
+        WITH x AS (
+            SELECT vec_id, t.i AS d,
+                   CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT) AS v
+            FROM embeddings, range(0, 64) t(i)
+        ),
+        s AS (SELECT vec_id, MAX(ABS(v)) AS sc FROM x GROUP BY 1),
+        q AS (
+            SELECT x.vec_id, x.d, s.sc,
+                   CAST(floor((x.v * 127)::DOUBLE / s.sc) AS BIGINT) AS q
+            FROM x JOIN s USING (vec_id) WHERE s.sc > 0
+        ),
+        agg AS (
+            SELECT vec_id, MAX(sc) AS scale_int,
+                   SUM(q * (d + 1)) AS q_checksum,
+                   SUM(ABS(q)) AS q_l1
+            FROM q GROUP BY vec_id
+        )
+        SELECT s.vec_id,
+               CAST(COALESCE(a.scale_int, 0) AS BIGINT) AS scale_int,
+               CAST(COALESCE(a.q_checksum, 0) AS BIGINT) AS q_checksum,
+               CAST(COALESCE(a.q_l1, 0) AS BIGINT) AS q_l1
+        FROM s LEFT JOIN agg a USING (vec_id)
+    """
     # deterministic frame sampling over opaque payloads
     # (multimodal.py:FrameSampler): one frame per 4096-char span
     # capped at 5; digest = md5-u64 of the 64-char window mod 2^62

@@ -3106,3 +3106,54 @@ def q_frame_sample(sf_dir: str):
 
     pages = read_pages(sf_dir).select_columns(["url", "html"])
     return sample_frames(pages, binary_column="html")
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Scalar int8 quantization of the embedding column — the ANN
+    storage-compression pass (4× over fp32, 8× over fp64): per-vector
+    symmetric scale = max|v|, q_i = floor(v_i·127 / scale) over
+    fixed-point integer components.  Emitted as per-vector integrity
+    scalars (scale, position-weighted checksum, L1 mass) so the whole
+    quantized tensor is oracle-checkable without a list column.
+
+    Determinism note: q uses FLOOR division on signed values — numpy
+    ``//`` floors, and the oracle reproduces it as
+    floor(x::DOUBLE / s) which is exact here because |x| < 2^53 and
+    the nearest-miss gap 1/s dwarfs the double ulp.  Stateless
+    per-block pass; no shuffle at all."""
+    import numpy as np
+    import ray.data as rd
+
+    from .functions.clustering import _int_vectors
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        mat = _int_vectors(batch, "embedding", 1_000_000)
+        ids = batch["vec_id"].to_pylist()
+        sc = np.abs(mat).max(axis=1)
+        out_s, out_c, out_l = [], [], []
+        d = mat.shape[1]
+        w = np.arange(1, d + 1, dtype=np.int64)
+        for r in range(mat.shape[0]):
+            if sc[r] == 0:
+                out_s.append(0)
+                out_c.append(0)
+                out_l.append(0)
+                continue
+            q = (mat[r] * 127) // sc[r]
+            out_s.append(int(sc[r]))
+            out_c.append(int((q * w).sum()))
+            out_l.append(int(np.abs(q).sum()))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "scale_int": pa.array(out_s, pa.int64()),
+                "q_checksum": pa.array(out_c, pa.int64()),
+                "q_l1": pa.array(out_l, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(quantize, batch_format="pyarrow")
