@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": q.q_ccnet_buckets,
         "pack_sequences": q.q_pack_sequences,
         "quality_score": q.q_quality_score,
+        "text_entropy": q.q_text_entropy,
         "lang_id": q.q_lang_id,
         "lang_confusion": q.q_lang_confusion,
         "fingerprint": q.q_fingerprint,

@@ -1688,6 +1688,30 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # per-doc character entropy (queries.py:q_text_entropy); logs
+    # fixed-pointed before the weighted sum; all terms non-negative
+    sql["text_entropy"] = """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents
+        ),
+        cc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS v
+               FROM ch GROUP BY 1, 2),
+        nn AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+               FROM documents),
+        e AS (
+            SELECT cc.doc_id,
+                   CAST(SUM(cc.v * CAST(floor(ln(nn.n::DOUBLE / cc.v)
+                                        * 1000000) AS BIGINT))
+                        // MAX(nn.n) AS BIGINT) AS entropy_upm
+            FROM cc JOIN nn USING (doc_id) GROUP BY cc.doc_id
+        )
+        SELECT nn.doc_id,
+               COALESCE(e.entropy_upm, 0) AS entropy_upm,
+               (COALESCE(e.entropy_upm, 0) < 1500000
+                OR COALESCE(e.entropy_upm, 0) > 4500000) AS flagged
+        FROM nn LEFT JOIN e USING (doc_id)
+    """
     # int8 embedding quantization integrity scalars
     # (queries.py:q_quantize_embeddings); floor(x::DOUBLE/s) == the
     # numpy signed floor-div here (|x| < 2^53, gap 1/s >> ulp)

@@ -3157,3 +3157,49 @@ def q_quantize_embeddings(sf_dir: str):
         )
 
     return emb.map_batches(quantize, batch_format="pyarrow")
+
+
+def q_text_entropy(sf_dir: str):
+    """Per-document character-distribution Shannon entropy — the
+    gibberish/encoding-noise detector (natural language sits in a
+    narrow entropy band; base64 blobs and mojibake fall outside).
+
+    Integer contract (oracle-mirrored): with character counts c_i and
+    length N, entropy_upm = (Σ c_i · floor(ln(N/c_i)·10⁶)) // N —
+    the per-character log fixed-pointed BEFORE the weighted sum (the
+    KL/tfidf convention), so the result is order-free.  ``flagged``
+    ⇔ entropy outside the [1.5, 4.5] nat band.  Stateless per-block
+    pass, no shuffle."""
+    import math
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    def entropy(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids = batch["doc_id"]
+        ents = []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            n = len(t)
+            if n == 0:
+                ents.append(0)
+                continue
+            c = Counter(t)
+            total = sum(
+                v * math.floor(math.log(n / v) * 1_000_000)
+                for v in c.values()
+            )
+            ents.append(total // n)
+        earr = pa.array(ents, pa.int64())
+        import pyarrow.compute as _pc
+
+        flagged = _pc.or_(
+            _pc.less(earr, pa.scalar(1_500_000, pa.int64())),
+            _pc.greater(earr, pa.scalar(4_500_000, pa.int64())),
+        )
+        return pa.table(
+            {"doc_id": ids, "entropy_upm": earr, "flagged": flagged}
+        )
+
+    return docs.map_batches(entropy, batch_format="pyarrow")
