@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_stats": q.q_link_stats,
         "host_graph": q.q_host_graph,
         "degree_hist": q.q_degree_hist,
+        "url_depth_hist": q.q_url_depth_hist,
         "trap_detect": q.q_trap_detect,
         "dangling_links": q.q_dangling_links,
         "pagerank": q.q_pagerank,
@@ -100,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": q.q_corpus_report,
         "kl_divergence": q.q_kl_divergence,
         "sessionize": q.q_sessionize,
+        "session_stats": q.q_session_stats,
         "funnel": q.q_funnel,
         "event_transitions": q.q_event_transitions,
         "asof_join": q.q_asof_join,

@@ -1688,6 +1688,44 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # session-length histogram (queries.py:q_session_stats): the
+    # sessionize oracle rolled up by events-per-session
+    sql["session_stats"] = """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_id
+            FROM ordered
+        ),
+        sizes AS (
+            SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT n_events, CAST(COUNT(*) AS BIGINT) AS n_sessions
+        FROM sizes GROUP BY n_events
+    """
+    # URL path-depth histogram (queries.py:q_url_depth_hist)
+    sql["url_depth_hist"] = f"""
+        WITH d AS (
+            SELECT CAST(len(list_filter(
+                       string_split(
+                           regexp_replace(url, '^[a-z]+://[^/]*', ''), '/'),
+                       x -> x <> '')) AS BIGINT) AS depth
+            FROM read_parquet('{path}')
+        )
+        SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_urls
+        FROM d GROUP BY depth
+    """
     # per-doc character entropy (queries.py:q_text_entropy); logs
     # fixed-pointed before the weighted sum; all terms non-negative
     sql["text_entropy"] = """

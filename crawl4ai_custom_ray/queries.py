@@ -3203,3 +3203,52 @@ def q_text_entropy(sf_dir: str):
         )
 
     return docs.map_batches(entropy, batch_format="pyarrow")
+
+
+def q_url_depth_hist(sf_dir: str):
+    """URL path-depth distribution of the crawled corpus (how deep
+    the crawl went — the frontier-budget sanity check): non-empty
+    path segments per URL, histogram over the bounded depth domain.
+    Per-block distinct-depth combiner; the shuffle is ≤ max-depth
+    rows per block."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .sources.pages import pages_parquet_path
+
+    pages = rd.read_parquet(pages_parquet_path(sf_dir), columns=["url"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for u in batch["url"].to_pylist():
+            path = u.split("://", 1)[-1].split("/", 1)
+            segs = path[1].split("/") if len(path) > 1 else []
+            c[sum(1 for s in segs if s)] += 1
+        return pa.table(
+            {
+                "depth": pa.array(list(c.keys()), pa.int64()),
+                "n_part": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    return (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .groupby("depth")
+        .aggregate(Sum("n_part", alias_name="n_urls"))
+    )
+
+
+def q_session_stats(sf_dir: str):
+    """Session-length distribution: the sessionize operator's output
+    rolled up into a histogram of events-per-session — the engagement
+    shape report.  Composition over the packed-aggregate sessionizer;
+    the rollup groupby is bounded by the max session length."""
+    from ray.data.aggregate import Count
+
+    return (
+        q_sessionize(sf_dir)
+        .groupby("n_events")
+        .aggregate(Count(alias_name="n_sessions"))
+    )
