@@ -267,6 +267,17 @@ def run_bench() -> dict:
 
     queries["curate_pipeline"] = _timed(curate)
 
+    # PMI collocations (combiner-first pair counting + unigram joins)
+    from crawl4ai_custom_ray.functions.textstats import pmi_pairs
+
+    def pmi():
+        docs = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        pmi_pairs(docs, window=3, min_count=10, top_k=100).count()
+
+    queries["pmi_pairs"] = _timed(pmi)
+
     # CCNet-style bigram-LM scoring (salted left joins, fixed point)
     from crawl4ai_custom_ray.functions.curation import lm_score
     import pyarrow as pa
