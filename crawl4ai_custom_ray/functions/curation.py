@@ -1501,24 +1501,31 @@ def boilerplate_strip(
             "boiler", pa.array([1] * batch.num_rows, pa.int64())
         )
 
-    boiler = boiler.map_batches(mark, batch_format="pyarrow")
-    boiler, _ = _coalesce_for_join(boiler)
+    # the boilerplate set is bounded by the template vocabulary —
+    # materialize it so the no-boilerplate case can skip the join (an
+    # all-empty aggregate output has no schema for the join to key on)
+    boiler = boiler.map_batches(mark, batch_format="pyarrow").materialize()
 
-    joined = exploded.join(
-        boiler,
-        join_type="left_outer",
-        num_partitions=_join_partitions(num_partitions),
-        on=("h",),
-        right_on=("h",),
-    )
-    def keep_non_boiler(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as _pc
-
-        return batch.filter(_pc.is_null(batch["boiler"])).select(
-            ["id", "pos", "line", "n_lines"]
+    if boiler.count() == 0:
+        kept = exploded.select_columns(["id", "pos", "line", "n_lines"])
+    else:
+        boiler, _ = _coalesce_for_join(boiler)
+        joined = exploded.join(
+            boiler,
+            join_type="left_outer",
+            num_partitions=_join_partitions(num_partitions),
+            on=("h",),
+            right_on=("h",),
         )
 
-    kept = joined.map_batches(keep_non_boiler, batch_format="pyarrow")
+        def keep_non_boiler(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return batch.filter(_pc.is_null(batch["boiler"])).select(
+                ["id", "pos", "line", "n_lines"]
+            )
+
+        kept = joined.map_batches(keep_non_boiler, batch_format="pyarrow")
 
     assembled = kept.groupby("id").aggregate(
         _assemble_lines_agg(text_column, sep=" "),

@@ -245,3 +245,59 @@ def test_novelty_matches_bruteforce(ray_session, docs_tokens):
         assert row["n_shingles"] == len(sh)
         assert row["n_common"] == n_common
         assert row["novel"] == (2 * n_common <= len(sh))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.lists(st.sampled_from("abcd"), min_size=1, max_size=10),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(2, 4),
+)
+def test_boilerplate_strip_matches_bruteforce(ray_session, docs, chunk_words):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.curation import boilerplate_strip
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "source": pa.array([s for s, _ in docs], pa.string()),
+            "text": pa.array([" ".join(w) for _, w in docs], pa.string()),
+        }
+    )
+    out = (
+        boilerplate_strip(
+            rd.from_arrow(t).repartition(2),
+            chunk_words=chunk_words,
+            min_docs=2,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    from collections import defaultdict
+
+    chunks_of = []
+    for _, w in docs:
+        chunks_of.append(
+            [
+                " ".join(w[s : s + chunk_words])
+                for s in range(0, len(w), chunk_words)
+            ]
+        )
+    pf: dict = defaultdict(set)
+    for i, (src, _) in enumerate(docs):
+        for c in chunks_of[i]:
+            pf[(src, c)].add(i)
+    for i, (src, _) in enumerate(docs):
+        kept = [c for c in chunks_of[i] if len(pf[(src, c)]) < 2]
+        assert out.loc[i, "text"] == " ".join(kept)
+        assert out.loc[i, "n_removed"] == len(chunks_of[i]) - len(kept)
