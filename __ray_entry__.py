@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,
         "dedup_minhash": q.q_dedup_minhash,
+        "minhash_calibration": q.q_minhash_calibration,
         "dedup_simhash": q.q_dedup_simhash,
         "dedup_cluster": q.q_dedup_cluster,
         "dedup_keep_best": q.q_dedup_keep_best,

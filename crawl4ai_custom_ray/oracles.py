@@ -1688,6 +1688,48 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # minhash estimator calibration (queries.py:q_minhash_calibration):
+    # exact-Jaccard truth pairs × 16-perm md5-minima signatures
+    sql["minhash_calibration"] = """
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        d2 AS (SELECT doc_id, list_zip(ws, range(1, len(ws) + 1)) AS z FROM d),
+        zz AS (SELECT doc_id, unnest(z) AS p FROM d2),
+        w AS (SELECT doc_id, p[1]::VARCHAR AS w, p[2]::INTEGER AS i FROM zz),
+        sh AS (
+            SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+            FROM w a
+            JOIN w b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+            JOIN w c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        truth AS (
+            SELECT inter.a, inter.b,
+                   CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) AS jaccard
+            FROM inter
+            JOIN counts ca ON ca.doc_id = inter.a
+            JOIN counts cb ON cb.doc_id = inter.b
+            WHERE CAST(inter.i AS DOUBLE) / (ca.n + cb.n - inter.i) >= 0.5
+        ),
+        sig AS (
+            SELECT sh.doc_id, t.p,
+                   MIN(('0x' || substr(md5(CAST(t.p AS VARCHAR) || '|' || sh.s),
+                        1, 16))::UBIGINT) AS m
+            FROM sh, range(0, 16) t(p)
+            GROUP BY 1, 2
+        )
+        SELECT truth.a, truth.b, truth.jaccard,
+               CAST(SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END)
+                    * 1000000 // 16 AS BIGINT) AS est_ppm
+        FROM truth
+        JOIN sig sa ON sa.doc_id = truth.a
+        JOIN sig sb ON sb.doc_id = truth.b AND sb.p = sa.p
+        GROUP BY 1, 2, 3
+    """
     # session-length histogram (queries.py:q_session_stats): the
     # sessionize oracle rolled up by events-per-session
     sql["session_stats"] = """

@@ -3252,3 +3252,116 @@ def q_session_stats(sf_dir: str):
         .groupby("n_events")
         .aggregate(Count(alias_name="n_sessions"))
     )
+
+
+def q_minhash_calibration(sf_dir: str):
+    """MinHash estimator calibration: for every true near-duplicate
+    pair (exact Jaccard ≥ 0.5), the md5-permutation MinHash estimate
+    next to the exact value — the report that justifies a chosen
+    band/permutation budget before a 100 TB dedup run.
+
+    Estimator (oracle-mirrored): 16 seedless permutations, perm p's
+    signature = min over the doc's distinct 3-gram shingles s of
+    md5_u64(f"{p}|{s}"); est_ppm = matching-minima·10⁶ // 16.
+
+    Scale shape: signatures are per-block partial minima → one
+    (id, perm)-keyed groupby-min (16 rows per doc); the pair set is
+    the exact-join output (bounded by true duplicates), and the
+    signature attach is two id-keyed hash joins."""
+    from ray.data.aggregate import Min, Sum
+
+    from .functions.curation import _md5_u64
+    from .functions.dedup import (
+        _coalesce_for_join,
+        _join_partitions,
+        _token_rows_fn,
+        hash_join_safe,
+        jaccard_pairs,
+    )
+
+    N_PERM = 16
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    truth = jaccard_pairs(docs, threshold=0.5, shingle_n=3)
+    truth, _ = _coalesce_for_join(truth)
+
+    rows = docs.map_batches(
+        _token_rows_fn("doc_id", "text", 3), batch_format="pyarrow"
+    )
+
+    def sig_partial(batch: pa.Table) -> pa.Table:
+        mins: dict = {}
+        for i, s in zip(batch["id"].to_pylist(), batch["token"].to_pylist()):
+            for p in range(N_PERM):
+                h = _md5_u64(f"{p}|{s}")
+                k = (i, p)
+                if k not in mins or h < mins[k]:
+                    mins[k] = h
+        ks = list(mins.keys())
+        return pa.table(
+            {
+                "id": pa.array([k[0] for k in ks], pa.int64()),
+                "perm": pa.array([k[1] for k in ks], pa.int64()),
+                # signed shift so int64 min == unsigned min
+                "m": pa.array(
+                    [mins[k] - (1 << 63) for k in ks], pa.int64()
+                ),
+            }
+        )
+
+    sigs = (
+        rows.map_batches(sig_partial, batch_format="pyarrow")
+        .groupby(["id", "perm"])
+        .aggregate(Min("m", alias_name="m"))
+    )
+    sigs, _ = _coalesce_for_join(sigs)
+
+    ja = hash_join_safe(
+        truth, sigs, on=("a",), right_on=("id",), join_type="inner",
+        num_partitions=_join_partitions(4),
+    ).rename_columns({"m": "ma", "perm": "perm"})
+    jb = hash_join_safe(
+        ja, sigs, on=("b", "perm"), right_on=("id", "perm"),
+        join_type="inner", num_partitions=_join_partitions(4),
+    ).rename_columns({"m": "mb"})
+
+    def match_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        eq = _pc.cast(_pc.equal(batch["ma"], batch["mb"]), pa.int64())
+        keyed = pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "jaccard": batch["jaccard"],
+                "eq": eq,
+            }
+        )
+        agg = pa.TableGroupBy(keyed, ["a", "b", "jaccard"]).aggregate(
+            [("eq", "sum")]
+        )
+        return agg.rename_columns(["a", "b", "jaccard", "eq_p"])
+
+    per_pair = (
+        jb.map_batches(match_partial, batch_format="pyarrow")
+        .groupby(["a", "b", "jaccard"])
+        .aggregate(Sum("eq_p", alias_name="n_match"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        est = _pc.divide(
+            _pc.multiply(batch["n_match"], pa.scalar(1_000_000, pa.int64())),
+            pa.scalar(N_PERM, pa.int64()),
+        )
+        return pa.table(
+            {
+                "a": batch["a"],
+                "b": batch["b"],
+                "jaccard": batch["jaccard"],
+                "est_ppm": _pc.cast(est, pa.int64()),
+            }
+        )
+
+    return per_pair.map_batches(finish, batch_format="pyarrow")
