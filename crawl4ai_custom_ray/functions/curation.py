@@ -1531,8 +1531,7 @@ def boilerplate_strip(
         _assemble_lines_agg(text_column, sep=" "),
         Count(alias_name="n_kept"),
         Max("n_lines", alias_name="n_lines"),
-    )
-    assembled, _ = _coalesce_for_join(assembled)
+    ).materialize()
 
     ids_only = (
         exploded.select_columns(["id", "n_lines"])
@@ -1540,6 +1539,27 @@ def boilerplate_strip(
         .aggregate(Max("n_lines", alias_name="n_total"))
     )
     ids_only, _ = _coalesce_for_join(ids_only)
+
+    if assembled.count() == 0:
+        # EVERY line everywhere was boilerplate (all docs of each
+        # source identical): the empty aggregate has no schema to
+        # join on — emit empty text / n_removed = n_total directly
+        def all_removed(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    id_column: batch["id"],
+                    text_column: pa.array(
+                        [""] * batch.num_rows, pa.large_string()
+                    ),
+                    "n_removed": pa.compute.cast(
+                        batch["n_total"], pa.int64()
+                    ),
+                }
+            )
+
+        return ids_only.map_batches(all_removed, batch_format="pyarrow")
+
+    assembled, _ = _coalesce_for_join(assembled)
     full = ids_only.join(
         assembled,
         join_type="left_outer",
