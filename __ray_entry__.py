@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_bfs": q.q_frontier_bfs,
         "top_k_per_host": q.q_top_k_per_host,
         "robots_filter": q.q_robots_filter,
+        "ua_assign": q.q_ua_assign,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "jaccard_pairs": q.q_jaccard_pairs,

@@ -1688,6 +1688,41 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # deterministic UA rotation + Sec-CH-UA derivation
+    # (frontier/user_agents.py); catalog interpolated from the module
+    # so the oracle can't drift; hints derived INDEPENDENTLY via
+    # regexp CASE mirroring the reference rule set
+    from .frontier.user_agents import DEFAULT_UA_CATALOG as _UAS
+
+    _cat_values = ", ".join(
+        f"({i}, '{ua}')" for i, ua in enumerate(_UAS)
+    )
+    sql["ua_assign"] = f"""
+        WITH cat(idx, ua) AS (VALUES {_cat_values}),
+        p AS (
+            SELECT url,
+                   CAST(('0x' || substr(md5(url), 1, 16))::UBIGINT
+                        % {len(_UAS)} AS BIGINT) AS ua_idx
+            FROM read_parquet('{path}')
+        ),
+        j AS (SELECT p.url, p.ua_idx, c.ua FROM p JOIN cat c ON c.idx = p.ua_idx)
+        SELECT url, ua_idx, ua AS user_agent,
+               CASE
+                 WHEN regexp_matches(ua, 'Chrome/') AND regexp_matches(ua, 'Edg/')
+                   THEN '"Chromium";v="' || regexp_extract(ua, 'Chrome/(\\d+)', 1)
+                        || '", "Not_A Brand";v="8", "Microsoft Edge";v="'
+                        || regexp_extract(ua, 'Edg/(\\d+)', 1) || '"'
+                 WHEN regexp_matches(ua, 'Chrome/')
+                   THEN '"Chromium";v="' || regexp_extract(ua, 'Chrome/(\\d+)', 1)
+                        || '", "Not_A Brand";v="8", "Google Chrome";v="'
+                        || regexp_extract(ua, 'Chrome/(\\d+)', 1) || '"'
+                 WHEN regexp_matches(ua, 'Firefox/') THEN '""'
+                 WHEN regexp_matches(ua, 'Version/')
+                   THEN '"Safari";v="' || regexp_extract(ua, 'Version/(\\d+)', 1)
+                        || '", "Not_A Brand";v="8"'
+                 ELSE '' END AS sec_ch_ua
+        FROM j
+    """
     # minhash estimator calibration (queries.py:q_minhash_calibration):
     # exact-Jaccard truth pairs × 16-perm md5-minima signatures
     sql["minhash_calibration"] = """

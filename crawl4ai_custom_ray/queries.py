@@ -3365,3 +3365,15 @@ def q_minhash_calibration(sf_dir: str):
         )
 
     return per_pair.map_batches(finish, batch_format="pyarrow")
+
+
+def q_ua_assign(sf_dir: str):
+    """Deterministic per-URL user-agent rotation + Sec-CH-UA client
+    hints (reference UA machinery as shard-stable data assignment)."""
+    import ray.data as rd
+
+    from .frontier.user_agents import ua_assign
+    from .sources.pages import pages_parquet_path
+
+    pages = rd.read_parquet(pages_parquet_path(sf_dir), columns=["url"])
+    return ua_assign(pages)
