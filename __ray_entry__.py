@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ua_assign": q.q_ua_assign,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
+        "dedup_summary": q.q_dedup_summary,
         "jaccard_pairs": q.q_jaccard_pairs,
         "dedup_minhash": q.q_dedup_minhash,
         "minhash_calibration": q.q_minhash_calibration,

@@ -1688,6 +1688,30 @@ FROM h3 JOIN a3 ON a3.host = h3.host"""
         FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) r
         LEFT JOIN scored s ON s.doc_id = r.doc_id
     """
+    # dedup impact report (queries.py:q_dedup_summary)
+    sql["dedup_summary"] = r"""
+        WITH h AS (
+            SELECT md5(text) AS h,
+                   md5(trim(regexp_replace(
+                       regexp_replace(
+                           nfc_normalize(strip_accents(lower(text))),
+                           '[0-9]', '0', 'g'),
+                       '[ \t\n\r\f]+', ' ', 'g'))) AS nh
+            FROM documents
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_exact,
+                   CAST(COUNT(DISTINCT nh) AS BIGINT) AS n_distinct_norm
+            FROM h
+        )
+        SELECT n_docs, n_distinct_exact, n_distinct_norm,
+               CAST(1000 * (n_docs - n_distinct_exact) // n_docs AS BIGINT)
+                   AS exact_dup_permille,
+               CAST(1000 * (n_distinct_exact - n_distinct_norm) // n_docs
+                    AS BIGINT) AS norm_extra_permille
+        FROM s
+    """
     # deterministic UA rotation + Sec-CH-UA derivation
     # (frontier/user_agents.py); catalog interpolated from the module
     # so the oracle can't drift; hints derived INDEPENDENTLY via

@@ -3377,3 +3377,54 @@ def q_ua_assign(sf_dir: str):
 
     pages = rd.read_parquet(pages_parquet_path(sf_dir), columns=["url"])
     return ua_assign(pages)
+
+
+def q_dedup_summary(sf_dir: str):
+    """End-of-run dedup impact report: corpus size, distinct exact
+    texts, distinct CCNet-normalized texts, and the per-mille
+    reduction each level buys — the one-row summary a 100 TB dedup
+    run publishes before anyone commits to the expensive near-dup
+    pass.  Distinct counts are hash-groupby row counts (shuffles
+    carry 16-byte hashes only); everything reduces to driver scalars.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    docs = _documents(sf_dir, ["doc_id", "text"])
+
+    from .functions.curation import ccnet_normalize_text
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        hs, nhs = [], []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            hs.append(hashlib.md5(t.encode()).hexdigest())
+            nhs.append(
+                hashlib.md5(ccnet_normalize_text(t).encode()).hexdigest()
+            )
+        return pa.table(
+            {
+                "h": pa.array(hs, pa.string()),
+                "nh": pa.array(nhs, pa.string()),
+            }
+        )
+
+    hashed = docs.map_batches(hashes, batch_format="pyarrow").materialize()
+    n_docs = hashed.count()
+    n_exact = hashed.groupby("h").aggregate(Count(alias_name="c")).count()
+    n_norm = hashed.groupby("nh").aggregate(Count(alias_name="c")).count()
+
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_distinct_exact": pa.array([n_exact], pa.int64()),
+            "n_distinct_norm": pa.array([n_norm], pa.int64()),
+            "exact_dup_permille": pa.array(
+                [1000 * (n_docs - n_exact) // n_docs], pa.int64()
+            ),
+            "norm_extra_permille": pa.array(
+                [1000 * (n_exact - n_norm) // n_docs], pa.int64()
+            ),
+        }
+    )
