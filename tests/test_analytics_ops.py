@@ -355,3 +355,83 @@ def test_frame_sampler_multiframe_and_cap(ray_session):
     assert len(out[out.url == "b"]) == 5  # capped
     exp = _md5_u64(three[4096 : 4096 + 64]) % (1 << 62)
     assert int(a[a.frame_idx == 1]["frame_digest"].iloc[0]) == exp
+
+
+def test_bm25_hand_computed(ray_session, tmp_path):
+    """BM25 with k1=6/5, b=3/4 on a 2-doc corpus: the rational weight
+    44·tf·avgdl/(20·avgdl·tf + 6·avgdl + 18·dl) and the Lucene idf
+    floor(ln((2N+2)/(2df+1))·1e6), OR semantics."""
+    import math
+
+    import pandas as pd
+
+    from crawl4ai_custom_ray import queries as q
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "spark vector spark x",   # tf(spark)=2, tf(vector)=1, dl=4
+                "vector y z",             # tf(vector)=1, dl=3
+                "a b c d e",              # no terms
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [0] * 3,
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = q.q_bm25_search(str(tmp_path)).to_pandas()
+
+    n, avgdl = 3, (4 + 3 + 5) // 3  # = 4
+    idf = {
+        "spark": math.floor(math.log((2 * n + 2) / (2 * 1 + 1)) * 1e6),
+        "vector": math.floor(math.log((2 * n + 2) / (2 * 2 + 1)) * 1e6),
+    }
+
+    def w(tf, dl):
+        return (44 * tf * avgdl, 20 * avgdl * tf + 6 * avgdl + 18 * dl)
+
+    def contrib(term, tf, dl):
+        num, den = w(tf, dl)
+        return (idf[term] * num) // den
+
+    exp0 = contrib("spark", 2, 4) + contrib("vector", 1, 4)
+    exp1 = contrib("vector", 1, 3)
+    got = dict(zip(out["doc_id"], out["score_fp"]))
+    assert got == {0: exp0, 1: exp1}, (got, exp0, exp1)
+
+
+def test_kl_divergence_hand_computed(ray_session, tmp_path):
+    """KL contract on a 2-source corpus: per-token floor'd log-ratio,
+    count-weighted, floor-divided by T_a."""
+    import math
+
+    import pandas as pd
+
+    from crawl4ai_custom_ray import queries as q
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": ["a a b", "a c"],
+            "lang": ["en"] * 2,
+            "source": ["src0", "src1"],
+            "n_chars": [0] * 2,
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    r = q.q_kl_divergence(str(tmp_path))
+    out = (r.to_pandas() if hasattr(r, "to_pandas") else r).to_pandas() if not hasattr(r, "columns") else r
+    import pyarrow as pa_
+
+    row = (r.to_pandas() if hasattr(r, "to_pandas") else r)
+    row = row.to_pydict() if isinstance(row, pa_.Table) else row.iloc[0].to_dict()
+    if isinstance(row, dict) and isinstance(next(iter(row.values())), list):
+        row = {k: v[0] for k, v in row.items()}
+    # counts: a-side {a:2, b:1}, T_a=3; b-side {a:1, c:1}, T_b=2; V=3
+    t_a, t_b, v = 3, 2, 3
+    total = 2 * math.floor(math.log(2 * (t_b + v) / (t_a * (1 + 1))) * 1e6)
+    total += 1 * math.floor(math.log(1 * (t_b + v) / (t_a * (0 + 1))) * 1e6)
+    assert row["t_a"] == t_a and row["t_b"] == t_b and row["vocab"] == v
+    assert row["kl_ppm"] == total // t_a, (row, total // t_a)
