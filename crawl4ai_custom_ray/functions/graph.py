@@ -30,6 +30,147 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# Size-adaptive switch for the iterative (multi-round) kernels below:
+# a BSP round costs 2 hash joins + 1 groupby of driver-coordinated
+# overhead, which dominates wall time when the graph is small.  The
+# graphs here are HOST-level (domain-bounded, not corpus-sized), so
+# below this edge/node count the identical integer arithmetic runs
+# locally — bit-identical by construction (same floor divisions, same
+# associative-commutative integer sums) and asserted so by
+# tests/test_analytics_ops.py::test_graph_local_vs_distributed.  Above
+# it, the BSP path is the only one that fits in memory.
+_LOCAL_GRAPH_MAX_EDGES = 200_000
+
+
+def _pagerank_local(
+    e, n, *, src_column, dst_column, node_column, weight_column, iters, scale
+):
+    """Driver-local replica of the distributed integer PageRank —
+    EXACTLY the same arithmetic (outdeg over all edges; contributions
+    only from edges whose src is a known node, folded only into known
+    dst; floor divisions throughout)."""
+    import numpy as np
+    import ray.data as rd
+
+    base = (15 * scale) // 100
+    idx = {v: i for i, v in enumerate(n[node_column])}
+    N = len(idx)
+    src = np.asarray([idx.get(v, -1) for v in e[src_column]], np.int64)
+    dst = np.asarray([idx.get(v, -1) for v in e[dst_column]], np.int64)
+    w = (
+        e[weight_column].to_numpy().astype(np.int64)
+        if weight_column
+        else np.ones(len(e), np.int64)
+    )
+    # outdeg is keyed by the raw src value (known or not), but only
+    # known-src edges ever contribute, so known srcs suffice.
+    outdeg = np.zeros(N, np.int64)
+    m = src >= 0
+    np.add.at(outdeg, src[m], w[m])
+    live = m & (dst >= 0)
+    es, ed, ew = src[live], dst[live], w[live]
+    rank = np.full(N, scale, np.int64)
+    for _ in range(iters):
+        con = (rank[es] * ew) // outdeg[es]
+        s = np.zeros(N, np.int64)
+        np.add.at(s, ed, con)
+        rank = base + (85 * s) // 100
+    return rd.from_arrow(
+        pa.table(
+            {
+                node_column: pa.array(list(idx.keys())),
+                "rank": pa.array(rank, pa.int64()),
+            }
+        )
+    )
+
+
+def _hits_local(
+    e, n, *, src_column, dst_column, node_column, iters, scale
+):
+    """Driver-local replica of the distributed integer HITS sweep.
+    The per-round normalizer totals include contributions addressed to
+    edge endpoints that are NOT in the node table (the distributed
+    sweep computes its total BEFORE the left join onto nodes), so the
+    accumulators run over the union of nodes and edge endpoints."""
+    import numpy as np
+    import ray.data as rd
+
+    uni = {}
+    for v in n[node_column]:
+        uni.setdefault(v, len(uni))
+    known_n = len(uni)
+    for col in (src_column, dst_column):
+        for v in e[col]:
+            uni.setdefault(v, len(uni))
+    U = len(uni)
+    src = np.asarray([uni[v] for v in e[src_column]], np.int64)
+    dst = np.asarray([uni[v] for v in e[dst_column]], np.int64)
+    known = np.zeros(U, bool)
+    known[:known_n] = True
+
+    hub = np.zeros(U, np.int64)
+    hub[:known_n] = scale
+    auth = np.zeros(U, np.int64)
+    for _ in range(iters):
+        araw = np.zeros(U, np.int64)
+        m = known[src]  # scores join is inner on src
+        np.add.at(araw, dst[m], hub[src[m]])
+        norm = max(int(araw.sum()) // scale, 1)
+        auth = np.where(known, araw // norm, 0)
+        hraw = np.zeros(U, np.int64)
+        m = known[dst]  # scores join is inner on dst
+        np.add.at(hraw, src[m], auth[dst[m]])
+        norm = max(int(hraw.sum()) // scale, 1)
+        hub = np.where(known, hraw // norm, 0)
+    names = list(uni.keys())[:known_n]
+    return rd.from_arrow(
+        pa.table(
+            {
+                node_column: pa.array(names),
+                "hub": pa.array(hub[:known_n], pa.int64()),
+                "auth": pa.array(auth[:known_n], pa.int64()),
+            }
+        )
+    )
+
+
+def _hop_distance_local(
+    e, s, *, src_column, dst_column, node_column, max_hops
+):
+    """Driver-local replica of the BSP min-label propagation: each
+    round relaxes every edge from the full settled set (not a frontier
+    delta), exactly like the distributed rounds."""
+    import numpy as np
+    import ray.data as rd
+
+    uni = {}
+    for v in s[node_column]:
+        uni.setdefault(v, len(uni))
+    for col in (src_column, dst_column):
+        for v in e[col]:
+            uni.setdefault(v, len(uni))
+    U = len(uni)
+    src = np.asarray([uni[v] for v in e[src_column]], np.int64)
+    dst = np.asarray([uni[v] for v in e[dst_column]], np.int64)
+    INF = np.iinfo(np.int64).max
+    dist = np.full(U, INF, np.int64)
+    for v in s[node_column]:
+        dist[uni[v]] = 0
+    for _ in range(max_hops):
+        m = dist[src] < INF
+        np.minimum.at(dist, dst[m], dist[src[m]] + 1)
+    names = np.asarray(list(uni.keys()), object)
+    reach = dist < INF
+    return rd.from_arrow(
+        pa.table(
+            {
+                node_column: pa.array(list(names[reach])),
+                "dist": pa.array(dist[reach], pa.int64()),
+            }
+        )
+    )
+
 
 def pagerank(
     edges,
@@ -69,7 +210,25 @@ def pagerank(
     edge_cols = [src_column, dst_column] + (
         [weight_column] if weight_column else []
     )
-    edges = edges.select_columns(edge_cols)
+    # Materialized once: reused by the outdeg aggregate AND the rank
+    # join below (avoids recomputing the upstream lineage twice), and
+    # makes the size-adaptive count() metadata-only.
+    edges = edges.select_columns(edge_cols).materialize()
+    nodes = nodes.select_columns([node_column]).materialize()
+    if (
+        edges.count() <= _LOCAL_GRAPH_MAX_EDGES
+        and nodes.count() <= _LOCAL_GRAPH_MAX_EDGES
+    ):
+        return _pagerank_local(
+            edges.to_pandas(),
+            nodes.to_pandas(),
+            src_column=src_column,
+            dst_column=dst_column,
+            node_column=node_column,
+            weight_column=weight_column,
+            iters=iters,
+            scale=scale,
+        )
     if weight_column:
         outdeg = edges.groupby(src_column).aggregate(
             Sum(weight_column, alias_name="outdeg")
@@ -86,8 +245,6 @@ def pagerank(
         on=(src_column,),
         right_on=(src_column,),
     ).materialize()
-
-    nodes = nodes.select_columns([node_column]).materialize()
 
     def init_rank(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -200,6 +357,19 @@ def hits(
     nparts = _join_partitions(num_partitions)
     edges = edges.select_columns([src_column, dst_column]).materialize()
     nodes = nodes.select_columns([node_column]).materialize()
+    if (
+        edges.count() <= _LOCAL_GRAPH_MAX_EDGES
+        and nodes.count() <= _LOCAL_GRAPH_MAX_EDGES
+    ):
+        return _hits_local(
+            edges.to_pandas(),
+            nodes.to_pandas(),
+            src_column=src_column,
+            dst_column=dst_column,
+            node_column=node_column,
+            iters=iters,
+            scale=scale,
+        )
 
     def _init(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -312,6 +482,19 @@ def hop_distance(
 
     nparts = _join_partitions(num_partitions)
     edges = edges.select_columns([src_column, dst_column]).materialize()
+    seeds = seeds.select_columns([node_column]).materialize()
+    if (
+        edges.count() <= _LOCAL_GRAPH_MAX_EDGES
+        and seeds.count() <= _LOCAL_GRAPH_MAX_EDGES
+    ):
+        return _hop_distance_local(
+            edges.to_pandas(),
+            seeds.to_pandas(),
+            src_column=src_column,
+            dst_column=dst_column,
+            node_column=node_column,
+            max_hops=max_hops,
+        )
 
     def init0(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -13,6 +13,7 @@ import hashlib
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
 _PUNCT_RE = re.compile(r"[.!?,;:]")
@@ -218,6 +219,7 @@ def pack_sequences(
     group_column: str = "source",
     id_column: str = "doc_id",
     text_column: str = "text",
+    bucket_width: int = 1 << 13,
 ):
     """GPT-style sequence packing assignment: within each
     ``group_column`` partition, documents (in ``id_column`` order) are
@@ -225,22 +227,42 @@ def pack_sequences(
     ``seq_index`` = which sequence a document starts in (exclusive
     running token count // budget) — the deterministic cut-at-boundary
     policy that lets every shard pack independently.  Returns
-    (group, id, n_tokens, seq_index).
+    (group, id, n_tokens, seq_index).  NULL text counts 0 tokens
+    (matching the oracle's NULL semantics).
 
-    Partitioning assumption: packing is per-group by design (a shard =
-    a group), so the shuffle is one groupby on the group key and each
-    group's state is its (id, n_tokens) list — never document text."""
+    Distributed prefix sum in two passes — no per-group state ever
+    exceeds ``bucket_width`` rows, so there is NO unbounded group on
+    the (low-cardinality, potentially skewed) group key:
+
+    1. bucket = id // bucket_width; per-block partial sums combine
+       into a tiny (group, bucket, sum) table (corpus_rows /
+       bucket_width rows total — e.g. ~1.2M rows for 10^10 docs at
+       the default width, safely driver-sized) from which exclusive
+       per-bucket offsets are computed and broadcast via ``ray.put``.
+    2. one groupby on the HIGH-cardinality (group, bucket) key;
+       each bounded group sorts by id, takes a vectorized exclusive
+       cumsum, and adds its broadcast bucket offset.
+    """
     import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    bucket_col = "__pack_bucket"
 
     def count_tokens(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        ids = batch[id_column]
         return pa.table(
             {
                 group_column: batch[group_column],
-                id_column: batch[id_column],
+                id_column: ids,
                 "n_tokens": pa.array(
-                    [len((t or "").split(" ")) for t in batch[text_column].to_pylist()],
+                    [0 if t is None else len(t.split(" ")) for t in texts],
                     pa.int64(),
                 ),
+                # ids are nonnegative, so trunc division == floor
+                bucket_col: pc.divide(ids, bucket_width),
             }
         )
 
@@ -248,14 +270,42 @@ def pack_sequences(
         [group_column, id_column, text_column]
     ).map_batches(count_tokens, batch_format="pyarrow")
 
-    def pack_group(grp):
-        grp = grp.sort_values(id_column).reset_index(drop=True)
-        toks = grp["n_tokens"].to_numpy()
-        prev = np.concatenate(([0], np.cumsum(toks)[:-1]))
-        grp["seq_index"] = prev // budget
-        return grp
+    # Pass 1: per-block combiner → (group, bucket) sums.  The result
+    # is corpus_rows/bucket_width rows — bounded and tiny relative to
+    # the corpus, so the driver-side offset walk below is safe.
+    def partial_sums(batch: pa.Table) -> pa.Table:
+        t = batch.group_by([group_column, bucket_col]).aggregate(
+            [("n_tokens", "sum")]
+        )
+        return t.rename_columns([group_column, bucket_col, "part"])
 
-    return counted.groupby(group_column).map_groups(pack_group, batch_format="pandas")
+    sums = (
+        counted.map_batches(partial_sums, batch_format="pyarrow")
+        .groupby([group_column, bucket_col])
+        .aggregate(Sum("part", alias_name="bucket_sum"))
+        .to_pandas()  # bounded: one row per (group, bucket)
+    )
+    sums = sums.sort_values([group_column, bucket_col]).reset_index(drop=True)
+    csum = sums.groupby(group_column)["bucket_sum"].cumsum() - sums["bucket_sum"]
+    offsets = {
+        (g, int(b)): int(o)
+        for g, b, o in zip(sums[group_column], sums[bucket_col], csum)
+    }
+    offsets_ref = ray.put(offsets)
+
+    def pack_bucket(grp):
+        grp = grp.sort_values(id_column).reset_index(drop=True)
+        off = ray.get(offsets_ref)[
+            (grp[group_column].iloc[0], int(grp[bucket_col].iloc[0]))
+        ]
+        toks = grp["n_tokens"].to_numpy()
+        prev = off + np.concatenate(([0], np.cumsum(toks)[:-1]))
+        grp["seq_index"] = prev // budget
+        return grp.drop(columns=[bucket_col])
+
+    return counted.groupby([group_column, bucket_col]).map_groups(
+        pack_bucket, batch_format="pandas"
+    )
 
 
 # -------------------------------------------------- exact length quantiles

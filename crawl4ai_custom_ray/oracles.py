@@ -705,14 +705,16 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
         "pack_sequences": """
             WITH t AS (
                 SELECT source, doc_id,
-                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                       CAST(CASE WHEN text IS NULL THEN 0
+                            ELSE len(string_split(text, ' ')) END AS BIGINT)
+                           AS n_tokens
                 FROM documents
             )
             SELECT source, doc_id, n_tokens,
-                   COALESCE(SUM(n_tokens) OVER (
+                   CAST(COALESCE(SUM(n_tokens) OVER (
                        PARTITION BY source ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                   ), 0) // 1024 AS seq_index
+                   ), 0) // 1024 AS BIGINT) AS seq_index
             FROM t
         """,
         "quality_score": """
@@ -2436,10 +2438,10 @@ d{t} AS (
               AND NOT contains(text, '{')
         )
         SELECT source, doc_id, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               CAST(COALESCE(SUM(n_tokens) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) // 1024 AS seq_index
+               ), 0) // 1024 AS BIGINT) AS seq_index
         FROM kept
     """
     # PMI collocations (functions/textstats.py:pmi_pairs): pairs are

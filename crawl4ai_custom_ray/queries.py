@@ -543,14 +543,41 @@ def q_fingerprint(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str, n: int = 5):
-    import pyarrow.parquet as pq
+    """The n lowest-id query vectors, WITHOUT materializing the
+    embeddings table on the driver: a column-pruned distributed
+    min-n (each block reduces to its n smallest vec_ids — a combiner,
+    no shuffle; take_all sees ≤ n rows per block), then a
+    predicate-pushdown read of exactly those n rows (row-group
+    pruning on vec_id)."""
     import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    df = t.to_pandas().sort_values("vec_id").head(n)
-    ids = df["vec_id"].tolist()
-    vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
-    return ids, vecs
+    path = f"{sf_dir}/embeddings.parquet"
+
+    def min_n(batch):
+        idx = pc.sort_indices(batch["vec_id"])[:n]
+        return batch.take(idx)
+
+    parts = rd.read_parquet(path, columns=["vec_id"]).map_batches(
+        min_n, batch_format="pyarrow"
+    )
+    ids = sorted(r["vec_id"] for r in parts.take_all())[:n]
+
+    rows = (
+        pads.dataset(path)
+        .to_table(
+            columns=["vec_id", "embedding"],
+            filter=pc.field("vec_id").isin(ids),
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    vecs = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in rows["embedding"]]
+    )
+    return list(rows["vec_id"]), vecs
 
 
 def q_knn_topk(sf_dir: str):
@@ -2130,24 +2157,11 @@ def q_knn_rrf(sf_dir: str):
     """Hybrid retrieval: reciprocal-rank fusion of the exact cosine
     and inner-product top-20 lists for the 5 lowest-id query vectors,
     integer RRF scores, top-10 fused per query."""
-    import numpy as np
-    import pyarrow.parquet as pq
+    import ray.data as rd
 
     from .functions.similarity import knn_rrf
 
-    emb = (
-        pq.read_table(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        )
-        .to_pandas()
-        .sort_values("vec_id")
-    )
-    qids = emb["vec_id"].head(5).tolist()
-    qvecs = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v in emb["embedding"].head(5)]
-    )
-    import ray.data as rd
-
+    qids, qvecs = _query_vectors(sf_dir, n=5)
     ds = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )

@@ -8,7 +8,9 @@ order-insensitive values.  Owns the Ray session (the library must
 not).
 """
 
+import json
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -43,18 +45,32 @@ def main(sf_dir: str) -> int:
         )
 
     failures = []
+    report = {}
     for name, fn in queries.items():
+        t0 = time.monotonic()
         try:
             out = fn(sf_dir)
             if hasattr(out, "to_pandas"):
                 out = out.to_pandas()
+            dt = time.monotonic() - t0
             sql = oracles.get(name)
             if sql is None:
-                print(f"{name:22s} rows={len(out):7d}  (no_oracle)")
+                print(f"{name:22s} rows={len(out):7d}  {dt:6.2f}s  (no_oracle)")
+                report[name] = {"rows": len(out), "sec": round(dt, 3), "oracle": False}
                 continue
             odf = con.sql(sql).df()
             rows_ok = len(out) == len(odf)
             cols_ok = sorted(out.columns) == sorted(odf.columns)
+            # The driver's value hash is dtype-sensitive (int vs float
+            # hash differently even when values match) — flag kind
+            # mismatches loudly so they're fixed before a driver run.
+            kind_ok = True
+            if cols_ok:
+                for c in out.columns:
+                    ka, kb = out[c].dtype.kind, odf[c].dtype.kind
+                    if (ka in "iuf" or kb in "iuf") and (ka == "f") != (kb == "f"):
+                        kind_ok = False
+                        print(f"  !! dtype-kind mismatch col={c}: ray={out[c].dtype} oracle={odf[c].dtype}")
             vals_ok = False
             if rows_ok and cols_ok:
                 a, b = _canon(out), _canon(odf)
@@ -72,17 +88,27 @@ def main(sf_dir: str) -> int:
                         a[c].astype(str).values == b[c].astype(str).values
                     ).all():
                         vals_ok = False
-            status = "OK" if (rows_ok and cols_ok and vals_ok) else "FAIL"
+            status = "OK" if (rows_ok and cols_ok and vals_ok and kind_ok) else "FAIL"
             if status == "FAIL":
                 failures.append(name)
+            report[name] = {
+                "rows": len(out), "oracle_rows": len(odf), "sec": round(dt, 3),
+                "rows_match": rows_ok, "cols_match": cols_ok,
+                "vals_match": vals_ok, "dtype_kind_match": kind_ok, "oracle": True,
+            }
             print(
-                f"{name:22s} rows={len(out):7d}/{len(odf):<7d} cols={cols_ok} "
+                f"{name:22s} rows={len(out):7d}/{len(odf):<7d} {dt:6.2f}s cols={cols_ok} "
                 f"vals={vals_ok}  {status}"
             )
         except Exception as e:
             failures.append(name)
+            report[name] = {"sec": round(time.monotonic() - t0, 3), "error": f"{type(e).__name__}: {e}"}
             print(f"{name:22s} ERROR {type(e).__name__}: {str(e)[:120]}")
     ray.shutdown()
+    with open("/root/repo/CORRECTNESS_LOCAL.json", "w") as f:
+        json.dump({"sf_dir": sf_dir, "n_queries": len(queries), "failures": failures, "report": report}, f, indent=1)
+    slow = sorted(((v.get("sec", 0), k) for k, v in report.items()), reverse=True)[:15]
+    print("SLOWEST:", [(k, s) for s, k in slow])
     print("FAILURES:", failures if failures else "none")
     return 1 if failures else 0
 

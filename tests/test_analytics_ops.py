@@ -435,3 +435,44 @@ def test_kl_divergence_hand_computed(ray_session, tmp_path):
     total += 1 * math.floor(math.log(1 * (t_b + v) / (t_a * (0 + 1))) * 1e6)
     assert row["t_a"] == t_a and row["t_b"] == t_b and row["vocab"] == v
     assert row["kl_ppm"] == total // t_a, (row, total // t_a)
+
+
+def test_graph_local_vs_distributed(ray_session, monkeypatch):
+    """The size-adaptive local fast path must be bit-identical to the
+    distributed BSP path for pagerank (both weightings), hits, and
+    hop_distance — including edges whose endpoints are not in the node
+    table (they shape HITS normalizer totals)."""
+    import ray.data as rd
+
+    import crawl4ai_custom_ray.functions.graph as g
+
+    rng = np.random.default_rng(7)
+    hosts = [f"h{i}" for i in range(40)]
+    src = rng.choice(hosts + ["ghost1"], 300).tolist()
+    dst = rng.choice(hosts + ["ghost2"], 300).tolist()
+    w = rng.integers(1, 9, 300).tolist()
+    edges = pa.table({"src": src, "dst": dst, "w": pa.array(w, pa.int64())})
+    nodes = pa.table({"host": pa.array(hosts)})
+    seeds = pa.table({"host": pa.array(hosts[:3])})
+
+    def run():
+        e, n, s = rd.from_arrow(edges), rd.from_arrow(nodes), rd.from_arrow(seeds)
+        return {
+            "pr": g.pagerank(e, n, node_column="host", iters=3, num_partitions=2)
+            .to_pandas().sort_values("host").reset_index(drop=True),
+            "prw": g.pagerank(
+                e, n, node_column="host", weight_column="w", iters=3,
+                num_partitions=2,
+            ).to_pandas().sort_values("host").reset_index(drop=True),
+            "hits": g.hits(e, n, node_column="host", iters=2, num_partitions=2)
+            .to_pandas().sort_values("host").reset_index(drop=True),
+            "hop": g.hop_distance(
+                e, s, node_column="host", max_hops=3, num_partitions=2
+            ).to_pandas().sort_values("host").reset_index(drop=True),
+        }
+
+    local = run()  # default threshold → local kernels
+    monkeypatch.setattr(g, "_LOCAL_GRAPH_MAX_EDGES", -1)
+    dist = run()  # forced distributed BSP
+    for k in local:
+        assert local[k].equals(dist[k]), f"{k} differs:\n{local[k]}\n{dist[k]}"
