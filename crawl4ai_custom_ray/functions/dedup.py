@@ -213,7 +213,39 @@ def hash_join_safe(
     Halving the partition count and retrying converges — at
     ``num_partitions=1`` a non-empty side cannot produce an empty
     partition — and the join result is partitioning-invariant, so the
-    retry changes nothing but task granularity."""
+    retry changes nothing but task granularity.
+
+    SIZE-ADAPTIVE: both inputs are materialized first (the join is a
+    hash-shuffle barrier anyway, and the retry loop would re-execute
+    unmaterialized lineage); when BOTH sides fit under
+    ``SMALL_PAIR_THRESHOLD`` rows the join runs as one local Acero
+    ``pa.Table.join`` — same engine and output schema as Ray's
+    per-partition join, minus the aggregator-actor spin-up that
+    dominates wall time at small scale.  Above the threshold, the
+    distributed hash join is the only shape that fits in memory."""
+    left = left.materialize()
+    right = right.materialize()
+    if max(left.count(), right.count()) <= SMALL_PAIR_THRESHOLD:
+        import ray
+        import ray.data as rd
+
+        def _tbl(ds):
+            blocks = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+            if blocks:
+                return pa.concat_tables(blocks, promote_options="default")
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in ds.schema().base_schema}
+            )
+
+        j = _tbl(left).join(
+            _tbl(right),
+            keys=list(on),
+            right_keys=list(right_on or on),
+            join_type=join_type.replace("_", " "),
+        )
+        if rename:
+            j = j.rename_columns([rename.get(c, c) for c in j.column_names])
+        return rd.from_arrow(j)
     nparts = _join_partitions(num_partitions)
     while True:
         try:
@@ -469,6 +501,19 @@ class MinHasher:
         return perms.min(axis=1)
 
 
+_HASHER_MEMO: dict = {}
+
+
+def _hasher_memo(num_perm: int, seed: int) -> "MinHasher":
+    """Per-process MinHasher cache (deterministic: coefficients are a
+    pure function of (num_perm, seed))."""
+    key = (num_perm, seed)
+    h = _HASHER_MEMO.get(key)
+    if h is None:
+        h = _HASHER_MEMO[key] = MinHasher(num_perm=num_perm, seed=seed)
+    return h
+
+
 def minhash_signatures(
     ds,
     *,
@@ -478,27 +523,28 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ):
-    """Dataset → (id, sig: list<uint64>).  Hasher built once per actor
-    (stateful stage)."""
+    """Dataset → (id, sig: list<uint64>).  Hasher built once per
+    WORKER PROCESS via a module-level memo — the setup-once semantics
+    of an actor pool without the per-execution actor spin-up cost
+    (the state is ~1 KB of rng coefficients, so a task pool that
+    reuses Ray's warm workers is strictly cheaper at every scale;
+    actor pools stay reserved for heavy state like model weights)."""
 
-    class SigFn:
-        def __init__(self):
-            self.hasher = MinHasher(num_perm=num_perm, seed=seed)
+    def sig_fn(batch: pa.Table) -> pa.Table:
+        hasher = _hasher_memo(num_perm, seed)
+        ids = batch[id_column].to_pylist()
+        sigs = [
+            hasher.signature(word_shingles(t, shingle_n))
+            for t in batch[text_column].to_pylist()
+        ]
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_column].to_pylist()
-            sigs = [
-                self.hasher.signature(word_shingles(t, shingle_n))
-                for t in batch[text_column].to_pylist()
-            ]
-            return pa.table(
-                {
-                    "id": pa.array(ids, pa.int64()),
-                    "sig": pa.array([s.tolist() for s in sigs], pa.list_(pa.uint64())),
-                }
-            )
-
-    return ds.map_batches(SigFn, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    return ds.map_batches(sig_fn, batch_format="pyarrow")
 
 
 def shingle_hash_sets(

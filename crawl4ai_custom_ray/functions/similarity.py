@@ -40,6 +40,20 @@ def _matrix(batch: pa.Table, column: str) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+_PLANES_MEMO: dict = {}
+
+
+def _planes_memo(seed: int, dim: int, n_planes: int) -> np.ndarray:
+    """Per-process random-hyperplane cache — deterministic in
+    (seed, dim, n_planes), so every worker builds identical planes."""
+    key = (seed, dim, n_planes)
+    p = _PLANES_MEMO.get(key)
+    if p is None:
+        rng = np.random.RandomState(seed)
+        p = _PLANES_MEMO[key] = rng.standard_normal((dim, n_planes))
+    return p
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -268,35 +282,31 @@ def cosine_neardup_pairs_lsh(
 
     rows_per_band = n_planes // bands
 
-    class SignFn:
-        def __init__(self):
-            self.planes = None  # built lazily: needs the vector dim
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_matrix(batch, vector_column))
-            if self.planes is None:
-                rng = np.random.RandomState(seed)
-                self.planes = rng.standard_normal((m.shape[1], n_planes))
-            bits = (m @ self.planes) >= 0  # (n, n_planes) sign pattern
-            ids = batch[id_column].to_pylist()
-            vec_bytes = [m[i].astype("<f8").tobytes() for i in range(len(ids))]
-            ids_out, band_out, bucket_out, vec_out = [], [], [], []
-            for i, did in enumerate(ids):
-                for b in range(bands):
-                    seg = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
-                    bucket = int(sum(1 << k for k, v in enumerate(seg) if v))
-                    ids_out.append(did)
-                    band_out.append(b)
-                    bucket_out.append(bucket)
-                    vec_out.append(vec_bytes[i])
-            return pa.table(
-                {
-                    "id": pa.array(ids_out, pa.int64()),
-                    "band": pa.array(band_out, pa.int32()),
-                    "bucket": pa.array(bucket_out, pa.int64()),
-                    "vec": pa.array(vec_out, pa.binary()),
-                }
-            )
+    def sign_fn(batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, vector_column))
+        # planes built once per worker process (deterministic in
+        # (seed, dim, n_planes)) — setup-once without actor spin-up
+        planes = _planes_memo(seed, m.shape[1], n_planes)
+        bits = (m @ planes) >= 0  # (n, n_planes) sign pattern
+        ids = batch[id_column].to_pylist()
+        vec_bytes = [m[i].astype("<f8").tobytes() for i in range(len(ids))]
+        ids_out, band_out, bucket_out, vec_out = [], [], [], []
+        for i, did in enumerate(ids):
+            for b in range(bands):
+                seg = bits[i, b * rows_per_band : (b + 1) * rows_per_band]
+                bucket = int(sum(1 << k for k, v in enumerate(seg) if v))
+                ids_out.append(did)
+                band_out.append(b)
+                bucket_out.append(bucket)
+                vec_out.append(vec_bytes[i])
+        return pa.table(
+            {
+                "id": pa.array(ids_out, pa.int64()),
+                "band": pa.array(band_out, pa.int32()),
+                "bucket": pa.array(bucket_out, pa.int64()),
+                "vec": pa.array(vec_out, pa.binary()),
+            }
+        )
 
     from ray.data.aggregate import Max
 
@@ -333,7 +343,7 @@ def cosine_neardup_pairs_lsh(
 
     pairs = (
         ds.select_columns([id_column, vector_column])
-        .map_batches(SignFn, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+        .map_batches(sign_fn, batch_format="pyarrow")
         .groupby(["band", "bucket"])
         .aggregate(members_agg)
         .map_batches(verify_bucket, batch_format="pyarrow")
