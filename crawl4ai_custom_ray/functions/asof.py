@@ -162,6 +162,7 @@ def range_join(
     upper_us: int = 3_600_000_000,
     right_payload: dict[str, str] | None = None,
     n_buckets: int = 64,
+    epochs_per_shard: int = 64,
 ):
     """Bounded temporal range join: every (left, right) pair with the
     same ``by`` key and ``lower_us <= ts_right - ts_left <= upper_us``
@@ -169,20 +170,25 @@ def range_join(
     matching pair.
 
     Scale shape (interval-join sharding, as in streaming systems):
-    time is cut into epochs of width ``upper_us - lower_us``; each
-    RIGHT row lands in exactly one ``(key-bucket, epoch)`` group, and
-    each LEFT row is replicated into the (at most two) epochs its
-    window ``[ts+lower, ts+upper]`` overlaps, so every matching pair
-    meets in exactly one group and no group sees unrelated time
-    ranges.  Join work per group is bounded by key×epoch locality —
-    the classic per-hot-key quadratic hazard of a range join is capped
-    by the epoch width.  Partitioning assumption: one (bucket, epoch)
-    fits a worker's heap; raise ``n_buckets`` with cluster size.
+    time is cut into epochs of width ``upper_us - lower_us``, grouped
+    ``epochs_per_shard`` at a time (worker-sized slabs of consecutive
+    time — per-epoch groups degenerate into swarms of near-empty
+    pandas calls at low event rates); each RIGHT row lands in exactly
+    one ``(key-bucket, shard)`` group, and each LEFT row is replicated
+    into the (at most two, deduped) shards its window
+    ``[ts+lower, ts+upper]`` overlaps, so every matching pair meets in
+    exactly one group.  Join work per group is bounded by key×shard
+    locality — the classic per-hot-key quadratic hazard of a range
+    join is capped by the shard width.  Partitioning assumption: one
+    (bucket, shard) fits a worker's heap; raise ``n_buckets`` or lower
+    ``epochs_per_shard`` with event rate.
     """
     if right_payload is None:
         right_payload = {"event_id": "match_event_id"}
     if upper_us <= lower_us:
         raise ValueError("upper_us must exceed lower_us")
+    if epochs_per_shard < 1:
+        raise ValueError("epochs_per_shard must be >= 1")
     width = upper_us - lower_us
 
     left_cols = [c for c in left.schema().names]
@@ -193,7 +199,7 @@ def range_join(
     r_schema = _arrow_schema(right)
 
     def _epoch(ts_us: np.ndarray) -> np.ndarray:
-        return np.floor_divide(ts_us, width)
+        return np.floor_divide(np.floor_divide(ts_us, width), epochs_per_shard)
 
     def _gkey(keys: np.ndarray, epochs: np.ndarray) -> np.ndarray:
         bucket = _bucket_of(keys, n_buckets).astype(np.int64)
@@ -271,6 +277,7 @@ def rolling_window(
     value_column: str = "value",
     window_us: int = 1_800_000_000,
     n_buckets: int = 64,
+    epochs_per_shard: int = 64,
 ):
     """Trailing RANGE-frame window per key: for every event, the count
     and integer-cents sum of all events of the same ``by`` key with
@@ -281,25 +288,33 @@ def rolling_window(
     per input row, each looking back over its own bounded horizon.
 
     Scale shape (same epoch-sharding family as :func:`range_join`):
-    time is cut into epochs of width ``window_us``.  Each event rides
-    the ONE shuffle twice — once as a probe in its own epoch, once as
-    context replicated into its epoch and the next (the only two a
-    probe window ``[ts-w, ts]`` can reach back from) — so every
-    (probe, context) pair meets in exactly one ``(key-bucket, epoch)``
-    group and counts are exact, never doubled.  Within a group the
-    lookback is fully vectorized: context sorted once by (key, ts),
-    per-key slices addressed through a combined ``rank*span + offset``
-    integer key, counts/sums by two ``searchsorted`` calls against a
-    prefix-sum — no per-key pandas groups, no Python loop over rows.
+    time is cut into epochs of width ``window_us``, grouped
+    ``epochs_per_shard`` at a time into shards so one shuffle group
+    holds a WORKER-sized slab of consecutive time, not a sliver (a
+    per-epoch grouping at low event rates degenerates into tens of
+    thousands of near-empty pandas groups whose call overhead dwarfs
+    the compute).  Each event rides the ONE shuffle as a probe in its
+    own shard plus a context copy there; only events in a shard's LAST
+    epoch ship a second context copy into the next shard (a probe
+    window ``[ts-w, ts]`` reaches back at most one epoch), so
+    replication is 2+1/``epochs_per_shard``× and every (probe,
+    context) pair meets in exactly one ``(key-bucket, shard)`` group —
+    counts exact, never doubled.  Within a group the lookback is fully
+    vectorized: context sorted once by (key, ts), per-key slices
+    addressed through a combined ``rank*span + offset`` integer key,
+    counts/sums by two ``searchsorted`` calls against a prefix-sum —
+    no per-key pandas groups, no Python loop over rows.
 
-    Partitioning assumption: one (bucket, epoch) group — ~3× the
-    epoch's event rows (probe + ≤2 context copies) — fits a worker's
-    heap; raise ``n_buckets`` with cluster size.  All outputs are
+    Partitioning assumption: one (bucket, shard) group — ~2× the
+    shard's event rows — fits a worker's heap; raise ``n_buckets`` or
+    lower ``epochs_per_shard`` with event rate.  All outputs are
     integers (count, cents), so results are bit-identical at any
     parallelism.
     """
     if window_us <= 0:
         raise ValueError("window_us must be positive")
+    if epochs_per_shard < 1:
+        raise ValueError("epochs_per_shard must be >= 1")
 
     def _tag(batch: pa.Table) -> pa.Table:
         keys = batch[by].to_numpy(zero_copy_only=False)
@@ -308,17 +323,21 @@ def rolling_window(
             batch[value_column].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         e = np.floor_divide(ts_us, window_us)
+        shard = np.floor_divide(e, epochs_per_shard)
+        shard_next = np.floor_divide(e + 1, epochs_per_shard)
+        cross = shard_next != shard  # last epoch of a shard only
         bucket = _bucket_of(keys, n_buckets).astype(np.int64)
         n = len(batch)
-        # probe copy (side 0, own epoch) + context copies (side 1,
-        # epochs e and e+1)
-        idx = np.concatenate([np.arange(n)] * 3)
-        epochs = np.concatenate([e, e, e + 1])
+        # probe copy (side 0, own shard) + context copy in the same
+        # shard (side 1) + boundary context copy into the next shard
+        # (side 1, deduped: only when the shards differ)
+        idx = np.concatenate([np.arange(n), np.arange(n), np.nonzero(cross)[0]])
+        shards = np.concatenate([shard, shard, shard_next[cross]])
         sides = np.concatenate(
             [
                 np.zeros(n, dtype=np.int8),
                 np.ones(n, dtype=np.int8),
-                np.ones(n, dtype=np.int8),
+                np.ones(int(cross.sum()), dtype=np.int8),
             ]
         )
         rep = batch.take(pa.array(idx))
@@ -330,7 +349,7 @@ def rolling_window(
                 "_ts_us": pa.array(ts_us[idx], pa.int64()),
                 "_cents": pa.array(cents[idx], pa.int64()),
                 "_gkey": pa.array(
-                    bucket[idx] * np.int64(1 << 40) + epochs, pa.int64()
+                    bucket[idx] * np.int64(1 << 40) + shards, pa.int64()
                 ),
                 "_side": pa.array(sides),
             }

@@ -641,13 +641,14 @@ def domain_filter(
 
         return docs.map_batches(attach_small, batch_format="pyarrow")
 
-    from .dedup import _coalesce_for_join, _join_partitions
+    from .dedup import _coalesce_for_join, hash_join_safe
 
     stats, _ = _coalesce_for_join(stats)
-    joined = docs.join(
+    joined = hash_join_safe(
+        docs,
         stats,
         join_type="inner",
-        num_partitions=_join_partitions(num_partitions),
+        num_partitions=num_partitions,
         on=(group_column,),
         right_on=(group_column,),
     )
@@ -1450,7 +1451,7 @@ def boilerplate_strip(
     from .dedup import (
         _assemble_lines_agg,
         _coalesce_for_join,
-        _join_partitions,
+        hash_join_safe,
     )
 
     docs = ds.select_columns([id_column, group_column, text_column])
@@ -1510,10 +1511,11 @@ def boilerplate_strip(
         kept = exploded.select_columns(["id", "pos", "line", "n_lines"])
     else:
         boiler, _ = _coalesce_for_join(boiler)
-        joined = exploded.join(
+        joined = hash_join_safe(
+            exploded,
             boiler,
             join_type="left_outer",
-            num_partitions=_join_partitions(num_partitions),
+            num_partitions=num_partitions,
             on=("h",),
             right_on=("h",),
         )
@@ -1560,10 +1562,11 @@ def boilerplate_strip(
         return ids_only.map_batches(all_removed, batch_format="pyarrow")
 
     assembled, _ = _coalesce_for_join(assembled)
-    full = ids_only.join(
+    full = hash_join_safe(
+        ids_only,
         assembled,
         join_type="left_outer",
-        num_partitions=_join_partitions(num_partitions),
+        num_partitions=num_partitions,
         on=("id",),
         right_on=("id",),
     )

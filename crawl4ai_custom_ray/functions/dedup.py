@@ -1022,10 +1022,11 @@ def near_dedup_clusters(
 
         return ids.map_batches(attach_small, batch_format="pyarrow")
 
-    joined = ids.join(
+    joined = hash_join_safe(
+        ids,
         comp,
         join_type="left_outer",
-        num_partitions=_join_partitions(num_partitions),
+        num_partitions=num_partitions,
         on=(id_column,),
         right_on=("node",),
     )
@@ -1154,10 +1155,11 @@ def line_dedup(
     keep_cols = ["id", "pos", "line", "n_lines"]
     inelig = exploded.filter(expr="elig == False").select_columns(keep_cols)
 
-    joined = exploded.filter(expr="elig").join(
+    joined = hash_join_safe(
+        exploded.filter(expr="elig"),
         winners,
         join_type="inner",
-        num_partitions=_join_partitions(num_partitions),
+        num_partitions=num_partitions,
         on=("h",),
         right_on=("h",),
     )
@@ -1182,10 +1184,11 @@ def line_dedup(
         Max("n_lines", alias_name="n_total")
     )
     ids_only, _ = _coalesce_for_join(ids_only)
-    full = ids_only.join(
+    full = hash_join_safe(
+        ids_only,
         assembled,
         join_type="left_outer",
-        num_partitions=_join_partitions(num_partitions),
+        num_partitions=num_partitions,
         on=("id",),
         right_on=("id",),
     )
@@ -1400,10 +1403,11 @@ def substring_dedup(
     )
     winners, _ = _coalesce_for_join(winners)
 
-    joined = exploded.join(
+    joined = hash_join_safe(
+        exploded,
         winners,
         join_type="inner",
-        num_partitions=_join_partitions(num_partitions),
+        num_partitions=num_partitions,
         on=("h1", "h2"),
         right_on=("h1", "h2"),
     )
@@ -1442,10 +1446,11 @@ def substring_dedup(
     dup_starts, n_dup_docs = _coalesce_for_join(dup_starts)
 
     if n_dup_docs:
-        full = docs.join(
+        full = hash_join_safe(
+            docs,
             dup_starts,
             join_type="left_outer",
-            num_partitions=_join_partitions(num_partitions),
+            num_partitions=num_partitions,
             on=(id_column,),
             right_on=("id",),
         )
@@ -1540,10 +1545,11 @@ def latest_capture(
     )
     winners, _ = _coalesce_for_join(winners)
 
-    joined = reduced.join(
+    joined = hash_join_safe(
+        reduced,
         winners,
         join_type="inner",
-        num_partitions=_join_partitions(num_partitions),
+        num_partitions=num_partitions,
         on=(key_column,),
         right_on=(key_column,),
     )
