@@ -109,6 +109,29 @@ _WS_RUN = re.compile(r"\s+")
 # escape_md_section with only backslash escaping on (utils.py:219-220,
 # config.py:105-113): a backslash followed by an md-special char
 _BSLASH = re.compile(r"(\\)(?=[\\`*_{}\[\]()#+\-.!])")
+# the snob escape class (reference config.py RE_MD_CHARS_MATCHER_ALL)
+_SNOB_CHARS = re.compile(r"([`\*_{}\[\]\(\)#!])")
+# optwrap helpers (reference config.py:64-75; RE_SPACE's r"\s\+" quirk
+# is intentional — see MarkdownMachine._optwrap)
+_RE_SPACE = re.compile(r"\s\+")
+_RE_TABLE = re.compile(r" \| ")
+_RE_OL_ITEM = re.compile(r"\d+\.\s")
+_RE_UL_ITEM = re.compile(r"[-\*\+]\s")
+
+
+def _skipwrap(para: str) -> bool:
+    """The fork's utils.skipwrap under the generator defaults
+    (wrap_links=True, wrap_list_items=False, wrap_tables=False)."""
+    if para[0:4] == "    " or para[0:1] == "\t":
+        return True  # code block
+    stripped = para.lstrip()
+    if stripped[0:2] == "--" and len(stripped) > 2 and stripped[2] != "-":
+        return False  # emdash
+    if stripped[0:1] in ("-", "*") and not stripped[0:2] == "**":
+        return True  # wrap_list_items=False
+    if _RE_TABLE.search(para):
+        return True  # wrap_tables=False
+    return bool(_RE_OL_ITEM.match(stripped) or _RE_UL_ITEM.match(stripped))
 # escape_md (utils.py:199-204): backslash, brackets, parens
 _MD_CHARS = re.compile(r"([\\\[\]\(\)])")
 _ABS_URL = re.compile(r"^[a-zA-Z+]+://")
@@ -158,8 +181,33 @@ class MarkdownMachine:
     ``charref`` events, then call ``result()``.  One document per
     instance."""
 
-    def __init__(self, baseurl: str = ""):
+    def __init__(
+        self,
+        baseurl: str = "",
+        *,
+        ignore_links: bool = False,
+        ignore_images: bool = False,
+        escape_snob: bool = False,
+        body_width: int = 0,
+        mark_code: bool = True,
+    ):
         self.baseurl = baseurl
+        # The common html2text knobs a DefaultMarkdownGenerator user
+        # sets via options={...} (reference
+        # markdown_generation_strategy.py:181-204 merging into the
+        # fork's flags at html2text/__init__.py:37-150).  Each is
+        # differential-tested against the importable fork in
+        # tests/test_md_parity.py::test_option_configs_byte_equal.
+        self.ignore_links = ignore_links  # fork :511 skips the whole a-branch
+        self.ignore_images = ignore_images  # fork :556, and :325 un-exempts img
+        self.escape_snob = escape_snob  # utils.escape_md_section snob pass
+        self.body_width = body_width  # fork optwrap (:964-1024)
+        # mark_code is accepted for interface parity but has no effect:
+        # CustomHTML2Text intercepts <pre> before the base handler, so
+        # the base class's [code]/[/code] markers are unreachable under
+        # the reference's own subclass too (verified byte-equal in the
+        # parity suite with mark_code flipped).
+        self.mark_code = mark_code
         self._out: list[str] = []
         self._ends_nl = False  # last pushed fragment ended with \n
         self.at_start = True  # suppress leading breaks/space
@@ -304,8 +352,14 @@ class MarkdownMachine:
             self.emit("[")
             self.auto_href = None
             self.link_empty = False
-        if not self.tick_open and not entity_char and "\\" in data:
-            data = _BSLASH.sub(r"\\\1", data)
+        if not self.tick_open and not entity_char:
+            if "\\" in data:
+                data = _BSLASH.sub(r"\\\1", data)
+            if self.escape_snob:
+                # escape_md_section's snob pass (utils.py: RE_MD_CHARS
+                # _MATCHER_ALL), applied after the backslash sub — the
+                # snob class has no backslash, so no double escaping
+                data = _SNOB_CHARS.sub(r"\\\1", data)
         self.last_data = data
         self.emit(data, collapse=True)
 
@@ -373,7 +427,7 @@ class MarkdownMachine:
             start
             and self.auto_href is not None
             and tag not in ("p", "div", "style", "dl", "dt")
-            and tag != "img"
+            and (tag != "img" or self.ignore_images)
         ):
             self.emit("[")
             self.auto_href = None
@@ -434,9 +488,12 @@ class MarkdownMachine:
             self.emit('"')
             self.quote_open = not self.quote_open
         elif tag == "a":
-            self._anchor(attrs, start)
+            if not self.ignore_links:  # fork :511 — with the flag set,
+                # in_link tracking is skipped too, so <code> inside a
+                # suppressed link emits backticks like any other span
+                self._anchor(attrs, start)
         elif tag == "img":
-            if start:
+            if start and not self.ignore_images:  # fork :556
                 self._image(attrs)
         elif tag == "dl":
             if start:
@@ -589,7 +646,53 @@ class MarkdownMachine:
     def result(self) -> str:
         self._want_break()
         self.emit("", force="end")
-        return "".join(self._out).replace(_NBSP_TOKEN, " ")
+        text = "".join(self._out).replace(_NBSP_TOKEN, " ")
+        return self._optwrap(text) if self.body_width else text
+
+    # -- body_width wrapping: the fork's optwrap (:964-1024) under the
+    # Custom defaults (wrap_links=True → inline links stay inline and
+    # the RE_LINK skip is off; wrap_list_items=False; wrap_tables=False)
+    def _optwrap(self, text: str) -> str:
+        from textwrap import wrap
+
+        result = ""
+        newlines = 0
+        for para in text.split("\n"):
+            if len(para) > 0:
+                if not _skipwrap(para):
+                    indent = ""
+                    if para.startswith("  *"):
+                        # list item continuation ("  " + ul_item_mark)
+                        indent = "    "
+                    elif para.startswith("> "):
+                        indent = "> "
+                    wrapped = wrap(
+                        para,
+                        self.body_width,
+                        break_long_words=False,
+                        subsequent_indent=indent,
+                    )
+                    result += "\n".join(wrapped)
+                    if para.endswith("  "):
+                        result += "  \n"
+                        newlines = 1
+                    elif indent:
+                        result += "\n"
+                        newlines = 1
+                    else:
+                        result += "\n\n"
+                        newlines = 2
+                else:
+                    # the fork's RE_SPACE is literally r"\s\+" —
+                    # replicated verbatim, quirk and all (:1017)
+                    if not _RE_SPACE.match(para):
+                        result += para + "\n"
+                        newlines = 1
+            else:
+                if newlines < 2:
+                    result += "\n"
+                    newlines += 1
+        return result
 
 
 class _ParserDriver(html.parser.HTMLParser):
@@ -621,11 +724,13 @@ class _ParserDriver(html.parser.HTMLParser):
         self.m.charref(ref)
 
 
-def convert_html(html_text: str, baseurl: str = "") -> str:
+def convert_html(html_text: str, baseurl: str = "", **options) -> str:
     """Raw HTML string → markdown, byte-identical to
     ``CustomHTML2Text(baseurl).handle(html_text)`` under the generator
-    defaults (without the generator's fence-dedent post-replace)."""
-    machine = MarkdownMachine(baseurl)
+    defaults (without the generator's fence-dedent post-replace).
+    ``options`` are the MarkdownMachine knobs (ignore_links,
+    ignore_images, escape_snob, body_width, mark_code)."""
+    machine = MarkdownMachine(baseurl, **options)
     driver = _ParserDriver(machine)
     # the fork's feed() quirk (:149-151)
     driver.feed(html_text.replace("</' + 'script>", "</ignore>"))
@@ -657,14 +762,14 @@ def _feed_text(machine: MarkdownMachine, s: str) -> None:
         machine.text(s[pos:])
 
 
-def convert_tree(root, baseurl: str = "") -> str:
+def convert_tree(root, baseurl: str = "", **options) -> str:
     """Element tree → markdown without re-tokenizing: walks the DOM
     emitting the event stream its minimal serialization would produce,
     which ``tests/test_md_parity.py`` checks against the
     serialize+reparse path over the whole corpus and fuzzed trees."""
     from .dom import Element, TextNode, RAW_TEXT_ELEMENTS, VOID_ELEMENTS
 
-    machine = MarkdownMachine(baseurl)
+    machine = MarkdownMachine(baseurl, **options)
     stack: list = [("node", c) for c in reversed(root.children)]
     pending_text: list[str] = []  # adjacent TextNodes serialize as one
     # run, so they must arrive as one chunk

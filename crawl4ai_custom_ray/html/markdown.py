@@ -37,20 +37,25 @@ def fast_urljoin(base: str, url: str) -> str:
     return urljoin(base, url)
 
 
-def markdown_from_tree(root: Element, base_url: str = "") -> str:
+def markdown_from_tree(root: Element, base_url: str = "", **options) -> str:
     """Markdown straight from an already-parsed DOM (no re-parse —
     the kernel's single-parse fast path).  Byte-equal to running
-    ``html_to_markdown`` on the tree's serialized HTML."""
-    return convert_tree(root, base_url).replace("    ```", "```")
+    ``html_to_markdown`` on the tree's serialized HTML.  ``options``
+    are the html2text knobs a user passes the reference generator via
+    ``DefaultMarkdownGenerator(options={...})`` — ignore_links,
+    ignore_images, escape_snob, body_width, mark_code."""
+    return convert_tree(root, base_url, **options).replace("    ```", "```")
 
 
-def html_to_markdown(html: str, base_url: str = "") -> str:
+def html_to_markdown(html: str, base_url: str = "", **options) -> str:
     """Raw HTML → raw_markdown, byte-identical to the reference
     generator: ``CustomHTML2Text(...).handle(html)`` under the
-    generator defaults + the fence-dedent post-replace.  Exceptions
-    degrade to the reference's error string (:211-213)."""
+    generator defaults (overridable per ``options``, mirroring
+    ``DefaultMarkdownGenerator(options={...})``) + the fence-dedent
+    post-replace.  Exceptions degrade to the reference's error string
+    (:211-213)."""
     try:
-        raw = convert_html(html or "", base_url)
+        raw = convert_html(html or "", base_url, **options)
     except Exception as e:
         raw = f"Error converting HTML to markdown: {str(e)}"
     return raw.replace("    ```", "```")
@@ -109,12 +114,16 @@ def generate_markdown(
     *,
     citations: bool = True,
     content_filter=None,
+    options: dict | None = None,
 ) -> dict:
     """Full markdown generation result:
     ``{raw_markdown, markdown_with_citations, references_markdown,
     fit_markdown, fit_html}`` (mirrors ``MarkdownGenerationResult``,
-    reference ``models.py:119-127``)."""
-    raw_markdown = html_to_markdown(input_html or "")
+    reference ``models.py:119-127``).  ``options`` mirrors
+    ``DefaultMarkdownGenerator(options={...})`` — the html2text knobs
+    threaded through to the conversion machine."""
+    options = options or {}
+    raw_markdown = html_to_markdown(input_html or "", **options)
 
     markdown_with_citations = raw_markdown
     references_markdown = ""
@@ -129,7 +138,7 @@ def generate_markdown(
         blocks = content_filter.filter_content(input_html or "")
         # reference wraps each surviving block in a <div> (:236-239)
         fit_html = "\n".join("<div>{}</div>".format(s) for s in blocks)
-        fit_markdown = html_to_markdown(fit_html)
+        fit_markdown = html_to_markdown(fit_html, **options)
 
     return {
         "raw_markdown": raw_markdown,

@@ -54,3 +54,29 @@ def reference_markdown(html: str, baseurl: str = "") -> str:
     except Exception as e:  # the generator catches everything (:211)
         raw = f"Error converting HTML to markdown: {str(e)}"
     return raw.replace("    ```", "```")
+
+
+def reference_markdown_with(html: str, baseurl: str = "", **overrides) -> str:
+    """Like :func:`reference_markdown` but with generator-default
+    params overridden — models DefaultMarkdownGenerator(options={...})
+    merging user options over its defaults
+    (markdown_generation_strategy.py:181-204)."""
+    mod = load_fork()
+    h = mod.CustomHTML2Text(baseurl=baseurl)
+    params = dict(
+        body_width=0,
+        ignore_emphasis=False,
+        ignore_links=False,
+        ignore_images=False,
+        protect_links=False,
+        single_line_break=True,
+        mark_code=True,
+        escape_snob=False,
+    )
+    params.update(overrides)
+    h.update_params(**params)
+    try:
+        raw = h.handle(html)
+    except Exception as e:
+        raw = f"Error converting HTML to markdown: {str(e)}"
+    return raw.replace("    ```", "```")

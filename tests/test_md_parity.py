@@ -197,3 +197,71 @@ def test_tree_driver_equals_serialize_path():
     for i in range(500):
         root = parse(_gen_html(rng))
         assert convert_tree(root) == convert_html(root.serialize_contents())
+
+
+OPTION_CONFIGS = [
+    {"ignore_links": True},
+    {"ignore_images": True},
+    {"escape_snob": True},
+    {"body_width": 80},
+    {"body_width": 30},
+    {"mark_code": False},  # no-op under CustomHTML2Text — asserted so
+    {"ignore_links": True, "ignore_images": True},
+    {"escape_snob": True, "body_width": 40, "ignore_images": True},
+]
+
+
+def test_option_configs_byte_equal():
+    """The threaded html2text flags match the importable fork at every
+    non-default config, over the fixture cases AND link/image-heavy
+    HTML that exercises each flag's branch."""
+    from ref_html2text import reference_markdown_with
+
+    extra = [
+        "<p>see <a href='https://ex.com/a'>docs</a> and "
+        "<a href='/rel'>rel</a> plus <img src='i.png' alt='pic'> end</p>",
+        "<a href='https://ex.com/x'>https://ex.com/x</a>",
+        "<a href='https://ex.com/y'><img src='z.png' alt='z'></a>",
+        "<a href='https://ex.com/c'><code>mono</code></a>",
+        "<p>snob chars: *a* _b_ [c] (d) #e !f `g` {h}</p>",
+        "<p>" + " ".join(["wrap me"] * 40) + "</p>",
+        "<ul><li>" + " ".join(["item text"] * 20) + "</li></ul>",
+        "<blockquote>" + " ".join(["quoted words"] * 25) + "</blockquote>",
+        "<table><tr><td>a cell</td><td>b cell</td></tr></table>",
+        "<pre>fenced\n    code   stays</pre>",
+    ]
+    for cfg in OPTION_CONFIGS:
+        for html in CASES + extra:
+            got = html_to_markdown(html, **cfg)
+            want = reference_markdown_with(html, **cfg)
+            assert got == want, (cfg, html, got, want)
+        base = "https://ex.com/dir/page.html"
+        link_html = "<a href='/rel'>r</a><img src='img.png' alt='i'>"
+        assert html_to_markdown(link_html, base, **cfg) == \
+            reference_markdown_with(link_html, base, **cfg), cfg
+
+
+def test_option_configs_corpus_sample():
+    """Option parity over real synthetic corpus pages (every 7th page
+    keeps the case count reasonable; the default config already runs
+    the whole corpus in test_whole_corpus_byte_equal)."""
+    from ref_html2text import reference_markdown_with
+
+    t = generate_pages_table("/root/testdata/sf0.001")
+    for cfg in OPTION_CONFIGS:
+        for i in range(0, t.num_rows, 7):
+            html = t["html"][i].as_py().decode()
+            assert html_to_markdown(html, **cfg) == \
+                reference_markdown_with(html, **cfg), (cfg, i)
+
+
+def test_tree_path_matches_string_path_with_options():
+    """Same contract as test_tree_driver_equals_serialize_path (the
+    tree path is byte-equal to the string path on the tree's OWN
+    serialization — parsing decodes entities once), held at every
+    option config."""
+    for cfg in OPTION_CONFIGS:
+        for html in CASES:
+            root = parse(html)
+            assert markdown_from_tree(root, **cfg) == \
+                html_to_markdown(root.serialize_contents(), **cfg), (cfg, html)
