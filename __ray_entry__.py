@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seed_robots": q.q_seed_robots,
         "crawl_delay_budget": q.q_crawl_delay_budget,
         "adaptive_crawl": q.q_adaptive_crawl,
+        "adaptive_crawl_embedding": q.q_adaptive_crawl_embedding,
     }
 
 

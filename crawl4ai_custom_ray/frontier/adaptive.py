@@ -411,6 +411,9 @@ def adaptive_digest_embedding(
             .to_pandas()
         )
         if "url" in stats.columns and len(stats):
+            # fix block arrival order (kb row order feeds gap scoring;
+            # pending first-wins dedup is order-sensitive too)
+            stats = stats.sort_values("url").reset_index(drop=True)
             new_embs = np.asarray([np.asarray(v) for v in stats["emb"]])
             kb_emb = np.vstack([kb_emb, new_embs]) if len(kb_emb) else new_embs
             for links_json in stats["links_json"]:
@@ -523,6 +526,9 @@ def adaptive_digest(
             import pandas as _pd
 
             stats = _pd.DataFrame(columns=["url", "terms", "links_json"])
+        # block arrival order is nondeterministic; pending_links'
+        # first-wins href dedup depends on row order, so fix it
+        stats = stats.sort_values("url").reset_index(drop=True)
         new_terms = 0
         fetched_urls = set(stats["url"])
         for _, row in stats.iterrows():

@@ -50,6 +50,200 @@ links AS (
 """
 
 
+def _adaptive_stat_sql(path: str) -> str:
+    """Exact chained-CTE replay of the statistical adaptive crawl
+    (``frontier/adaptive.py:adaptive_digest`` with the
+    ``q_adaptive_crawl`` config: query 'batch stream spark merge
+    query', threshold 0.9, max_pages 10, top_k 5, max_iterations 10).
+
+    Each iteration is one generated round of CTEs: state entering
+    round r is the fetched-doc set ``ft{r-1}``; the round's guards
+    (page budget, confidence threshold) gate its selection ``c{r}``.
+    Link scores are the engine's exact float expression
+    ``0.5*(i/5) + 0.3*(1 - k/n) + 0.2*1.0`` — identical IEEE binary64
+    operations in identical order on both engines, so ranking is
+    bit-reproducible (no transcendentals in the sort key; ln/sqrt
+    appear only in the confidence scalar, where a ulp cannot move the
+    0.9 guard or the 4-decimal rounding off a boundary)."""
+    utm = "'\\?utm_source=feed&utm_campaign=c[0-9]+&b=2&a=1$', '?a=1&b=2'"
+    qterms = "['batch','stream','spark','merge','query']"
+    rounds = 10  # cfg.max_iterations
+    parts = [
+        f"""WITH
+pt AS MATERIALIZED (
+    SELECT url,
+           unnest(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 2000)) AS tok
+    FROM read_parquet('{path}')
+),
+ptd AS MATERIALIZED (SELECT DISTINCT url, tok FROM pt),
+lraw AS MATERIALIZED (
+    SELECT url AS src,
+           regexp_extract_all(decode(html), '<a href="([^"]+)">([^<]*)</a>', 1) AS hs,
+           regexp_extract_all(decode(html), '<a href="([^"]+)">([^<]*)</a>', 2) AS ts
+    FROM read_parquet('{path}')
+),
+lun AS MATERIALIZED (
+    SELECT src, unnest(hs) AS rawhref, unnest(ts) AS txt,
+           unnest(range(1, len(hs) + 1)) AS pos
+    FROM lraw
+),
+links0 AS MATERIALIZED (
+    SELECT src, pos, regexp_replace(rawhref, {utm}) AS href, txt
+    FROM lun WHERE rawhref NOT LIKE '%external-site.org%'
+),
+links AS MATERIALIZED (
+    SELECT src, pos, href, txt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src, href ORDER BY pos) AS rn
+        FROM links0
+    ) WHERE rn = 1
+),
+lterm AS MATERIALIZED (
+    SELECT src, href, pos,
+           unnest(list_distinct(regexp_extract_all(lower(txt || ' ' || href), '[a-z0-9]+'))) AS tok
+    FROM links
+),
+lstat AS MATERIALIZED (
+    SELECT src, href, pos, COUNT(*) AS n,
+           SUM(CASE WHEN list_contains({qterms}, tok) THEN 1 ELSE 0 END) AS qi
+    FROM lterm GROUP BY 1, 2, 3
+),
+qt AS MATERIALIZED (SELECT unnest({qterms}) AS tok),
+c0 AS MATERIALIZED (SELECT min(url) AS url FROM read_parquet('{path}') WHERE url NOT LIKE '%/private/%'),
+a0 AS MATERIALIZED (SELECT url FROM c0),
+f0 AS MATERIALIZED (SELECT p.url FROM (SELECT DISTINCT url FROM read_parquet('{path}')) p JOIN c0 USING (url)),
+ft0 AS MATERIALIZED (SELECT 0 AS rnd, url FROM f0),
+h0 AS MATERIALIZED (SELECT 0 AS rnd,
+              (SELECT COUNT(DISTINCT tok) FROM ptd JOIN f0 USING (url)) AS h,
+              (SELECT COUNT(*) FROM c0) > 0 AS ex),
+hist1 AS MATERIALIZED (SELECT rnd, h FROM h0 WHERE ex)"""
+    ]
+    # rounds 1..9 get guards + selection; r == rounds is the final
+    # confidence-only state.
+    for r in range(1, rounds + 1):
+        p = r - 1  # state entering round r = after rounds 0..p
+        parts.append(f""",
+m{r} AS MATERIALIZED (
+    SELECT (SELECT COUNT(*) FROM ft{p}) AS total,
+           COALESCE((SELECT MAX(cnt) FROM (
+               SELECT tok, COUNT(*) AS cnt FROM pt JOIN ft{p} USING (url) GROUP BY tok
+           )), 1) AS maxtf
+),
+qv{r} AS MATERIALIZED (
+    SELECT q.tok, COALESCE(t.tf, 0) AS tf, COALESCE(d.df, 0) AS df
+    FROM qt q
+    LEFT JOIN (SELECT tok, COUNT(*) AS tf FROM pt JOIN ft{p} USING (url) GROUP BY tok) t
+           ON t.tok = q.tok
+    LEFT JOIN (SELECT tok, COUNT(*) AS df FROM ptd JOIN ft{p} USING (url) GROUP BY tok) d
+           ON d.tok = q.tok
+),
+cov{r} AS MATERIALIZED (
+    SELECT LEAST(1.0, sqrt(SUM(
+        CASE WHEN df > 0
+             THEN (CAST(df AS DOUBLE) / NULLIF(m.total, 0))
+                  * (1 + 0.5 * (ln(1 + tf) / ln(1 + m.maxtf)))
+             ELSE 0.0 END) / 5)) AS v
+    FROM qv{r}, m{r} m
+),
+dst{r} AS MATERIALIZED (
+    SELECT url, tok FROM (
+        SELECT d.url, d.tok,
+               ROW_NUMBER() OVER (PARTITION BY d.url ORDER BY d.tok) AS rn
+        FROM ptd d JOIN ft{p} USING (url)
+    ) WHERE rn <= 500
+),
+dall{r} AS MATERIALIZED (
+    SELECT f.url, COALESCE(s.sz, 0) AS sz
+    FROM ft{p} f
+    LEFT JOIN (SELECT url, COUNT(*) AS sz FROM dst{r} GROUP BY url) s USING (url)
+),
+pr{r} AS MATERIALIZED (
+    SELECT a.url AS u1, b.url AS u2, a.sz AS s1, b.sz AS s2
+    FROM dall{r} a JOIN dall{r} b ON a.url < b.url
+    WHERE a.sz > 0 AND b.sz > 0
+),
+ji{r} AS MATERIALIZED (
+    SELECT p.u1, p.u2, COALESCE(i.cnt, 0) AS inter,
+           p.s1 + p.s2 - COALESCE(i.cnt, 0) AS uni
+    FROM pr{r} p
+    LEFT JOIN (
+        SELECT x.url AS u1, y.url AS u2, COUNT(*) AS cnt
+        FROM dst{r} x JOIN dst{r} y ON x.tok = y.tok AND x.url < y.url
+        GROUP BY 1, 2
+    ) i ON i.u1 = p.u1 AND i.u2 = p.u2
+),
+cons{r} AS MATERIALIZED (
+    SELECT CASE WHEN (SELECT COUNT(*) FROM ft{p}) < 2 THEN 1.0
+                WHEN (SELECT COUNT(*) FROM pr{r}) = 0 THEN 0.0
+                ELSE (SELECT AVG(CAST(inter AS DOUBLE) / uni) FROM ji{r}) END AS v
+),
+sat{r} AS MATERIALIZED (
+    SELECT CASE WHEN (SELECT COUNT(*) FROM hist{r}) < 2 THEN 0.0
+           ELSE GREATEST(0.0, LEAST(1.0,
+               1 - CAST((SELECT CASE WHEN h > 0 THEN h ELSE 1 END
+                         FROM hist{r} ORDER BY rnd DESC LIMIT 1) AS DOUBLE)
+                   / (SELECT CASE WHEN h > 0 THEN h ELSE 1 END
+                      FROM hist{r} ORDER BY rnd ASC LIMIT 1))) END AS v
+),
+conf{r} AS MATERIALIZED (
+    SELECT CASE WHEN (SELECT COUNT(*) FROM ft{p}) = 0 THEN 0.0
+           ELSE 0.4 * (SELECT v FROM cov{r})
+                + 0.3 * (SELECT v FROM cons{r})
+                + 0.3 * (SELECT v FROM sat{r}) END AS v
+)""")
+        if r == rounds:
+            break
+        parts.append(f""",
+known{r} AS MATERIALIZED (SELECT DISTINCT tok FROM ptd JOIN ft{p} USING (url)),
+pend{r} AS MATERIALIZED (
+    SELECT href, src FROM (
+        SELECT l.href, l.src,
+               ROW_NUMBER() OVER (PARTITION BY l.href ORDER BY f.rnd, l.src, l.pos) AS rn
+        FROM links l JOIN ft{p} f ON f.url = l.src
+    ) WHERE rn = 1
+),
+cand{r} AS MATERIALIZED (
+    SELECT p.href,
+           0.5 * (CAST(s.qi AS DOUBLE) / 5)
+           + 0.3 * (1 - CAST(COALESCE(k.k, 0) AS DOUBLE) / s.n)
+           + 0.2 * 1.0 AS score
+    FROM pend{r} p
+    JOIN lstat s ON s.src = p.src AND s.href = p.href
+    LEFT JOIN (
+        SELECT lt.src, lt.href, COUNT(*) AS k
+        FROM lterm lt JOIN known{r} kn ON kn.tok = lt.tok
+        GROUP BY 1, 2
+    ) k ON k.src = p.src AND k.href = p.href
+    WHERE p.href NOT IN (SELECT url FROM a{p})
+),
+c{r} AS MATERIALIZED (
+    SELECT href AS url FROM (
+        SELECT href, ROW_NUMBER() OVER (ORDER BY score DESC, href) AS rn
+        FROM cand{r}
+    )
+    WHERE (SELECT v FROM conf{r}) < 0.9
+      AND (SELECT COUNT(*) FROM a{p}) < 10
+      AND rn <= LEAST(5, 10 - (SELECT COUNT(*) FROM a{p}))
+),
+a{r} AS MATERIALIZED (SELECT url FROM a{p} UNION SELECT url FROM c{r}),
+f{r} AS MATERIALIZED (SELECT p.url FROM (SELECT DISTINCT url FROM read_parquet('{path}')) p JOIN c{r} USING (url)),
+ft{r} AS MATERIALIZED (SELECT rnd, url FROM ft{p} UNION ALL SELECT {r} AS rnd, url FROM f{r}),
+h{r} AS MATERIALIZED (
+    SELECT {r} AS rnd,
+           (SELECT COUNT(*) FROM (
+               SELECT DISTINCT tok FROM ptd JOIN f{r} USING (url)
+               WHERE tok NOT IN (SELECT d.tok FROM ptd d JOIN ft{p} USING (url))
+           )) AS h,
+           (SELECT COUNT(*) FROM c{r}) > 0 AS ex
+),
+hist{r + 1} AS MATERIALIZED (SELECT rnd, h FROM hist{r} UNION ALL SELECT rnd, h FROM h{r} WHERE ex)""")
+    parts.append(f"""
+SELECT 'statistical' AS strategy, a.url,
+       ROUND((SELECT v FROM conf{rounds}), 4) AS confidence
+FROM a{rounds - 1} a
+""")
+    return "".join(parts)
+
+
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     # the pages cache is a directory of part files → DuckDB glob
     path = pages_parquet_path(sf_dir) + "/*.parquet"
@@ -2477,5 +2671,30 @@ d{t} AS (
         WHERE pr.n_pair >= 10
         ORDER BY lift_ppm DESC, n_pair DESC, tok_a, tok_b
         LIMIT 100
+    """
+    # Statistical adaptive crawl: exact iteration-by-iteration replay
+    # (see _adaptive_stat_sql).  The embedding-strategy variant
+    # (adaptive_crawl_embedding) has no oracle by necessity: its
+    # stand-in embedder hashes tokens with blake2b, which SQL cannot
+    # reproduce — the driver records the weaker rows-only check.
+    sql["adaptive_crawl"] = _adaptive_stat_sql(path)
+    # CosineStrategy clustering (functions/cosine.py): with the
+    # q_semantic_cluster defaults (no semantic_filter), every kept
+    # chunk has filter_sim 1.0, and on this corpus each document is a
+    # single chunk (no '\n\n' separators), so each doc's greedy
+    # clustering is the trivial single-vector case: cluster_id 0.  If
+    # the corpus ever grows multi-chunk docs this oracle mismatches
+    # loudly (engine emits one row per chunk).  The multi-chunk
+    # clustering path is covered by tests/test_structured.py; this
+    # oracle pins the chunk-gate semantics (>= 5 whitespace words,
+    # stripped chunk) exactly.
+    sql["semantic_cluster"] = """
+        SELECT 'doc://' || doc_id AS url,
+               CAST(0 AS INTEGER) AS cluster_id,
+               trim(text) AS chunk,
+               1.0 AS filter_sim
+        FROM documents
+        WHERE text IS NOT NULL
+          AND len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5
     """
     return sql

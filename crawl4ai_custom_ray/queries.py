@@ -1043,18 +1043,9 @@ def q_seed_cc(sf_dir: str):
     )
 
 
-def q_adaptive_crawl(sf_dir: str):
-    """Adaptive crawl-until-confident digest, both strategies
-    (reference StatisticalStrategy and EmbeddingStrategy): returns the
-    crawled url set per strategy with final confidence.  Rows-only
-    (iterative, stateful)."""
+def _adaptive_start_url(sf_dir: str) -> tuple[str, str]:
     import pyarrow.parquet as pq
 
-    from .frontier.adaptive import (
-        AdaptiveConfig,
-        adaptive_digest,
-        adaptive_digest_embedding,
-    )
     from .sources.pages import pages_parquet_path
 
     pages_path = pages_parquet_path(sf_dir)
@@ -1063,23 +1054,45 @@ def q_adaptive_crawl(sf_dir: str):
         for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
         if "/private/" not in u
     )[0]
-    cfg = AdaptiveConfig(confidence_threshold=0.9, max_pages=10, top_k_per_iteration=5)
-    query = "batch stream spark merge query"
-    stat = adaptive_digest(pages_path, start, query, cfg)
-    emb = adaptive_digest_embedding(pages_path, start, query, cfg)
-    strategies, urls, confs = [], [], []
-    for name, st in (("statistical", stat), ("embedding", emb)):
-        for u in sorted(st.crawled_urls):
-            strategies.append(name)
-            urls.append(u)
-            confs.append(round(st.metrics.get("confidence", 0.0), 4))
+    return pages_path, start
+
+
+def _adaptive_rows(name: str, st) -> pa.Table:
+    urls = sorted(st.crawled_urls)
+    conf = round(st.metrics.get("confidence", 0.0), 4)
     return pa.table(
         {
-            "strategy": pa.array(strategies, pa.string()),
+            "strategy": pa.array([name] * len(urls), pa.string()),
             "url": pa.array(urls, pa.string()),
-            "confidence": pa.array(confs, pa.float64()),
+            "confidence": pa.array([conf] * len(urls), pa.float64()),
         }
     )
+
+
+def q_adaptive_crawl(sf_dir: str):
+    """Adaptive crawl-until-confident digest, reference
+    StatisticalStrategy: crawled url set + final confidence.  Exact
+    oracle: a per-iteration chained-CTE replay
+    (oracles._adaptive_stat_sql)."""
+    from .frontier.adaptive import AdaptiveConfig, adaptive_digest
+
+    pages_path, start = _adaptive_start_url(sf_dir)
+    cfg = AdaptiveConfig(confidence_threshold=0.9, max_pages=10, top_k_per_iteration=5)
+    st = adaptive_digest(pages_path, start, "batch stream spark merge query", cfg)
+    return _adaptive_rows("statistical", st)
+
+
+def q_adaptive_crawl_embedding(sf_dir: str):
+    """Adaptive digest with the EmbeddingStrategy (blake2b hashing
+    embedder stand-in — not SQL-reproducible, so rows-only; the
+    strategy's determinism and stop conditions are pytest-covered in
+    tests/test_adaptive.py)."""
+    from .frontier.adaptive import AdaptiveConfig, adaptive_digest_embedding
+
+    pages_path, start = _adaptive_start_url(sf_dir)
+    cfg = AdaptiveConfig(confidence_threshold=0.9, max_pages=10, top_k_per_iteration=5)
+    st = adaptive_digest_embedding(pages_path, start, "batch stream spark merge query", cfg)
+    return _adaptive_rows("embedding", st)
 
 
 def q_semantic_cluster(sf_dir: str):

@@ -88,10 +88,10 @@ def _query_partition():
 QUERY_NAMES, ROWS_ONLY_QUERIES = _query_partition()
 
 
-def test_rows_only_is_the_known_two():
-    """Only the two model-state pipelines may lack an oracle — a new
-    query landing here by accident is a missing-oracle bug."""
-    assert ROWS_ONLY_QUERIES == ["adaptive_crawl", "semantic_cluster"]
+def test_rows_only_is_the_known_one():
+    """Only the blake2b-embedder adaptive variant may lack an oracle —
+    a new query landing here by accident is a missing-oracle bug."""
+    assert ROWS_ONLY_QUERIES == ["adaptive_crawl_embedding"]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
