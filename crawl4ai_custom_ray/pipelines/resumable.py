@@ -55,11 +55,22 @@ def resumable_extract(
     columns: list[str] | None = None,
     done_urls=None,
     done_seen=None,
+    cache_mode=None,
     **extract_kwargs,
 ) -> dict:
     """Extract all pages under ``pages_dir`` into per-shard output
     directories; skip shards already committed.  Returns a run
     manifest {n_shards, n_skipped, n_rows, wall_s, shards: [...]}.
+
+    ``cache_mode``: a :class:`~..state.cache_mode.CacheMode` governing
+    the committed-shard cache exactly as the reference's
+    ``CacheContext`` governs its SQLite cache — ENABLED (default)
+    reads (skip committed shards, apply done anti-joins) and writes
+    (commit outputs); READ_ONLY skips committed shards but commits
+    nothing new; WRITE_ONLY re-extracts everything (ignoring previous
+    commits and done-sets) and overwrites; DISABLED / BYPASS neither
+    read nor write — a pure recompute that leaves the cache tree
+    untouched.
 
     ``done_urls``: optional container supporting ``in`` over 64-bit
     url digests (set / BloomFilter / CuckooFilter) — rows whose
@@ -71,21 +82,33 @@ def resumable_extract(
     :func:`load_done_into_seen`) — the anti-join becomes batched
     membership RPCs against the shard actors, the 10^10-URL path.
     """
+    from ..state.cache_mode import CacheContext, CacheMode
+
+    cache_mode = cache_mode or CacheMode.ENABLED
     os.makedirs(out_root, exist_ok=True)
     t0 = time.time()
     shard_reports = []
     n_rows_total = 0
     n_skipped = 0
 
+    # no cache read → the done-sets must not filter either (they ARE
+    # the cache's url-level view)
+    ctx_probe = CacheContext(pages_dir, cache_mode)
+    if not ctx_probe.should_read():
+        done_urls = None
+        done_seen = None
+
     done_ref = ray.put(done_urls) if done_urls is not None else None
 
     for shard_path in list_shards(pages_dir):
+        ctx = CacheContext(shard_path, cache_mode)
         out_dir = shard_output_dir(out_root, shard_path)
-        if is_shard_done(out_root, shard_path):
+        if ctx.should_read() and is_shard_done(out_root, shard_path):
             n_skipped += 1
             continue
-        # idempotent re-run: wipe any partial output of a crashed shard
-        if os.path.isdir(out_dir):
+        # idempotent re-run: wipe any partial output of a crashed
+        # shard — but only when this run is allowed to write at all
+        if ctx.should_write() and os.path.isdir(out_dir):
             import shutil
 
             shutil.rmtree(out_dir)
@@ -109,18 +132,19 @@ def resumable_extract(
             ds = ds.map_batches(not_seen, batch_format="pyarrow")
         extracted = extract_pages(ds, columns=columns, **extract_kwargs).materialize()
         n_rows = extracted.count()
-        os.makedirs(out_dir, exist_ok=True)
-        if n_rows > 0:
-            extracted.write_parquet(out_dir)
         report = {
             "shard": os.path.basename(shard_path),
             "n_rows": n_rows,
             "wall_s": round(time.time() - shard_t0, 3),
         }
-        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-            json.dump(report, f)
-        with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
-            f.write("")
+        if ctx.should_write():
+            os.makedirs(out_dir, exist_ok=True)
+            if n_rows > 0:
+                extracted.write_parquet(out_dir)
+            with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+                json.dump(report, f)
+            with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+                f.write("")
         shard_reports.append(report)
         n_rows_total += n_rows
 

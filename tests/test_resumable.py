@@ -123,3 +123,110 @@ def test_incremental_via_seen_shards(ray_session, tmp_path):
         assert not (set(got["url"]) & first_half_urls)
     finally:
         seen.shutdown()
+
+
+# ------------------------------------------------------- cache modes
+
+
+def _mtimes(out_root, pages_dir):
+    return {
+        s: os.path.getmtime(os.path.join(shard_output_dir(out_root, s), "_SUCCESS"))
+        for s in list_shards(pages_dir)
+        if is_shard_done(out_root, s)
+    }
+
+
+def test_cache_mode_matrix(ray_session, tmp_path):
+    """READ_ONLY / WRITE_ONLY / BYPASS / DISABLED read-write matrices
+    (reference cache_context.py:4-16 semantics over the shard cache)."""
+    from crawl4ai_custom_ray.state.cache_mode import CacheMode
+
+    pages_dir = pages_parquet_path(SF)
+    out_root = str(tmp_path / "cm")
+
+    # seed the cache with one committed run
+    seed = resumable_extract(pages_dir, out_root, columns=["text"])
+    n_shards = seed["n_shards"]
+    before = _mtimes(out_root, pages_dir)
+    assert len(before) == n_shards
+
+    # READ_ONLY: skips everything committed, writes nothing new
+    victim = list_shards(pages_dir)[0]
+    shutil.rmtree(shard_output_dir(out_root, victim))
+    r = resumable_extract(
+        pages_dir, out_root, columns=["text"], cache_mode=CacheMode.READ_ONLY
+    )
+    assert r["n_skipped"] == n_shards - 1
+    assert r["n_rows"] > 0  # the victim re-extracted...
+    assert not is_shard_done(out_root, victim)  # ...but was NOT committed
+
+    # BYPASS: recomputes everything, cache tree untouched
+    mid = _mtimes(out_root, pages_dir)
+    r = resumable_extract(
+        pages_dir, out_root, columns=["text"], cache_mode=CacheMode.BYPASS
+    )
+    assert r["n_skipped"] == 0 and r["n_rows"] == 500
+    assert _mtimes(out_root, pages_dir) == mid
+
+    # DISABLED: same matrix as BYPASS
+    r = resumable_extract(
+        pages_dir, out_root, columns=["text"], cache_mode=CacheMode.DISABLED
+    )
+    assert r["n_skipped"] == 0 and r["n_rows"] == 500
+    assert _mtimes(out_root, pages_dir) == mid
+
+    # WRITE_ONLY: ignores commits (no skips, done-set ignored) and
+    # overwrites every shard, restoring the victim
+    done = extracted_url_digests(out_root)
+    r = resumable_extract(
+        pages_dir,
+        out_root,
+        columns=["text"],
+        done_urls=done,
+        cache_mode=CacheMode.WRITE_ONLY,
+    )
+    assert r["n_skipped"] == 0 and r["n_rows"] == 500
+    after = _mtimes(out_root, pages_dir)
+    assert len(after) == n_shards
+    assert all(after[s] > before.get(s, 0) for s in after)
+
+    # ENABLED again: everything committed → full skip
+    r = resumable_extract(pages_dir, out_root, columns=["text"])
+    assert r["n_skipped"] == n_shards and r["n_rows"] == 0
+
+
+def test_cache_context_url_rules():
+    """Per-URL cacheability mirrors the reference: raw: HTML is never
+    cached; always_bypass wins over the mode; legacy flags translate
+    with the reference's precedence."""
+    from crawl4ai_custom_ray.state.cache_mode import (
+        CacheContext,
+        CacheMode,
+        legacy_to_cache_mode,
+    )
+
+    web = CacheContext("https://a.example/x", CacheMode.ENABLED)
+    assert web.should_read() and web.should_write()
+    raw = CacheContext("raw:<html></html>", CacheMode.ENABLED)
+    assert not raw.should_read() and not raw.should_write()
+    assert raw.display_url == "Raw HTML"
+    forced = CacheContext("https://a.example/x", CacheMode.ENABLED, always_bypass=True)
+    assert not forced.should_read() and not forced.should_write()
+
+    matrix = {
+        CacheMode.ENABLED: (True, True),
+        CacheMode.DISABLED: (False, False),
+        CacheMode.READ_ONLY: (True, False),
+        CacheMode.WRITE_ONLY: (False, True),
+        CacheMode.BYPASS: (False, False),
+    }
+    for mode, (rd_, wr_) in matrix.items():
+        ctx = CacheContext("https://a.example/x", mode)
+        assert (ctx.should_read(), ctx.should_write()) == (rd_, wr_), mode
+
+    assert legacy_to_cache_mode(disable_cache=True, bypass_cache=True) is CacheMode.DISABLED
+    assert legacy_to_cache_mode(bypass_cache=True) is CacheMode.BYPASS
+    assert legacy_to_cache_mode(no_cache_read=True, no_cache_write=True) is CacheMode.DISABLED
+    assert legacy_to_cache_mode(no_cache_read=True) is CacheMode.WRITE_ONLY
+    assert legacy_to_cache_mode(no_cache_write=True) is CacheMode.READ_ONLY
+    assert legacy_to_cache_mode() is CacheMode.ENABLED
