@@ -691,11 +691,15 @@ def build_pdf(
     created: str = "D:20240101120000",
     compress: bool = True,
     links: list[list[str]] | None = None,
+    images: list[list[tuple[int, int]]] | None = None,
 ) -> bytes:
     """Write a small, spec-correct PDF (header, objects, xref table,
     trailer).  Each page string becomes one Helvetica text column;
-    ``\\n`` line breaks become ``T*`` moves.  Deterministic bytes for
-    identical inputs."""
+    ``\\n`` line breaks become ``T*`` moves.  ``images`` gives per-page
+    (width, height) Image XObjects — 8-bit DeviceGray FlateDecode
+    streams of deterministic bytes, painted with ``Do`` (mirrors the
+    reference processor's image source: ``processors/pdf/processor.py``
+    page images).  Deterministic bytes for identical inputs."""
     objs: list[bytes] = []  # 1-indexed bodies
 
     def add(body: bytes) -> int:
@@ -706,13 +710,31 @@ def build_pdf(
     page_ids: list[int] = []
     content_ids: list[int] = []
     annot_ids: list[list[int]] = []
+    image_ids: list[list[int]] = []
     for i, text in enumerate(pages):
+        page_imgs: list[int] = []
+        page_dims = (images[i] if images and i < len(images) else [])
+        for w, h in page_dims:
+            # deterministic gray ramp so the stream round-trips exactly
+            pix = bytes((x * 7 + 13) % 256 for x in range(w * h))
+            comp = zlib.compress(pix, 9)
+            page_imgs.append(
+                add(
+                    b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+                    % (w, h, len(comp), comp)
+                )
+            )
+        image_ids.append(page_imgs)
         ops = [b"BT /F1 11 Tf 12 TL 72 720 Td"]
         for j, line in enumerate(text.split("\n")):
             if j > 0:
                 ops.append(b"T*")
             ops.append(b"(" + _esc(line) + b") Tj")
         ops.append(b"ET")
+        for k, (w, h) in enumerate(page_dims):
+            ops.append(b"q %d 0 0 %d 72 %d cm /Im%d Do Q" % (w, h, 500 - 40 * k, k))
         stream = b" ".join(ops)
         if compress:
             comp = zlib.compress(stream, 9)
@@ -740,10 +762,19 @@ def build_pdf(
             if annot_ids[i]
             else b""
         )
+        xobj = (
+            b" /XObject << "
+            + b" ".join(
+                b"/Im%d %d 0 R" % (k, oid) for k, oid in enumerate(image_ids[i])
+            )
+            + b" >>"
+            if image_ids[i]
+            else b""
+        )
         add(
             b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R%s >>"
-            % (pages_id, font, content_ids[i], annots)
+            b"/Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R%s >>"
+            % (pages_id, font, xobj, content_ids[i], annots)
         )
         page_ids.append(len(objs))
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
@@ -810,11 +841,14 @@ def process_pdfs(
                 "title": [],
                 "author": [],
                 "links": [],
+                "n_images": [],
+                "image_px": [],
                 "error": [],
             }
             for blob in blobs:
                 try:
                     r = self.strategy.process_bytes(blob)
+                    imgs = [im for p in r.pages for im in p.images]
                     cols["success"].append(True)
                     cols["n_pages"].append(r.metadata.pages)
                     cols["text"].append("\n".join(p.raw_text for p in r.pages))
@@ -822,6 +856,10 @@ def process_pdfs(
                     cols["title"].append(r.metadata.title)
                     cols["author"].append(r.metadata.author)
                     cols["links"].append([l for p in r.pages for l in p.links])
+                    cols["n_images"].append(len(imgs))
+                    cols["image_px"].append(
+                        sum((im["width"] or 0) * (im["height"] or 0) for im in imgs)
+                    )
                     cols["error"].append(None)
                 except Exception as exc:
                     cols["success"].append(False)
@@ -831,6 +869,8 @@ def process_pdfs(
                     cols["title"].append(None)
                     cols["author"].append(None)
                     cols["links"].append([])
+                    cols["n_images"].append(0)
+                    cols["image_px"].append(0)
                     cols["error"].append(str(exc)[:200])
             return pa.table(
                 {
@@ -842,6 +882,8 @@ def process_pdfs(
                     "title": pa.array(cols["title"], pa.string()),
                     "author": pa.array(cols["author"], pa.string()),
                     "links": pa.array(cols["links"], pa.list_(pa.string())),
+                    "n_images": pa.array(cols["n_images"], pa.int32()),
+                    "image_px": pa.array(cols["image_px"], pa.int64()),
                     "error": pa.array(cols["error"], pa.string()),
                 }
             )

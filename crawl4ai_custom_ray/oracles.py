@@ -958,10 +958,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    CAST(octet_length(html) AS BIGINT) AS n_bytes
             FROM read_parquet('{path}')
         """,
+        # image oracle: the query embeds doc_id % 3 images with dims
+        # (16(k+1), 8(k+1)) → total px = Σ 128(k+1)² = 0 / 128 / 640
         "pdf_extract": """
             SELECT doc_id,
                    CAST(1 AS INTEGER) AS n_pages,
-                   regexp_replace(text, '[^\x20-\x7e\n]', '', 'g') AS text
+                   regexp_replace(text, '[^\x20-\x7e\n]', '', 'g') AS text,
+                   CAST(doc_id % 3 AS INTEGER) AS n_images,
+                   CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 128
+                        ELSE 640 END AS BIGINT) AS image_px
             FROM documents
         """,
         "asof_join": """

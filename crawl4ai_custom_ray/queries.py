@@ -647,9 +647,11 @@ def q_pdf_extract(sf_dir: str):
     """PDF round-trip over the documents table: each document's text
     (printable-ASCII + newline filtered, identically in the SQL
     oracle) is written into a synthetic PDF inside the pipeline by the
-    deterministic mini-writer, parsed back by the stdlib PDF engine,
-    and the extracted text emitted — any writer/parser defect breaks
-    the oracle match."""
+    deterministic mini-writer — with ``doc_id % 3`` embedded Image
+    XObjects of known dims — parsed back by the stdlib PDF engine, and
+    the extracted text + image enumeration (count, total pixels from
+    the COS /Width × /Height metadata) emitted; any writer/parser
+    defect breaks the oracle match."""
     import ray.data as rd
 
     from .functions.pdf import build_pdf, process_pdfs
@@ -661,8 +663,11 @@ def q_pdf_extract(sf_dir: str):
 
         ids = batch["doc_id"].to_pylist()
         blobs = [
-            build_pdf([_re.sub(r"[^\x20-\x7e\n]", "", t or "")])
-            for t in batch["text"].to_pylist()
+            build_pdf(
+                [_re.sub(r"[^\x20-\x7e\n]", "", t or "")],
+                images=[[(16 * (k + 1), 8 * (k + 1)) for k in range(i % 3)]],
+            )
+            for i, t in zip(ids, batch["text"].to_pylist())
         ]
         return pa.table(
             {
@@ -672,7 +677,9 @@ def q_pdf_extract(sf_dir: str):
         )
 
     pdfs = docs.map_batches(to_pdf, batch_format="pyarrow")
-    return process_pdfs(pdfs).select_columns(["doc_id", "n_pages", "text"])
+    return process_pdfs(pdfs).select_columns(
+        ["doc_id", "n_pages", "text", "n_images", "image_px"]
+    )
 
 
 def q_asof_join(sf_dir: str):

@@ -177,3 +177,28 @@ def test_truncated_pdfs_do_not_crash():
             assert r.metadata.pages >= 0  # parsed a prefix, fine
         except ValueError:
             pass  # rejected cleanly — also fine
+
+
+def test_image_xobject_roundtrip():
+    """Writer-embedded Image XObjects come back from the COS walk with
+    exact /Width, /Height, /Filter metadata (no codec needed), and
+    pages without images enumerate empty."""
+    from crawl4ai_custom_ray.functions.pdf import (
+        NaivePDFProcessorStrategy,
+        build_pdf,
+    )
+
+    blob = build_pdf(
+        ["page one", "page two"], images=[[(16, 8), (32, 16)], []]
+    )
+    r = NaivePDFProcessorStrategy().process_bytes(blob)
+    assert [(i["name"], i["width"], i["height"], i["filter"]) for i in r.pages[0].images] == [
+        ("Im0", 16, 8, "FlateDecode"),
+        ("Im1", 32, 16, "FlateDecode"),
+    ]
+    assert r.pages[1].images == []
+    assert r.pages[0].raw_text == "page one"  # text unaffected by Do ops
+
+    # extract_images=False gate mirrors the reference kwarg
+    r2 = NaivePDFProcessorStrategy(extract_images=False).process_bytes(blob)
+    assert r2.pages[0].images == []
