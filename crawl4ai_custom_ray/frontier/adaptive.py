@@ -178,10 +178,17 @@ class EmbeddingStrategy:
         min_relative_improvement: float = 0.1,
         validation_min_score: float = 0.4,
         seed: int = 42,
+        embedder_factory=None,
     ):
         from ..functions.cosine import HashingEmbedder
 
-        self.embedder = HashingEmbedder(dim=dim)
+        # the model seam: any object with .embed(text) -> vector of
+        # length `dim` (a sentence-transformer wrapper in a real
+        # deployment; the hashing stand-in by default)
+        self.embedder_factory = embedder_factory
+        self.embedder = (
+            embedder_factory(dim) if embedder_factory else HashingEmbedder(dim=dim)
+        )
         self.n_synthetic = n_synthetic
         self.coverage_radius = coverage_radius
         self.overlap_threshold = overlap_threshold
@@ -308,17 +315,21 @@ class EmbeddingStrategy:
         return False, ""
 
 
-def _doc_embed_batch_factory(dim: int):
+def _doc_embed_batch_factory(dim: int, embedder_factory=None):
     """Batch fn: (url, html) → (url, emb: list<double>, links_json),
     embedding each doc's extracted text in the task (the reference
-    embeds pages as they join the knowledge base)."""
+    embeds pages as they join the knowledge base).  The factory is
+    shipped to workers and called once per batch fn — swap in a real
+    model loader without touching the pipeline."""
 
     def fn(batch: pa.Table) -> pa.Table:
         from ..functions.cosine import HashingEmbedder
 
         import numpy as np
 
-        embedder = HashingEmbedder(dim=dim)
+        embedder = (
+            embedder_factory(dim) if embedder_factory else HashingEmbedder(dim=dim)
+        )
         urls_out, embs_out, links_out = [], [], []
         for i in range(batch.num_rows):
             url = batch["url"][i].as_py()
@@ -370,7 +381,9 @@ def adaptive_digest_embedding(
     confidence_history: list[float] = []
 
     pages = rd.read_parquet(pages_path, columns=["url", "html"])
-    doc_fn = _doc_embed_batch_factory(query_emb.shape[1])
+    doc_fn = _doc_embed_batch_factory(
+        query_emb.shape[1], embedder_factory=strategy.embedder_factory
+    )
 
     for _iteration in range(cfg.max_iterations):
         if len(state.crawled_urls) >= cfg.max_pages:

@@ -53,6 +53,32 @@ class HashingEmbedder:
         return np.vstack([self.embed(t) for t in texts]) if texts else np.zeros((0, self.dim))
 
 
+class LinearMapEmbedder:
+    """Second built-in embedder: a fixed character-level linear map
+    (deterministic, no hashing, no model weights).  Exists to prove
+    the ``embedder_factory`` model seam end-to-end — any object with
+    ``embed``/``embed_many`` (e.g. a sentence-transformer wrapper)
+    plugs into :class:`SemanticClusterExtractor` and the adaptive
+    EmbeddingStrategy the same way."""
+
+    def __init__(self, dim: int = 128):
+        self.dim = dim
+
+    def embed(self, text: str) -> np.ndarray:
+        v = np.zeros(self.dim, dtype=np.float64)
+        for pos, ch in enumerate(text.lower()):
+            v[(ord(ch) * 31 + pos) % self.dim] += (ord(ch) % 13) - 6
+        norm = np.linalg.norm(v)
+        return v / norm if norm > 0 else v
+
+    def embed_many(self, texts: list[str]) -> np.ndarray:
+        return (
+            np.vstack([self.embed(t) for t in texts])
+            if texts
+            else np.zeros((0, self.dim))
+        )
+
+
 def greedy_cluster(vectors: np.ndarray, threshold: float) -> list[int]:
     """Assign each vector to the first cluster whose centroid cosine ≥
     threshold, else start a new cluster.  Deterministic."""
@@ -88,9 +114,15 @@ class SemanticClusterExtractor:
         cluster_threshold: float = 0.3,
         word_count_threshold: int = 5,
         dim: int = 128,
+        embedder_factory=None,
     ):
-        # once-per-actor setup (the reference loads its HF model here)
-        self.embedder = HashingEmbedder(dim=dim)
+        # once-per-actor setup (the reference loads its HF model here).
+        # `embedder_factory(dim)` is the model seam: any object with
+        # .embed(text)/.embed_many(texts) — e.g. a sentence-transformer
+        # wrapper — replaces the hashing stand-in per actor.
+        self.embedder = (
+            embedder_factory(dim) if embedder_factory else HashingEmbedder(dim=dim)
+        )
         self.semantic_filter = semantic_filter
         self.filter_vec = (
             self.embedder.embed(semantic_filter) if semantic_filter else None

@@ -147,3 +147,38 @@ def test_embedding_strategy_gap_scoring():
     ]
     scored = dict((l["href"], sc) for l, sc in s.select_links(links, gaps, None))
     assert scored["/a"] > scored["/b"]
+
+
+def test_embedding_strategy_model_seam(ray_session):
+    """Injecting a non-hashing embedder via embedder_factory drives
+    both the strategy's query-space math AND the distributed per-doc
+    embedding stage (the factory ships to workers), end to end."""
+    from crawl4ai_custom_ray.frontier.adaptive import (
+        AdaptiveConfig,
+        EmbeddingStrategy,
+        adaptive_digest_embedding,
+    )
+    from crawl4ai_custom_ray.functions.cosine import LinearMapEmbedder
+
+    pages_path = pages_parquet_path(SF)
+    start = sorted(
+        u for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
+        if "/private/" not in u
+    )[0]
+    cfg = AdaptiveConfig(confidence_threshold=0.9, max_pages=8, top_k_per_iteration=4)
+    q = "batch stream spark merge query"
+
+    def run():
+        return adaptive_digest_embedding(
+            pages_path, start, q, cfg,
+            strategy=EmbeddingStrategy(embedder_factory=LinearMapEmbedder),
+        )
+
+    st = run()
+    assert 1 <= len(st.crawled_urls) <= 8
+    assert 0.0 <= st.metrics["confidence"] <= 1.0
+    assert st.crawled_urls == run().crawled_urls  # deterministic
+    # the injected model changes the embedding space: confidence
+    # differs from the hashing default on the same crawl config
+    base = adaptive_digest_embedding(pages_path, start, q, cfg)
+    assert st.metrics["confidence"] != base.metrics["confidence"]

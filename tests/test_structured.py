@@ -180,3 +180,48 @@ class TestSemanticCluster:
         out = semantic_cluster(rd.from_items(items)).to_pandas()
         assert set(out["url"]) == {"u1", "u2"}
         assert (out["cluster_id"] >= 0).all()
+
+
+def test_embedder_seam_through_actor_pool(ray_session):
+    """Injecting a non-hashing embedder flows end-to-end through the
+    semantic_cluster actor pool: per-actor construction happens via
+    the factory, results are deterministic, and the filter-similarity
+    values provably come from the injected model (they differ from the
+    hashing default's)."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.cosine import (
+        LinearMapEmbedder,
+        semantic_cluster,
+    )
+
+    items = [
+        {"url": f"u{i}", "text": f"alpha beta gamma delta epsilon doc {i}"}
+        for i in range(8)
+    ]
+
+    def run(**kw):
+        return (
+            semantic_cluster(
+                rd.from_items(items), semantic_filter="alpha beta", sim_threshold=-1.0, **kw
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    injected = run(embedder_factory=LinearMapEmbedder)
+    injected2 = run(embedder_factory=LinearMapEmbedder)
+    default = run()
+    assert injected.equals(injected2)  # deterministic per-actor builds
+    assert len(injected) == 8
+    # similarity values come from the injected model, not the default
+    assert not injected["filter_sim"].equals(default["filter_sim"])
+    # and they match a driver-side (no actor pool) replay of the model
+    emb = LinearMapEmbedder(128)
+    fv = emb.embed("alpha beta")
+    import numpy as np
+
+    for _, row in injected.iterrows():
+        expect = round(float(emb.embed(row["chunk"]) @ fv), 6)
+        assert row["filter_sim"] == expect, (row["url"], row["filter_sim"], expect)
