@@ -64,3 +64,59 @@ def test_custom_step_registration(ray_session):
     pipe = compose(make_step("upper_url_test"), make_step("limit", n=3))
     out = pipe(read_pages(SF).select_columns(["url"])).to_pandas()
     assert out["url"].str.startswith("HTTPS://").all()
+
+
+# ------------------------------------------------------- crawler hub
+
+
+def test_hub_discovers_bundled_crawler():
+    from crawl4ai_custom_ray.pipelines.hub import BaseCrawler, CrawlerHub
+
+    assert "site_search" in CrawlerHub.available()
+    cls = CrawlerHub.get("site_search")
+    assert issubclass(cls, BaseCrawler)
+    assert cls.meta.get("version") == "1.0.0"
+    assert CrawlerHub.get("no_such_crawler") is None
+
+
+def test_hub_explicit_registration_and_contract():
+    import pytest
+
+    from crawl4ai_custom_ray.pipelines.hub import BaseCrawler, CrawlerHub
+
+    @CrawlerHub.register("toy")
+    class ToyCrawler(BaseCrawler):
+        def run(self, source: str = "", **kwargs):
+            return {"source": source, **kwargs}
+
+    assert CrawlerHub.get("toy") is ToyCrawler
+    assert ToyCrawler().run("x", a=1) == {"source": "x", "a": 1}
+
+    # interface enforcement mirrors the reference: run must take
+    # (self, source); async defs are rejected in the batch engine
+    with pytest.raises(TypeError):
+
+        class BadSignature(BaseCrawler):
+            def run(self):  # missing source
+                return None
+
+    with pytest.raises(TypeError):
+
+        class BadAsync(BaseCrawler):
+            async def run(self, source: str = "", **kwargs):
+                return None
+
+
+def test_site_search_crawler_end_to_end(ray_session):
+    from crawl4ai_custom_ray.pipelines.hub import CrawlerHub
+
+    crawler = CrawlerHub.get("site_search")()
+    out = crawler.run("/root/testdata/sf0.001", query="stream join", k=5).to_pandas()
+    assert 1 <= len(out) <= 5
+    assert list(out.columns) == ["url", "title", "score", "snippet"]
+    # deterministic total order: scores non-increasing, url tiebreak
+    s = out["score"].tolist()
+    assert s == sorted(s, reverse=True)
+    assert (out["score"] > 0).all()
+    out2 = crawler.run("/root/testdata/sf0.001", query="stream join", k=5).to_pandas()
+    assert out.equals(out2)
