@@ -220,13 +220,26 @@ class JsonXPathExtractionStrategy(JsonCssExtractionStrategy):
 JsonXPathLikeExtractionStrategy = JsonXPathExtractionStrategy
 
 
-def extract_structured(ds, schema: dict, *, html_column: str = "html", url_column: str = "url"):
+def extract_structured(
+    ds,
+    schema: dict,
+    *,
+    html_column: str = "html",
+    url_column: str = "url",
+    engine: str = "css",
+):
     """Ray stage: one row per page → (url, extracted_content JSON
-    string, n_items)."""
+    string, n_items).  ``engine`` picks the selector backend:
+    ``"css"`` (JsonCssExtractionStrategy) or ``"xpath"``
+    (JsonXPathExtractionStrategy) — the reference's
+    ``json-css``/``json-xpath`` CLI extraction types."""
+    if engine not in ("css", "xpath"):
+        raise ValueError(f"engine must be 'css' or 'xpath', got {engine!r}")
 
     class Extractor:
         def __init__(self):
-            self.strategy = JsonCssExtractionStrategy(schema)
+            cls = JsonCssExtractionStrategy if engine == "css" else JsonXPathExtractionStrategy
+            self.strategy = cls(schema)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             urls = batch[url_column].to_pylist()
