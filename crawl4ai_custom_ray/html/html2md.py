@@ -111,6 +111,10 @@ _WS_RUN = re.compile(r"\s+")
 _BSLASH = re.compile(r"(\\)(?=[\\`*_{}\[\]()#+\-.!])")
 # the snob escape class (reference config.py RE_MD_CHARS_MATCHER_ALL)
 _SNOB_CHARS = re.compile(r"([`\*_{}\[\]\(\)#!])")
+# escape_md_section's optional line-start escapes (config.py:77-104)
+_DOT_MATCHER = re.compile(r"^(\s*\d+)(\.)(?=\s)", re.MULTILINE)
+_PLUS_MATCHER = re.compile(r"^(\s*)(\+)(?=\s)", re.MULTILINE)
+_DASH_MATCHER = re.compile(r"^(\s*)(-)(?=\s|\-)", re.MULTILINE)
 # optwrap helpers (reference config.py:64-75; RE_SPACE's r"\s\+" quirk
 # is intentional — see MarkdownMachine._optwrap)
 _RE_SPACE = re.compile(r"\s\+")
@@ -190,12 +194,37 @@ class MarkdownMachine:
         escape_snob: bool = False,
         body_width: int = 0,
         mark_code: bool = True,
+        ignore_emphasis: bool = False,
+        emphasis_mark: str = "_",
+        strong_mark: str = "**",
+        ul_item_mark: str = "*",
+        skip_internal_links: bool = False,
+        ignore_mailto_links: bool = True,
+        protect_links: bool = False,
+        images_to_alt: bool = False,
+        images_with_size: bool = False,
+        images_as_html: bool = False,
+        default_image_alt: str = "",
+        open_quote: str = '"',
+        close_quote: str = '"',
+        include_sup_sub: bool = False,
+        ignore_tables: bool = False,
+        bypass_tables: bool = False,
+        unicode_snob: bool = False,
+        use_automatic_links: bool = True,
+        single_line_break: bool = True,
+        escape_dot: bool = False,
+        escape_plus: bool = False,
+        escape_dash: bool = False,
+        escape_backslash: bool = False,
     ):
         self.baseurl = baseurl
-        # The common html2text knobs a DefaultMarkdownGenerator user
-        # sets via options={...} (reference
+        # The html2text knobs a DefaultMarkdownGenerator user sets via
+        # options={...} (reference
         # markdown_generation_strategy.py:181-204 merging into the
-        # fork's flags at html2text/__init__.py:37-150).  Each is
+        # fork's flags at html2text/__init__.py:37-150).  Defaults are
+        # the CustomHTML2Text + generator-default values
+        # (html2text/__init__.py:1047-1059).  Each flag is
         # differential-tested against the importable fork in
         # tests/test_md_parity.py::test_option_configs_byte_equal.
         self.ignore_links = ignore_links  # fork :511 skips the whole a-branch
@@ -208,6 +237,33 @@ class MarkdownMachine:
         # the reference's own subclass too (verified byte-equal in the
         # parity suite with mark_code flipped).
         self.mark_code = mark_code
+        self.ignore_emphasis = ignore_emphasis  # fork :422, :443
+        self.emphasis_mark = emphasis_mark  # fork :434-437
+        self.strong_mark = strong_mark  # fork :451-460
+        self.ul_item_mark = ul_item_mark  # fork :674, optwrap :988
+        self.skip_internal_links = skip_internal_links  # fork :517
+        self.ignore_mailto_links = ignore_mailto_links  # fork :519 (Custom default True, :1053)
+        self.protect_links = protect_links  # fork :525-526 wraps href in <>
+        self.images_to_alt = images_to_alt  # fork :558, :581, :595
+        self.images_with_size = images_with_size  # fork :565
+        self.images_as_html = images_as_html  # fork :564
+        self.default_image_alt = default_image_alt  # fork :560
+        self.open_quote = open_quote  # fork :501
+        self.close_quote = close_quote  # fork :503
+        self.include_sup_sub = include_sup_sub  # fork :745
+        self.ignore_tables = ignore_tables  # fork :681-688
+        self.bypass_tables = bypass_tables  # fork :690-702
+        self.unicode_snob = unicode_snob  # fork :933, :942, :176
+        self.use_automatic_links = use_automatic_links  # fork :906
+        self.single_line_break = single_line_break  # fork p() :760
+        self.escape_dot = escape_dot  # escape_md_section dot pass
+        self.escape_plus = escape_plus
+        self.escape_dash = escape_dash
+        # escape_backslash is accepted for interface parity but has no
+        # effect: the fork's handle_data (:916-923) never forwards the
+        # instance flag to escape_md_section, whose default True makes
+        # the backslash pass unconditionally live — replicated as-is.
+        self.escape_backslash = escape_backslash
         self._out: list[str] = []
         self._ends_nl = False  # last pushed fragment ended with \n
         self.at_start = True  # suppress leading breaks/space
@@ -311,8 +367,9 @@ class MarkdownMachine:
             self.breaks = 1
 
     def _block_break(self) -> None:
-        # p() with single_line_break=True
-        self.breaks = 1
+        # the fork's p() (:760): 1 newline under the generator default
+        # single_line_break=True, 2 under the upstream default
+        self.breaks = 1 if self.single_line_break else 2
 
     def _soft_break(self) -> None:
         self._want_break()
@@ -345,7 +402,7 @@ class MarkdownMachine:
             self.post_stressed = False
         if self.auto_href is not None:
             href = self.auto_href
-            if href == data and _ABS_URL.match(href):
+            if href == data and _ABS_URL.match(href) and self.use_automatic_links:
                 self.emit("<" + data + ">")
                 self.link_empty = False
                 return
@@ -360,13 +417,20 @@ class MarkdownMachine:
                 # _MATCHER_ALL), applied after the backslash sub — the
                 # snob class has no backslash, so no double escaping
                 data = _SNOB_CHARS.sub(r"\\\1", data)
+            if self.escape_dot:
+                data = _DOT_MATCHER.sub(r"\1\\\2", data)
+            if self.escape_plus:
+                data = _PLUS_MATCHER.sub(r"\1\\\2", data)
+            if self.escape_dash:
+                data = _DASH_MATCHER.sub(r"\1\\\2", data)
         self.last_data = data
         self.emit(data, collapse=True)
 
     def entity(self, name: str) -> None:
         # reference entityref (:941-948); nbsp resolves to the
-        # placeholder installed at init (:143)
-        if name in UNIFIABLE:
+        # placeholder installed at init (:143) — even under
+        # unicode_snob (the fork's :948 nbsp special case)
+        if name in UNIFIABLE and (name == "nbsp" or not self.unicode_snob):
             repl = _NBSP_TOKEN if name == "nbsp" else UNIFIABLE[name]
         else:
             try:
@@ -382,7 +446,7 @@ class MarkdownMachine:
             cp = int(ref[1:], 16)
         else:
             cp = int(ref)
-        if cp in _UNIFIABLE_CP:
+        if cp in _UNIFIABLE_CP and not self.unicode_snob:
             self.text(_UNIFIABLE_CP[cp], entity_char=True)
             return
         try:
@@ -467,11 +531,23 @@ class MarkdownMachine:
                 self.bq -= 1
                 self._block_break()
         elif tag in ("em", "i", "u"):
-            self._emphasis(start, "_", sep_when=lambda c: c not in _WS_CHARS and c not in _PUNCT_CHARS)
+            if not self.ignore_emphasis:  # fork :422
+                self._emphasis(
+                    start,
+                    self.emphasis_mark,
+                    sep_when=lambda c: c not in _WS_CHARS and c not in _PUNCT_CHARS,
+                )
         elif tag in ("strong", "b"):
-            self._emphasis(start, "**", sep_when=lambda c: c == "*")
+            if not self.ignore_emphasis:  # fork :443
+                mark = self.strong_mark
+                self._emphasis(
+                    start, mark, sep_when=lambda c: len(mark) > 0 and c == mark[0]
+                )
         elif tag in ("del", "strike", "s"):
             self._emphasis(start, "~~", sep_when=lambda c: c == "~")
+        elif tag in ("sup", "sub"):
+            if self.include_sup_sub:  # fork :745
+                self.emit("<{}>".format(tag) if start else "</{}>".format(tag))
         elif tag in ("kbd", "code", "tt"):
             self.emit("`")
             self.tick_open = not self.tick_open
@@ -485,7 +561,8 @@ class MarkdownMachine:
                     self.abbr_title = None
                 self.abbr_text = None
         elif tag == "q":
-            self.emit('"')
+            # fork :499-504 toggles regardless of start/end
+            self.emit(self.open_quote if not self.quote_open else self.close_quote)
             self.quote_open = not self.quote_open
         elif tag == "a":
             if not self.ignore_links:  # fork :511 — with the flag set,
@@ -570,10 +647,20 @@ class MarkdownMachine:
         if start:
             self.in_link = True
             href = attrs.get("href")
-            if href is not None and not href.startswith("mailto:"):
+            if (
+                href is not None
+                and not (self.skip_internal_links and href.startswith("#"))
+                and not (self.ignore_mailto_links and href.startswith("mailto:"))
+            ):
+                attrs = dict(attrs)  # the fork mutates its own copy;
+                # convert_tree hands us the live DOM attrs dict
                 self.link_stack.append(attrs)
                 self.auto_href = href
                 self.link_empty = True
+                if self.protect_links:
+                    # fork :525-526 wraps the href BEFORE urljoin so
+                    # the emitted target is the <>-protected string
+                    attrs["href"] = "<" + href + ">"
             else:
                 self.link_stack.append(None)
         else:
@@ -594,14 +681,40 @@ class MarkdownMachine:
                     self.emit("]({}{})".format(url, suffix))
 
     def _image(self, attrs: dict) -> None:
+        # fork :556-610
         src = attrs.get("src")
         if src is None:
             return
-        alt = attrs.get("alt") or ""
+        alt = attrs.get("alt") or self.default_image_alt
+        if self.images_as_html or (
+            self.images_with_size and ("width" in attrs or "height" in attrs)
+        ):
+            # raw html passthrough, byte-for-byte the fork's (:567-578)
+            self.emit("<img src='" + src + "' ")
+            if attrs.get("width") is not None:
+                self.emit("width='" + attrs["width"] + "' ")
+            if attrs.get("height") is not None:
+                self.emit("height='" + attrs["height"] + "' ")
+            if alt:
+                self.emit("alt='" + alt + "' ")
+            self.emit("/>")
+            return
         if self.auto_href is not None:
+            href = self.auto_href
+            if (
+                self.images_to_alt
+                and _escape_md(alt) == href
+                and _ABS_URL.match(href)
+            ):
+                self.emit("<" + _escape_md(alt) + ">")
+                self.link_empty = False
+                return
             self.emit("[")
             self.auto_href = None
             self.link_empty = False
+        if self.images_to_alt:
+            self.emit(_escape_md(alt))
+            return
         self.emit("![" + _escape_md(alt) + "]")
         self.emit("(" + _escape_md(_urljoin(self.baseurl, src)) + ")")
 
@@ -619,10 +732,24 @@ class MarkdownMachine:
             item[1] += 1
             self.emit(str(item[1]) + ". ")
         else:
-            self.emit("* ")
+            self.emit(self.ul_item_mark + " ")
         self.at_start = True
 
     def _table(self, tag: str, start: bool) -> None:
+        if self.ignore_tables:
+            # fork :681-688: cells contribute bare text; row ends soft-break
+            if tag == "tr" and not start:
+                self._soft_break()
+            return
+        if self.bypass_tables:
+            # fork :690-702: the table serializes as raw tags
+            if start:
+                self._soft_break()
+            if tag in ("td", "th"):
+                self.emit("<{}>\n\n".format(tag) if start else "\n</{}>".format(tag))
+            else:
+                self.emit("<{}>".format(tag) if start else "</{}>".format(tag))
+            return
         if tag == "table":
             if start:
                 self.header_row = True
@@ -646,7 +773,10 @@ class MarkdownMachine:
     def result(self) -> str:
         self._want_break()
         self.emit("", force="end")
-        text = "".join(self._out).replace(_NBSP_TOKEN, " ")
+        # fork close() (:173-180): nbsp placeholder resolves to U+00A0
+        # under unicode_snob, plain space otherwise
+        nbsp = html.entities.html5["nbsp;"] if self.unicode_snob else " "
+        text = "".join(self._out).replace(_NBSP_TOKEN, nbsp)
         return self._optwrap(text) if self.body_width else text
 
     # -- body_width wrapping: the fork's optwrap (:964-1024) under the
@@ -661,8 +791,8 @@ class MarkdownMachine:
             if len(para) > 0:
                 if not _skipwrap(para):
                     indent = ""
-                    if para.startswith("  *"):
-                        # list item continuation ("  " + ul_item_mark)
+                    if para.startswith("  " + self.ul_item_mark):
+                        # list item continuation (fork :988)
                         indent = "    "
                     elif para.startswith("> "):
                         indent = "> "

@@ -208,6 +208,29 @@ OPTION_CONFIGS = [
     {"mark_code": False},  # no-op under CustomHTML2Text — asserted so
     {"ignore_links": True, "ignore_images": True},
     {"escape_snob": True, "body_width": 40, "ignore_images": True},
+    # the wider fork flag surface (html2text/__init__.py:37-150)
+    {"ignore_emphasis": True},
+    {"emphasis_mark": "*", "strong_mark": "__"},
+    {"ul_item_mark": "-"},
+    {"ul_item_mark": "+", "body_width": 40},
+    {"skip_internal_links": True},
+    {"ignore_mailto_links": False},
+    {"protect_links": True},
+    {"protect_links": True, "body_width": 30},
+    {"images_to_alt": True},
+    {"images_with_size": True},
+    {"images_as_html": True},
+    {"default_image_alt": "image"},
+    {"images_to_alt": True, "default_image_alt": "pic"},
+    {"open_quote": "“", "close_quote": "”"},
+    {"include_sup_sub": True},
+    {"ignore_tables": True},
+    {"bypass_tables": True},
+    {"unicode_snob": True},
+    {"use_automatic_links": False},
+    {"single_line_break": False},
+    {"escape_dot": True, "escape_plus": True, "escape_dash": True},
+    {"ignore_emphasis": True, "single_line_break": False, "unicode_snob": True},
 ]
 
 
@@ -229,6 +252,23 @@ def test_option_configs_byte_equal():
         "<blockquote>" + " ".join(["quoted words"] * 25) + "</blockquote>",
         "<table><tr><td>a cell</td><td>b cell</td></tr></table>",
         "<pre>fenced\n    code   stays</pre>",
+        # branches for the wider flag surface
+        "<p><em>em</em> then<strong>bold</strong>*<b>b</b>_<i>i</i></p>",
+        "<ul><li>one</li><li>two<ul><li>nested</li></ul></li></ul>",
+        "<ol><li>o1<ul><li>u</li></ul></li></ol>",
+        "<a href='#frag'>internal</a> <a href='mailto:a@b.c'>mail</a>",
+        "<img src='p.png' width='10' height='20' alt='sized'>",
+        "<img src='p.png' width='10'>",
+        "<img src='http://ex.com/a.png' alt='http://ex.com/a.png'>",
+        "<a href='http://ex/z'><img src='i.png' alt='in-link'></a>",
+        "<q>quoted</q> and <q>again</q>",
+        "x<sup>2</sup> and H<sub>2</sub>O",
+        "<p>&copy; &nbsp; &mdash; &#169; &#8212; &#x2014; caf&eacute;</p>",
+        "<p>1. not a list\n+ plus\n- dash\n-- emdash</p>",
+        "<p>para one</p><p>para two</p><div>div three</div>",
+        "<table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>b</td></tr></table>",
+        "<blockquote><p>quote para</p><p>second</p></blockquote>",
+        "<h2>header</h2><p>after</p><hr><p>tail</p>",
     ]
     for cfg in OPTION_CONFIGS:
         for html in CASES + extra:
