@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_k_per_host": q.q_top_k_per_host,
         "robots_filter": q.q_robots_filter,
         "ua_assign": q.q_ua_assign,
+        "cert_audit": q.q_cert_audit,
         # training-data ops
         "dedup_exact": q.q_dedup_exact,
         "dedup_summary": q.q_dedup_summary,

@@ -2702,4 +2702,35 @@ d{t} AS (
         WHERE text IS NOT NULL
           AND len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) >= 5
     """
+    sql["cert_audit"] = _cert_audit_sql()
     return sql
+
+
+def _cert_audit_sql() -> str:
+    """cert_audit: recompute the deterministic cert-field derivation
+    (queries.q_cert_audit) directly in SQL — the Ray side must arrive
+    at the same values THROUGH the DER writer+parser round trip."""
+    return """
+        WITH c AS (
+            SELECT doc_id,
+                   'doc-' || doc_id || '.example.com' AS cn,
+                   CAST(('0x' || substr(md5('doc-' || doc_id || '.example.com'), 1, 12))::UBIGINT AS BIGINT) AS serial
+            FROM documents
+        ), d AS (
+            SELECT doc_id, cn, serial,
+                   DATE '2015-01-01' + CAST(serial % 3653 AS INT) AS nb
+            FROM c
+        )
+        SELECT 'doc://' || doc_id AS url,
+               cn AS subject_cn,
+               'Synthetic Root CA' AS issuer_cn,
+               serial,
+               strftime(nb, '%Y%m%d') || '000000Z' AS not_before,
+               strftime(nb + CAST(90 + serial % 640 AS INT), '%Y%m%d') || '000000Z' AS not_after,
+               CAST(1 + doc_id % 3 AS INTEGER) AS n_sans,
+               (doc_id % 17 = 0) AS is_ca,
+               'sha256WithRSAEncryption' AS sig_alg,
+               CAST(3 AS INTEGER) AS version
+        FROM d
+        ORDER BY url
+    """

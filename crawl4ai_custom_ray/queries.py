@@ -3462,3 +3462,55 @@ def q_dedup_summary(sf_dir: str):
             ),
         }
     )
+
+
+def q_cert_audit(sf_dir: str):
+    """Per-document TLS-certificate audit over a synthesized DER
+    column.  Each doc_id derives a deterministic certificate (CN,
+    md5-derived serial, validity window, SAN list, CA flag) which is
+    built as real X.509 v3 DER by the stdlib writer inside the
+    pipeline, parsed back by the DER reader
+    (:mod:`functions.ssl_certs`), and the decoded fields emitted — the
+    reference's peer-cert decode (``ssl_certificate.py:62-134``,
+    pyOpenSSL) re-expressed as a stateless batch decode over a binary
+    column.  The oracle recomputes every field from the same md5
+    derivation in SQL, so any writer/parser defect mismatches."""
+    import ray.data as rd
+
+    from .functions.ssl_certs import build_cert_der, cert_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synthesize(batch: pa.Table) -> pa.Table:
+        import hashlib
+        from datetime import date, timedelta
+
+        ids = batch["doc_id"].to_pylist()
+        urls, ders = [], []
+        for i in ids:
+            cn = f"doc-{i}.example.com"
+            serial = int(hashlib.md5(cn.encode()).hexdigest()[:12], 16)
+            nb = date(2015, 1, 1) + timedelta(days=serial % 3653)
+            na = nb + timedelta(days=90 + serial % 640)
+            sans = [cn, "www." + cn, "alt." + cn][: 1 + (i % 3)]
+            urls.append(f"doc://{i}")
+            ders.append(
+                build_cert_der(
+                    subject={"CN": cn, "O": "Graft Corp"},
+                    issuer={"CN": "Synthetic Root CA", "O": "Graft Trust"},
+                    serial=serial,
+                    not_before=nb.strftime("%y%m%d") + "000000Z",
+                    not_after=na.strftime("%y%m%d") + "000000Z",
+                    san_dns=sans,
+                    is_ca=(i % 17 == 0),
+                )
+            )
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "cert_der": pa.array(ders, pa.large_binary()),
+            }
+        )
+
+    feats = cert_features(docs.map_batches(synthesize, batch_format="pyarrow"))
+    return feats.drop_columns(["success", "fingerprint"])
