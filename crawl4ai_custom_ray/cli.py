@@ -325,6 +325,8 @@ def extract_cmd(source, crawler_config, filter_config, extraction_config, schema
         for k in ("columns", "citations", "compute_fit_html", "excluded_tags", "batch_size", "concurrency")
         if k in cfg
     }
+    if md_options:
+        extract_kwargs["markdown_options"] = md_options
     if output in ("markdown", "md"):
         extract_kwargs.setdefault("columns", ["raw_markdown"])
     out_ds = extract_pages(ds, **extract_kwargs)

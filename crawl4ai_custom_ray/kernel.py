@@ -94,6 +94,7 @@ def extract_page(
     compute_fit_html: bool = False,
     excluded_tags: list[str] | None = None,
     fields: frozenset | set | None = None,
+    markdown_options: dict | None = None,
 ) -> dict:
     """Full extraction record for one page; ``fields`` restricts which
     outputs are computed (None = everything)."""
@@ -124,11 +125,12 @@ def extract_page(
             serialize_cleaned="cleaned_html" in need,
         )
 
+        md_opts = markdown_options or {}
         raw_markdown = ""
         markdown_with_citations = ""
         references_markdown = ""
         if need_markdown:
-            raw_markdown = markdown_from_tree(root, url)
+            raw_markdown = markdown_from_tree(root, url, **md_opts)
             if citations:
                 markdown_with_citations, references_markdown = (
                     convert_links_to_citations(raw_markdown, url)
@@ -146,7 +148,7 @@ def extract_page(
             content_filter = PruningContentFilter(threshold=pruning_threshold)
             pruned_blocks = content_filter.filter_tree(root)
             if "fit_markdown" in need:
-                md_parts = [markdown_from_tree(b, url) for b in pruned_blocks]
+                md_parts = [markdown_from_tree(b, url, **md_opts) for b in pruned_blocks]
                 fit_markdown = "\n".join(p.rstrip("\n") for p in md_parts if p)
                 if fit_markdown:
                     fit_markdown += "\n"

@@ -78,6 +78,7 @@ def make_extract_batch_fn(
     citations: bool = True,
     compute_fit_html: bool = False,
     excluded_tags: list[str] | None = None,
+    markdown_options: dict | None = None,
 ):
     """Build the batch fn. ``columns`` restricts the output schema
     (always includes url) — column pruning at the operator level."""
@@ -123,6 +124,7 @@ def make_extract_batch_fn(
                 compute_fit_html=compute_fit_html,
                 excluded_tags=excluded_tags,
                 fields=kernel_fields,
+                markdown_options=markdown_options,
             )
             for name in wanted:
                 if name in ("links_internal", "links_external"):
@@ -156,18 +158,23 @@ def extract_pages(
     citations: bool = True,
     compute_fit_html: bool = False,
     excluded_tags: list[str] | None = None,
+    markdown_options: dict | None = None,
     batch_size: int | None = None,
     **map_kwargs,
 ):
     """pages Dataset → extracted Dataset (stateless tasks).
 
     ``batch_size=None`` processes whole blocks (lowest per-batch
-    overhead); block size is governed by the read layout."""
+    overhead); block size is governed by the read layout.
+    ``markdown_options`` are the html2text knobs
+    (DefaultMarkdownGenerator ``options={...}``) applied to the
+    markdown columns."""
     fn = make_extract_batch_fn(
         columns=columns,
         citations=citations,
         compute_fit_html=compute_fit_html,
         excluded_tags=excluded_tags,
+        markdown_options=markdown_options,
     )
     return ds.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True, **map_kwargs

@@ -305,3 +305,36 @@ def test_tree_path_matches_string_path_with_options():
             root = parse(html)
             assert markdown_from_tree(root, **cfg) == \
                 html_to_markdown(root.serialize_contents(), **cfg), (cfg, html)
+
+
+def test_markdown_options_through_extract_stage(ray_session):
+    """DefaultMarkdownGenerator(options={...}) equivalent at the
+    Dataset level: the extract stage's markdown column matches the
+    fork under a non-default config."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.stages.extract import extract_pages
+    from ref_html2text import reference_markdown_with
+
+    t = generate_pages_table("/root/testdata/sf0.001")
+    rows = [
+        {"url": t["url"][i].as_py(), "html": t["html"][i].as_py()}
+        for i in range(0, t.num_rows, 29)
+    ]
+    cfg = {"ignore_links": True, "ignore_images": True, "body_width": 60}
+    out = (
+        extract_pages(
+            rd.from_items(rows),
+            columns=["cleaned_html", "raw_markdown"],
+            markdown_options=cfg,
+        )
+        .to_pandas()
+        .set_index("url")
+    )
+    for r in rows:
+        # the kernel generates markdown from the SCRAPED tree (the
+        # reference's generate_markdown default content_source is
+        # cleaned_html), so the fork oracle runs on cleaned_html
+        cleaned = out.loc[r["url"], "cleaned_html"]
+        want = reference_markdown_with(cleaned, r["url"], **cfg)
+        assert out.loc[r["url"], "raw_markdown"] == want
