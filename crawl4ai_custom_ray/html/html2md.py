@@ -217,6 +217,8 @@ class MarkdownMachine:
         escape_plus: bool = False,
         escape_dash: bool = False,
         escape_backslash: bool = False,
+        preserve_tags=(),
+        handle_code_in_pre: bool = False,
     ):
         self.baseurl = baseurl
         # The html2text knobs a DefaultMarkdownGenerator user sets via
@@ -264,6 +266,13 @@ class MarkdownMachine:
         # instance flag to escape_md_section, whose default True makes
         # the backslash pass unconditionally live — replicated as-is.
         self.escape_backslash = escape_backslash
+        # CustomHTML2Text's preserved-tag passthrough + pre/code knob
+        # (:1071-1134): preserved subtrees re-serialize as raw HTML
+        self.preserve_tags = set(preserve_tags)
+        self.handle_code_in_pre = handle_code_in_pre
+        self.preserve_depth = 0
+        self.preserved_content: list[str] = []
+        self.current_preserved_tag: str | None = None
         self._out: list[str] = []
         self._ends_nl = False  # last pushed fragment ended with \n
         self.at_start = True  # suppress leading breaks/space
@@ -380,6 +389,9 @@ class MarkdownMachine:
     # Custom pre/code interceptors (:1134-1150)
     # ------------------------------------------------------------------
     def text(self, data: str, entity_char: bool = False) -> None:
+        if self.preserve_depth > 0:  # Custom handle_data (:1136-1139)
+            self.preserved_content.append(data)
+            return
         if self.fence:
             self.emit(data)  # raw, newlines preserved
             return
@@ -464,6 +476,34 @@ class MarkdownMachine:
         self._tag(tag, {}, False)
 
     def _tag(self, tag: str, attrs: dict, start: bool) -> None:
+        # Custom preserved-tag passthrough runs first (:1072-1105);
+        # bug-for-bug: a same-named preserved tag nested inside an
+        # already-preserved subtree increments depth WITHOUT
+        # re-serializing its own opening tag (:1074-1083)
+        if tag in self.preserve_tags:
+            if start:
+                if self.preserve_depth == 0:
+                    self.current_preserved_tag = tag
+                    attr_str = "".join(
+                        f' {k}="{v}"' for k, v in attrs.items() if v is not None
+                    )
+                    self.preserved_content = [f"<{tag}{attr_str}>"]
+                self.preserve_depth += 1
+            else:
+                self.preserve_depth -= 1
+                if self.preserve_depth == 0:
+                    self.preserved_content.append(f"</{tag}>")
+                    self.emit("\n" + "".join(self.preserved_content) + "\n")
+                    self.current_preserved_tag = None
+            return
+        if self.preserve_depth > 0:  # collect nested markup raw
+            attr_str = "".join(
+                f' {k}="{v}"' for k, v in attrs.items() if v is not None
+            )
+            self.preserved_content.append(
+                f"<{tag}{attr_str}>" if start else f"</{tag}>"
+            )
+            return
         # Custom interceptors run before any base bookkeeping
         # (:1107-1132): pre always, code except when inside a link
         if tag == "pre":
@@ -475,7 +515,7 @@ class MarkdownMachine:
                 self.fence = False
             return
         if tag == "code":
-            if self.fence:
+            if self.fence and not self.handle_code_in_pre:
                 return
             if not self.in_link:
                 self.emit("`")
@@ -918,7 +958,10 @@ def convert_tree(root, baseurl: str = "", **options) -> str:
         if type(node) is Element:
             machine.start_tag(node.tag, node.attrs)
             if node.tag in VOID_ELEMENTS:
-                machine.end_tag(node.tag)
+                # serialization writes "<img ...>" with no close, so the
+                # tokenizer emits ONLY handle_starttag — no end event.
+                # (An explicit "<img/>" in source yields startendtag =
+                # start+end, but serialize_contents never writes that.)
                 continue
             if node.tag in RAW_TEXT_ELEMENTS:
                 # raw content arrives as one unsplit data event

@@ -197,6 +197,19 @@ def test_tree_driver_equals_serialize_path():
     for i in range(500):
         root = parse(_gen_html(rng))
         assert convert_tree(root) == convert_html(root.serialize_contents())
+    # tree path under non-default configs (preserve/pre-code included)
+    rng = random.Random(42)
+    cfgs = [
+        {"preserve_tags": ["table", "pre"]},
+        {"handle_code_in_pre": True},
+        {"ignore_emphasis": True, "ul_item_mark": "-"},
+        {"protect_links": True, "images_to_alt": True},
+    ]
+    for i in range(200):
+        root = parse(_gen_html(rng))
+        html = root.serialize_contents()
+        for cfg in cfgs:
+            assert convert_tree(parse(html), **cfg) == convert_html(html, **cfg), (cfg, html)
 
 
 OPTION_CONFIGS = [
@@ -231,6 +244,10 @@ OPTION_CONFIGS = [
     {"single_line_break": False},
     {"escape_dot": True, "escape_plus": True, "escape_dash": True},
     {"ignore_emphasis": True, "single_line_break": False, "unicode_snob": True},
+    {"preserve_tags": ["table"]},
+    {"preserve_tags": ["pre", "table"]},
+    {"preserve_tags": ["figure"], "ignore_images": True},
+    {"handle_code_in_pre": True},
 ]
 
 
@@ -269,6 +286,13 @@ def test_option_configs_byte_equal():
         "<table><tr><th>h1</th><th>h2</th></tr><tr><td>a</td><td>b</td></tr></table>",
         "<blockquote><p>quote para</p><p>second</p></blockquote>",
         "<h2>header</h2><p>after</p><hr><p>tail</p>",
+        # preserved-tag passthrough branches
+        "<p>before</p><table class='t'><tr><td>a &amp; b</td></tr></table><p>after</p>",
+        "<table><tr><td><table><tr><td>inner</td></tr></table></td></tr></table>",
+        "<figure><img src='f.png' alt='f'><figcaption>cap</figcaption></figure>",
+        "<pre>x = 1\ny = 2</pre>",
+        "<pre><code>fenced code</code></pre>",
+        "<p><a href='/l'><code>c</code></a></p>",
     ]
     for cfg in OPTION_CONFIGS:
         for html in CASES + extra:
