@@ -40,7 +40,14 @@ import ray
 import ray.data as rd
 
 from ..html.fastparse import parse_fast as parse
-from ..urls import get_base_domain, is_external_url, normalize_url, url_digest, url_host
+from ..urls import (
+    get_base_domain,
+    is_external_url,
+    normalize_url,
+    normalize_url_for_deep_crawl,
+    url_digest,
+    url_host,
+)
 from ..state import checkpoint as ckpt
 from .filters import FilterChain
 from ray.data.aggregate import Min
@@ -56,6 +63,14 @@ FRONTIER_SCHEMA = pa.schema(
         ("depth", pa.int32()),
         ("parent", pa.string()),
         ("score", pa.float64()),
+        # discovery-sequence key: 8 hex chars per hop, appended per
+        # round (seed index, then each hop's link index within its
+        # parent page).  Lexicographic order over equal-depth rows IS
+        # the reference crawler's level ordering (current_level append
+        # order, bfs_strategy.py:148-198) — what makes crawl ORDERING,
+        # first-wins dedup ownership, and budget-cap selection match
+        # the reference's own code (tests/test_ref_crawl_parity.py).
+        ("seq", pa.string()),
     ]
 )
 
@@ -118,7 +133,7 @@ def _extract_links_batch(batch: pa.Table) -> pa.Table:
     surviving links (leaf pages, depth-boundary pages), which would
     otherwise read as fetch failures.  Sentinels are filtered out
     before the candidate gate."""
-    src_urls, hrefs, externals = [], [], []
+    src_urls, hrefs, externals, link_idxs = [], [], [], []
     for i in range(batch.num_rows):
         url = batch["url"][i].as_py()
         html = batch["html"][i].as_py()
@@ -130,28 +145,40 @@ def _extract_links_batch(batch: pa.Table) -> pa.Table:
         src_urls.append(url)
         hrefs.append(None)
         externals.append(False)
+        link_idxs.append(-1)
         seen_page: set[str] = set()
         for a in root.find_all("a"):
             href = (a.get("href") or "").strip()
             if not href:
                 continue
-            normalized = normalize_url(href, url)
+            # the reference pipeline normalizes TWICE: the scrape
+            # kernel applies the extended normalize_url
+            # (content_scraping_strategy.py:261), then the frontier
+            # re-normalizes that href with the deep-crawl variant
+            # (bfs_strategy.py:111) — composition differential-tested
+            # against the reference's own BFS code in
+            # tests/test_ref_crawl_parity.py
+            normalized = normalize_url_for_deep_crawl(normalize_url(href, url), url)
             if not normalized or normalized in seen_page:
                 continue
             seen_page.add(normalized)
             src_urls.append(url)
             hrefs.append(normalized)
             externals.append(is_external_url(normalized, base_domain))
+            link_idxs.append(len(seen_page) - 1)  # per-page discovery order
     return pa.table(
         {
             "src_url": pa.array(src_urls, pa.string()),
             "href": pa.array(hrefs, pa.string()),
             "external": pa.array(externals, pa.bool_()),
+            "link_idx": pa.array(link_idxs, pa.int32()),
         }
     )
 
 
-def _frontier_table(urls, hosts, depths, parents, scores) -> pa.Table:
+def _frontier_table(urls, hosts, depths, parents, scores, seqs=None) -> pa.Table:
+    if seqs is None:
+        seqs = [""] * len(urls)
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -159,6 +186,7 @@ def _frontier_table(urls, hosts, depths, parents, scores) -> pa.Table:
             "depth": pa.array(depths, pa.int32()),
             "parent": pa.array(parents, pa.string()),
             "score": pa.array(scores, pa.float64()),
+            "seq": pa.array(seqs, pa.string()),
         },
         schema=FRONTIER_SCHEMA,
     )
@@ -229,6 +257,14 @@ class BFSCrawl:
             parents = batch["src_url"].to_pylist()
             depths = batch["depth"].to_pylist()
             externals = batch["external"].to_pylist()
+            # child sequence key: parent's key + this link's per-page
+            # discovery index (the reference's next_level append order)
+            seqs = [
+                ps + f"{li:08x}"
+                for ps, li in zip(
+                    batch["parent_seq"].to_pylist(), batch["link_idx"].to_pylist()
+                )
+            ]
 
             keep = [True] * len(urls)
             if not cfg.include_external:
@@ -246,6 +282,7 @@ class BFSCrawl:
             hosts2 = [h for h, k in zip(hosts, keep) if k]
             parents2 = [p for p, k in zip(parents, keep) if k]
             depths2 = [d for d, k in zip(depths, keep) if k]
+            seqs2 = [s for s, k in zip(seqs, keep) if k]
             scores2 = _score_many(cfg.scorer, urls2)
             if cfg.score_threshold is not None:
                 sel = [s >= cfg.score_threshold for s in scores2]
@@ -253,8 +290,9 @@ class BFSCrawl:
                 hosts2 = [h for h, k in zip(hosts2, sel) if k]
                 parents2 = [p for p, k in zip(parents2, sel) if k]
                 depths2 = [d for d, k in zip(depths2, sel) if k]
+                seqs2 = [s for s, k in zip(seqs2, sel) if k]
                 scores2 = [s for s, k in zip(scores2, sel) if k]
-            return _frontier_table(urls2, hosts2, depths2, parents2, scores2)
+            return _frontier_table(urls2, hosts2, depths2, parents2, scores2, seqs2)
 
         return gate
 
@@ -314,12 +352,22 @@ class BFSCrawl:
         seeds2 = [s for s, k in zip(normed, keep) if k]
         hosts2 = [h for h, k in zip(hosts, keep) if k]
         # duplicate seeds (or seeds normalizing to the same url) are
-        # admitted once — check_and_add's verdict is authoritative
-        is_new = self.seen.check_and_add([url_digest(u) for u in seeds2])
-        seeds2 = [s for s, n in zip(seeds2, is_new) if n]
-        hosts2 = [h for h, n in zip(hosts2, is_new) if n]
+        # admitted once — check_and_add's verdict is authoritative.
+        # best_first marks visited at SELECTION (the reference pops
+        # mark, bff_strategy.py:164-173), so seeds only dedup locally
+        if cfg.strategy == "best_first":
+            uniq = list(dict.fromkeys(seeds2))
+            hosts2 = [url_host(u) for u in uniq]
+            seeds2 = uniq
+        else:
+            is_new = self.seen.check_and_add([url_digest(u) for u in seeds2])
+            seeds2 = [s for s, n in zip(seeds2, is_new) if n]
+            hosts2 = [h for h, n in zip(hosts2, is_new) if n]
         scores = _score_many(cfg.scorer, seeds2)
-        return _frontier_table(seeds2, hosts2, [0] * len(seeds2), [""] * len(seeds2), scores)
+        seqs = [f"{i:08x}" for i in range(len(seeds2))]
+        return _frontier_table(
+            seeds2, hosts2, [0] * len(seeds2), [""] * len(seeds2), scores, seqs
+        )
 
     # -- main loop ----------------------------------------------------
 
@@ -347,7 +395,8 @@ class BFSCrawl:
                     )
                 )
                 self.pages_visited = sum(
-                    m.get("n_visited", 0) for m in ckpt.all_metrics(self.checkpoint_dir)
+                    m.get("n_success", m.get("n_visited", 0))
+                    for m in ckpt.all_metrics(self.checkpoint_dir)
                 )
                 start_round = latest + 1
                 hs_path = os.path.join(
@@ -362,6 +411,14 @@ class BFSCrawl:
                     ckpt.round_dir(self.checkpoint_dir, latest), "frontier"
                 )
                 frontier = rd.read_parquet(frontier_path) if _has_parquet(frontier_path) else None
+                if frontier is not None and "seq" not in frontier.schema().names:
+                    # checkpoint written before the seq column existed
+                    frontier = frontier.map_batches(
+                        lambda t: t.append_column(
+                            "seq", pa.array([""] * t.num_rows, pa.string())
+                        ),
+                        batch_format="pyarrow",
+                    )
             else:
                 resume = False
         if not resume:
@@ -375,6 +432,13 @@ class BFSCrawl:
 
         for round_idx in range(start_round, cfg.max_rounds):
             if frontier is None:
+                break
+            # reference budget gate: stop BEFORE a level once the count
+            # of successful fetches reaches max_pages — whole levels
+            # are crawled (the reference does not trim mid-level, so a
+            # level may overshoot; bfs_strategy.py:162-169, counting
+            # only successes at :178-180)
+            if cfg.max_pages is not None and self.pages_visited >= cfg.max_pages:
                 break
             # `frontier` is a pa.Table for driver-coordinated small
             # rounds, a Dataset for distributed large rounds; a large
@@ -436,30 +500,31 @@ class BFSCrawl:
                 if cfg.strategy in ("best_first", "dfs"):
                     df = sel_tbl.to_pandas()
                     if cfg.strategy == "best_first":
+                        # the reference's PriorityQueue tuple order is
+                        # (-score, depth, url, parent); popping BATCH_SIZE
+                        # ENTRIES — duplicate/visited entries consume
+                        # pop slots and are discarded, and visited is
+                        # marked AT POP (bff_strategy.py:164-173)
                         df = df.sort_values(
-                            ["score", "depth", "url"],
-                            ascending=[False, True, True],
+                            ["score", "depth", "url", "parent"],
+                            ascending=[False, True, True, True],
                             kind="mergesort",
                         )
                         take = cfg.best_first_batch_size
+                        popped = df.iloc[:take]
+                        rest = _table_from_pandas(df.iloc[take:])
+                        batch = popped.drop_duplicates("url", keep="first")
+                        is_new = self.seen.check_and_add(
+                            [url_digest(u) for u in batch["url"]]
+                        )
+                        sel_tbl = _table_from_pandas(batch.iloc[[i for i, n in enumerate(is_new) if n]])
                     else:
                         df = df.sort_values(
                             ["depth", "url"], ascending=[False, True], kind="mergesort"
                         )
                         take = 1
-                    sel_tbl = _table_from_pandas(df.iloc[:take])
-                    rest = _table_from_pandas(df.iloc[take:])
-                    def_tbl = rest if def_tbl is None else pa.concat_tables([def_tbl, rest])
-
-                if cfg.max_pages is not None:
-                    remaining = cfg.max_pages - self.pages_visited
-                    if remaining <= 0:
-                        break
-                    df = sel_tbl.to_pandas().sort_values(
-                        ["score", "url"], ascending=[False, True], kind="mergesort"
-                    )
-                    sel_tbl = _table_from_pandas(df.iloc[:remaining])
-                    rest = _table_from_pandas(df.iloc[remaining:])
+                        sel_tbl = _table_from_pandas(df.iloc[:take])
+                        rest = _table_from_pandas(df.iloc[take:])
                     def_tbl = rest if def_tbl is None else pa.concat_tables([def_tbl, rest])
 
                 # visited checkpoint: direct parquet write, no execution
@@ -470,7 +535,7 @@ class BFSCrawl:
                     ),
                     os.path.join(rdir, "visited", "part-0.parquet"),
                 )
-                sel_table = sel_tbl.select(["url", "host", "depth"])
+                sel_table = sel_tbl.select(["url", "host", "depth", "seq"])
                 deferred = None  # dataset-path variable, unused here
                 _stage("politeness+select+write_visited(driver)")
             else:
@@ -488,7 +553,8 @@ class BFSCrawl:
                 if cfg.strategy in ("best_first", "dfs"):
                     if cfg.strategy == "best_first":
                         ordered = selected.sort(
-                            ["score", "depth", "url"], descending=[True, False, False]
+                            ["score", "depth", "url", "parent"],
+                            descending=[True, False, False, False],
                         )
                         take = cfg.best_first_batch_size
                     else:  # dfs: LIFO ≈ deepest-first, batch of 1
@@ -497,18 +563,17 @@ class BFSCrawl:
                     split = ordered.split_at_indices([take])
                     selected = split[0]
                     deferred = split[1] if deferred is None else deferred.union(split[1])
-
-                # global capacity (reference bfs_strategy.py:131-136)
-                if cfg.max_pages is not None:
-                    remaining = cfg.max_pages - self.pages_visited
-                    if remaining <= 0:
-                        break
-                    ordered = selected.sort(["score", "url"], descending=[True, False])
-                    overflow = ordered.split_at_indices([remaining])
-                    selected = overflow[0]
-                    deferred = (
-                        overflow[1] if deferred is None else deferred.union(overflow[1])
-                    )
+                    if cfg.strategy == "best_first":
+                        # pop-entry semantics (≤ batch_size rows — always
+                        # driver-sized): duplicate/visited entries consume
+                        # slots and are discarded; visited marks at pop
+                        pop_tbl = _dataset_to_table(selected)
+                        pdf = pop_tbl.to_pandas().drop_duplicates("url", keep="first")
+                        is_new = self.seen.check_and_add(
+                            [url_digest(u) for u in pdf["url"]]
+                        )
+                        kept = pdf.iloc[[i for i, n in enumerate(is_new) if n]]
+                        selected = rd.from_arrow(_table_from_pandas(kept))
 
                 # visit + checkpoint this round's fetch set: ONE execution
                 # (write directly, read the small result back via pyarrow —
@@ -524,7 +589,7 @@ class BFSCrawl:
                 n_sel_probe = sel_ds.count()
                 if n_sel_probe <= cfg.broadcast_fetch_threshold:
                     sel_table = _read_dir_parquet(
-                        os.path.join(rdir, "visited"), ["url", "host", "depth"]
+                        os.path.join(rdir, "visited"), ["url", "host", "depth", "seq"]
                     )
                 else:
                     # round too large to read back to the driver — the
@@ -537,7 +602,6 @@ class BFSCrawl:
                 n_selected = n_sel_probe
             if n_selected == 0:
                 break
-            self.pages_visited += n_selected
 
             # "fetch": frontier ⋈ pages on url (the simulated network).
             # Broadcast pushdown requires the round's url set on the
@@ -547,9 +611,9 @@ class BFSCrawl:
                 from ..functions.dedup import _join_partitions
 
                 join_side = (
-                    rd.from_arrow(sel_table.select(["url", "depth"]))
+                    rd.from_arrow(sel_table.select(["url", "depth", "seq"]))
                     if sel_table is not None
-                    else sel_ds.select_columns(["url", "depth"])
+                    else sel_ds.select_columns(["url", "depth", "seq"])
                 )
                 fetched = join_side.join(
                     pages,
@@ -563,9 +627,14 @@ class BFSCrawl:
                 # parquet read — with the pages layout sorted by url,
                 # row-group min/max stats prune everything outside the
                 # round (no full-corpus rescan per round)
-                depth_map = dict(
-                    zip(sel_table["url"].to_pylist(), sel_table["depth"].to_pylist())
-                )
+                depth_map = {
+                    u: (d, s)
+                    for u, d, s in zip(
+                        sel_table["url"].to_pylist(),
+                        sel_table["depth"].to_pylist(),
+                        sel_table["seq"].to_pylist(),
+                    )
+                }
                 map_ref = ray.put(depth_map)
 
                 import pyarrow.compute as _pc
@@ -581,8 +650,10 @@ class BFSCrawl:
                     urls = batch["url"].to_pylist()
                     mask = [u in dm for u in urls]
                     sub = batch.filter(pa.array(mask, pa.bool_()))
-                    depths = [dm[u] for u, m in zip(urls, mask) if m]
-                    return sub.append_column("depth", pa.array(depths, pa.int32()))
+                    hit = [dm[u] for u, m in zip(urls, mask) if m]
+                    return sub.append_column(
+                        "depth", pa.array([d for d, _ in hit], pa.int32())
+                    ).append_column("seq", pa.array([s for _, s in hit], pa.string()))
 
                 fetched = round_read.map_batches(attach_depth, batch_format="pyarrow")
             _stage("fetch_build")
@@ -596,6 +667,7 @@ class BFSCrawl:
             links_tbl = None  # sentinel-bearing table (driver path)
             links_all = None
             n_links = 0
+            n_success = n_selected  # refined below from fetch evidence
             if cfg.max_depth > 0:
                 links_all = fetched.map_batches(
                     _with_depth(_extract_links_batch), batch_format="pyarrow"
@@ -610,7 +682,85 @@ class BFSCrawl:
                     )
                     return t.filter(keep)
 
-                if 0 < n_rows_all <= cfg.driver_links_threshold:
+                # successful fetches = null-href sentinels (one per
+                # fetched page); the reference counts ONLY successes
+                # toward max_pages (bfs_strategy.py:178-180)
+                def _sentinel_count(t: pa.Table) -> pa.Table:
+                    return pa.table(
+                        {"n": pa.array([t["href"].null_count], pa.int64())}
+                    )
+
+                if (
+                    cfg.strategy == "best_first"
+                    and cfg.max_pages is not None
+                    and sel_table is not None
+                    and 0 < n_rows_all <= cfg.driver_links_threshold
+                ):
+                    # the reference's mid-batch budget break
+                    # (bff_strategy.py:195-201): the success that
+                    # reaches max_pages is counted and marked but NOT
+                    # emitted nor link-discovered, and the rest of the
+                    # popped batch is discarded.  Replay the batch in
+                    # queue order against the fetch-success sentinels.
+                    links_tbl = _dataset_to_table(links_all, schema=None)
+                    success_urls = {
+                        s
+                        for s, h in zip(
+                            links_tbl["src_url"].to_pylist(),
+                            links_tbl["href"].to_pylist(),
+                        )
+                        if h is None
+                    }
+                    before = cfg.max_pages - self.pages_visited
+                    rows = sel_table.to_pylist()
+                    cutoff = None
+                    n_succ = 0
+                    for i, row in enumerate(rows):
+                        if row["url"] in success_urls:
+                            n_succ += 1
+                            if n_succ >= before:
+                                cutoff = i
+                                break
+                    if cutoff is not None:
+                        kept_urls = {r["url"] for r in rows[:cutoff]}
+                        mask = pa.array(
+                            [u in kept_urls for u in sel_table["url"].to_pylist()],
+                            pa.bool_(),
+                        )
+                        visited_tbl = sel_table.filter(mask)
+                        # rewrite this round's visited checkpoint with
+                        # the truncated batch
+                        vdir = os.path.join(rdir, "visited")
+                        for name in os.listdir(vdir):
+                            os.unlink(os.path.join(vdir, name))
+                        pq_write_table(
+                            visited_tbl.append_column(
+                                "round",
+                                pa.array([round_idx] * visited_tbl.num_rows, pa.int32()),
+                            ),
+                            os.path.join(vdir, "part-0.parquet"),
+                        )
+                        lmask = pa.array(
+                            [
+                                s in kept_urls
+                                for s in links_tbl["src_url"].to_pylist()
+                            ],
+                            pa.bool_(),
+                        )
+                        links_tbl = links_tbl.filter(lmask)
+                    self.pages_visited += n_succ
+                    remaining = cfg.max_pages - self.pages_visited
+                    n_success = n_succ
+                    cand_rows = _candidate_filter(links_tbl)
+                    n_links = cand_rows.num_rows
+                    if remaining <= 0 and cutoff is not None:
+                        new_tbl = None
+                    else:
+                        cand = gate_fn(cand_rows)
+                        if cand.num_rows:
+                            new_tbl = seen_contains_fn(cand)
+                    _stage("discover(driver:bff-budget)")
+                elif 0 < n_rows_all <= cfg.driver_links_threshold:
                     # ---- driver-coordinated discovery: the link set is
                     # bounded, so gate → first-wins dedup → seen run on
                     # one in-memory table (block fetch, no executions).
@@ -618,45 +768,123 @@ class BFSCrawl:
                     # pandas stable sort by (depth, parent) + first-per-
                     # url ≡ groupby(url).Min(packed (depth,parent) key)
                     links_tbl = _dataset_to_table(links_all, schema=None)
+                    n_success = links_tbl["href"].null_count
+                    self.pages_visited += n_success
+                    remaining = (
+                        None
+                        if cfg.max_pages is None
+                        else cfg.max_pages - self.pages_visited
+                    )
                     cand_rows = _candidate_filter(links_tbl)
                     n_links = cand_rows.num_rows
-                    cand = gate_fn(cand_rows)
-                    if cand.num_rows:
-                        cdf = (
-                            cand.to_pandas()
-                            .sort_values(["depth", "parent"], kind="mergesort")
-                            .drop_duplicates("url", keep="first")
-                        )
-                        dedup_tbl = _table_from_pandas(cdf)
-                        new_tbl = seen_fn(dedup_tbl)
+                    if remaining is not None and remaining <= 0:
+                        # reference link_discovery returns before any
+                        # visited update once capacity is exhausted
+                        # (bfs_strategy.py:94-98) — nothing discovered,
+                        # nothing marked
+                        new_tbl = None
+                    else:
+                        cand = gate_fn(cand_rows)
+                        if cand.num_rows and cfg.strategy == "best_first":
+                            # queue semantics: every discovery instance
+                            # is an entry; only already-POPPED urls are
+                            # filtered (bff_strategy link_discovery
+                            # checks the popped set, no dedup/marking)
+                            new_tbl = seen_contains_fn(cand)
+                        elif cand.num_rows:
+                            cdf = (
+                                cand.to_pandas()
+                                .sort_values(["depth", "seq"], kind="mergesort")
+                                .drop_duplicates("url", keep="first")
+                            )
+                            dedup_tbl = _table_from_pandas(cdf)
+                            # seen_fn MARKS every deduped candidate —
+                            # the reference adds ALL valid links to
+                            # visited BEFORE the capacity trim, so
+                            # over-cap links are seen-but-never-crawled
+                            # (bfs_strategy.py:125-137)
+                            new_tbl = seen_fn(dedup_tbl)
+                            if (
+                                remaining is not None
+                                and cfg.strategy == "bfs"
+                                and new_tbl.num_rows
+                            ):
+                                new_tbl = _budget_cap_tbl(
+                                    new_tbl, remaining, cfg.scorer is not None
+                                )
                     _stage("discover(driver)")
                 elif n_rows_all > 0:
                     # gate → within-round dedup (deterministic
                     # first-wins) → cross-round READ-ONLY seen filter:
                     # one chain.  Dedup is pure aggregates — min over a
-                    # sortable (depth, parent) key per url; host and
+                    # sortable (depth, seq) key per url; host and
                     # score are functions of the url so Min returns
                     # them intact.  The seen filter here only READS
                     # (contains) — marking happens after the frontier
                     # materializes, in an idempotent add pass, so a Ray
                     # task retry can never drop discovered urls
                     # (check_and_add inside a retryable task is lossy).
+                    sc = (
+                        links_all.map_batches(
+                            _sentinel_count, batch_format="pyarrow"
+                        )
+                        .to_pandas()
+                    )
+                    n_success = int(sc["n"].sum()) if "n" in sc.columns else 0
+                    self.pages_visited += n_success
+                    remaining = (
+                        None
+                        if cfg.max_pages is None
+                        else cfg.max_pages - self.pages_visited
+                    )
                     links = links_all.map_batches(
                         _candidate_filter, batch_format="pyarrow"
                     )
                     n_links = links.count()
-                    new_frontier = (
-                        links.map_batches(gate_fn, batch_format="pyarrow")
-                        .map_batches(_pack_dedup_key, batch_format="pyarrow")
-                        .groupby("url")
-                        .aggregate(
-                            Min("__dk", alias_name="__dk"),
-                            Min("host", alias_name="host"),
-                            Min("score", alias_name="score"),
+                    if remaining is not None and remaining <= 0:
+                        new_frontier = None  # capacity exhausted: no
+                        # discovery, no seen marking (reference
+                        # link_discovery early-out)
+                    elif cfg.strategy == "best_first":
+                        # queue semantics: keep every discovery
+                        # instance; filter only POPPED urls
+                        new_frontier = links.map_batches(
+                            gate_fn, batch_format="pyarrow"
+                        ).map_batches(seen_contains_fn, batch_format="pyarrow")
+                    else:
+                        new_frontier = (
+                            links.map_batches(gate_fn, batch_format="pyarrow")
+                            .map_batches(_pack_dedup_key, batch_format="pyarrow")
+                            .groupby("url")
+                            .aggregate(
+                                Min("__dk", alias_name="__dk"),
+                                Min("host", alias_name="host"),
+                                Min("score", alias_name="score"),
+                            )
+                            .map_batches(_unpack_dedup_key, batch_format="pyarrow")
+                            .map_batches(seen_contains_fn, batch_format="pyarrow")
                         )
-                        .map_batches(_unpack_dedup_key, batch_format="pyarrow")
-                        .map_batches(seen_contains_fn, batch_format="pyarrow")
-                    )
+                        if remaining is not None and cfg.strategy == "bfs":
+                            # mark ALL deduped candidates seen first
+                            # (idempotent add pass on a materialized
+                            # set), then cap per owner page — over-cap
+                            # links stay seen-but-never-crawled, the
+                            # reference's exact budget behavior
+                            new_frontier = (
+                                new_frontier.map_batches(
+                                    seen_add_fn, batch_format="pyarrow"
+                                )
+                                .materialize()
+                            )
+                            new_frontier = _budget_cap_ds(
+                                new_frontier, remaining, cfg.scorer is not None
+                            )
+
+            if links_all is None and cfg.max_pages is not None:
+                # no link phase (max_depth == 0): count successes from
+                # the fetch join directly for the budget gate
+                n_success = fetched.count()
+                self.pages_visited += n_success
 
             # frontier_{k+1} = new ∪ deferred — checkpointed
             # (deferred size derived, not counted: avoids re-executing
@@ -700,9 +928,12 @@ class BFSCrawl:
                     # retried write task merely re-adds the same
                     # digests (all three shard modes' add are no-ops on
                     # present digests)
-                    nxt.map_batches(seen_add_fn, batch_format="pyarrow").write_parquet(
-                        os.path.join(rdir, "frontier")
+                    marked = (
+                        nxt
+                        if cfg.strategy == "best_first"  # marks at pop
+                        else nxt.map_batches(seen_add_fn, batch_format="pyarrow")
                     )
+                    marked.write_parquet(os.path.join(rdir, "frontier"))
                     _stage("next_frontier_write")
                     frontier = nxt if nxt.count() > 0 else None
                 else:
@@ -795,6 +1026,7 @@ class BFSCrawl:
                 {
                     "n_frontier_in": n_frontier,
                     "n_visited": n_selected,
+                    "n_success": n_success,
                     "n_links": n_links,
                     "n_deferred": n_deferred,
                     "n_frontier_out": n_frontier_out,
@@ -844,26 +1076,44 @@ class _AllHostsRules(dict):
 
 
 def _with_depth(link_fn):
-    """Wrap the link extractor to carry depth+1 from the fetched row."""
+    """Wrap the link extractor to carry depth+1 and the parent's
+    discovery-sequence key from the fetched row."""
 
     def fn(batch: pa.Table) -> pa.Table:
         depth_by_url = dict(
             zip(batch["url"].to_pylist(), batch["depth"].to_pylist())
         )
+        seq_by_url = (
+            dict(zip(batch["url"].to_pylist(), batch["seq"].to_pylist()))
+            if "seq" in batch.column_names
+            else {}
+        )
         links = link_fn(batch)
-        depths = [depth_by_url[u] + 1 for u in links["src_url"].to_pylist()]
-        return links.append_column("depth", pa.array(depths, pa.int32()))
+        srcs = links["src_url"].to_pylist()
+        depths = [depth_by_url[u] + 1 for u in srcs]
+        pseqs = [seq_by_url.get(u, "") for u in srcs]
+        return links.append_column(
+            "depth", pa.array(depths, pa.int32())
+        ).append_column("parent_seq", pa.array(pseqs, pa.string()))
 
     return fn
 
 
 def _pack_dedup_key(batch: pa.Table) -> pa.Table:
-    """Sortable (depth, parent) key: min over it = deterministic
-    first-wins (the reference admits the shallowest discovery; parent
-    breaks ties)."""
+    """Sortable (depth, seq) key: min over it = deterministic
+    first-wins in the REFERENCE'S discovery order (shallowest depth,
+    then the sequential position its first discoverer processed it at
+    — ``visited`` insertion order in ``bfs_strategy.link_discovery``).
+    Equal-depth rows have equal-length seq strings, so the hex
+    comparison is positional.  The parent rides the key (seq is unique
+    per discovery instance, so the min's parent is the owner's)."""
     packed = [
-        f"{d:010d}\x1f{p}"
-        for d, p in zip(batch["depth"].to_pylist(), batch["parent"].to_pylist())
+        f"{d:010d}\x1f{s}\x1f{p}"
+        for d, s, p in zip(
+            batch["depth"].to_pylist(),
+            batch["seq"].to_pylist(),
+            batch["parent"].to_pylist(),
+        )
     ]
     return pa.table(
         {
@@ -877,10 +1127,11 @@ def _pack_dedup_key(batch: pa.Table) -> pa.Table:
 
 def _unpack_dedup_key(batch: pa.Table) -> pa.Table:
     keys = batch["__dk"].to_pylist()
-    depths, parents = [], []
+    depths, seqs, parents = [], [], []
     for k in keys:
-        d, _, p = k.partition("\x1f")
+        d, s, p = k.split("\x1f", 2)
         depths.append(int(d))
+        seqs.append(s)
         parents.append(p)
     return pa.table(
         {
@@ -889,8 +1140,39 @@ def _unpack_dedup_key(batch: pa.Table) -> pa.Table:
             "depth": pa.array(depths, pa.int32()),
             "parent": pa.array(parents, pa.string()),
             "score": batch["score"],
+            "seq": pa.array(seqs, pa.string()),
         }
     )
+
+
+def _budget_cap_pandas(df, cap: int, use_score: bool):
+    """Per-owner-page budget truncation, the reference's
+    ``link_discovery`` capacity trim (bfs_strategy.py:129-137): each
+    source page keeps its first ``cap`` surviving links in discovery
+    order — stable-sorted by score desc first iff a scorer is set
+    (the reference sorts only then)."""
+    df = df.sort_values("seq", kind="mergesort")
+    if use_score:
+        df = df.sort_values("score", ascending=False, kind="mergesort")
+    kept = df.groupby("parent", sort=False).head(cap)
+    return kept.sort_values("seq", kind="mergesort")
+
+
+def _budget_cap_tbl(tbl: pa.Table, cap: int, use_score: bool) -> pa.Table:
+    if tbl.num_rows == 0:
+        return tbl
+    return _table_from_pandas(_budget_cap_pandas(tbl.to_pandas(), cap, use_score))
+
+
+def _budget_cap_ds(ds, cap: int, use_score: bool):
+    """Distributed per-owner cap: groups are one page's surviving
+    links (bounded by links-per-page), so ``map_groups`` is safe at
+    any corpus size."""
+
+    def cap_group(df):
+        return _budget_cap_pandas(df, cap, use_score)
+
+    return ds.groupby("parent").map_groups(cap_group, batch_format="pandas")
 
 
 def _has_parquet(path: str) -> bool:

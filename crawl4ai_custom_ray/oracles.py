@@ -337,8 +337,16 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                 WHERE url NOT LIKE '%/private/%'
             ),
             edges AS (
+                -- the frontier normalization composition (extended
+                -- normalize_url, then normalize_url_for_deep_crawl)
+                -- on this corpus's href shapes: utm_* keys dropped +
+                -- remaining keys sorted by the extended pass
+                -- ('?a=1&b=2'), trailing slash stripped by the
+                -- deep-crawl pass (roots become no-slash URLs)
                 SELECT DISTINCT src,
-                       regexp_replace(raw, '\\?utm_source=feed&utm_campaign=c[0-9]+&b=2&a=1$', '?a=1&b=2') AS dst
+                       regexp_replace(
+                           regexp_replace(raw, '\\?utm_source=feed&utm_campaign=c[0-9]+&b=2&a=1$', '?a=1&b=2'),
+                           '/$', '') AS dst
                 FROM hrefs
                 WHERE raw NOT LIKE '%external-site.org%'
                   AND raw NOT LIKE '%/private/%'

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import hashlib
 import re
-from urllib.parse import parse_qsl, urlencode, urljoin, urlparse, urlunparse
+from urllib.parse import parse_qs, parse_qsl, urlencode, urljoin, urlparse, urlunparse
 
 # Query keys dropped by the extended normalizer (reference utils.py:2293-2296).
 TRACKING_PARAMS = frozenset(
@@ -181,19 +181,24 @@ def normalize_url(
 
 def normalize_url_for_deep_crawl(href: str | None, base_url: str) -> str | None:
     """Lighter normalizer used on the frontier link-discovery path
-    (reference ``bfs_strategy.py:111``): resolve, lowercase netloc,
-    rstrip path ``/``, drop fragment, drop the short tracking-param
-    list, sort query keys.
-    """
+    (reference ``utils.py:2324-2380``, called at ``bfs_strategy.py:111``):
+    resolve, lowercase netloc, rstrip path ``/``, drop fragment, drop
+    the short tracking-param list.  Function-differential-tested
+    byte-equal to the reference's own code in
+    tests/test_ref_crawl_parity.py — the reference groups query params
+    with ``parse_qs`` + ``urlencode(doseq=True)`` (insertion order of
+    first appearance, duplicates grouped, blank values dropped) and
+    does NOT sort keys; replicated exactly."""
     if not href:
         return None
     full_url = urljoin(base_url, href.strip())
     parsed = urlparse(full_url)
     query = parsed.query
     if query:
-        params = [(k, v) for k, v in parse_qsl(query, keep_blank_values=True)]
-        params = [(k, v) for k, v in params if k not in DEEP_CRAWL_TRACKING_PARAMS]
-        params.sort(key=lambda kv: kv[0])
+        params = parse_qs(query)
+        for key in DEEP_CRAWL_TRACKING_PARAMS:
+            if key in params:
+                del params[key]
         query = urlencode(params, doseq=True) if params else ""
     return urlunparse(
         (parsed.scheme, parsed.netloc.lower(), parsed.path.rstrip("/"), parsed.params, query, "")

@@ -82,7 +82,14 @@ def test_best_first_visits_highest_scores_first(ray_session, pages_path, seeds, 
         visited = driver.run(seeds).to_pandas()
     finally:
         driver.shutdown()
-    assert 0 < len(visited) <= 25
+    # reference budget semantics: only SUCCESSFUL fetches count toward
+    # max_pages (bff_strategy.py:194-201), so visited rows (which
+    # include failed fetches, e.g. ?query variants) may exceed it —
+    # successes may not
+    import pyarrow.parquet as pq
+
+    page_urls = set(pq.read_table(pages_path, columns=["url"])["url"].to_pylist())
+    assert 0 < visited["url"].isin(page_urls).sum() <= 25
     # within every round, the selected batch must be the round's global
     # score top-k: each later round's max score ≤ earlier rounds' min
     # is too strict with discovery, but per-round batches must be

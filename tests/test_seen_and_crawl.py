@@ -179,7 +179,16 @@ def test_bfs_max_pages_budget(ray_session, pages_path, seeds, tmp_path):
         visited = driver.run(seeds).to_pandas()
     finally:
         driver.shutdown()
-    assert len(visited) <= 10
+    # reference budget semantics (bfs_strategy.py:162-180): whole
+    # levels are crawled (a level may overshoot), only SUCCESSFUL
+    # fetches count, and no new level starts at/after the budget
+    page_urls = set(pq.read_table(pages_path, columns=["url"])["url"].to_pylist())
+    visited = visited.sort_values(["round"])
+    succ = visited["url"].isin(page_urls)
+    # cumulative successes BEFORE each round's start stay under budget
+    for rnd in sorted(visited["round"].unique()):
+        assert succ[visited["round"] < rnd].sum() < 10, rnd
+    assert succ.sum() >= 10  # budget was actually reached
 
 
 def test_bfs_resume_from_checkpoint(ray_session, pages_path, seeds, tmp_path):
