@@ -165,3 +165,46 @@ def test_scorer_values_match_reference(pages_dict):
     ours = KeywordRelevanceScorer(keywords=kw)
     for url in list(pages_dict)[:200]:
         assert ours.score(url) == pytest.approx(ref.score(url)), url
+
+
+def test_bfs_crawl_order_matches_reference_code(
+    ray_session, pages_path, pages_dict, seed, tmp_path
+):
+    """Full crawl ORDER parity: the visited table replayed in
+    (round, seq) order is the reference's results sequence — the level
+    ordering the reference builds by appending discoveries in page
+    processing order."""
+    dc = load_reference_deep_crawl()
+    crawler = StubCrawler(pages_dict)
+    results = asyncio.run(
+        dc.BFSDeepCrawlStrategy(max_depth=2)._arun_batch(seed, crawler, StubRunConfig())
+    )
+    ref_order = []
+    seen = set()
+    for r in results:
+        if r.url not in seen:  # reference may re-crawl a seed twin
+            seen.add(r.url)
+            ref_order.append(r.url)
+
+    from crawl4ai_custom_ray.frontier.crawl import CrawlConfig, crawl_bfs
+
+    visited, driver = crawl_bfs(
+        pages_path, [seed], CrawlConfig(max_depth=2), str(tmp_path / "ord")
+    )
+    try:
+        df = visited.to_pandas().sort_values(["round", "seq"])
+    finally:
+        driver.shutdown()
+    assert list(df["url"]) == ref_order
+
+
+def test_bfs_parents_match_reference_code(
+    ray_session, pages_path, pages_dict, seed, tmp_path
+):
+    """Parent attribution parity: the owner (first sequential
+    discoverer) of every crawled URL matches the reference."""
+    dc = load_reference_deep_crawl()
+    expected = _run_reference(dc.BFSDeepCrawlStrategy(max_depth=2), seed, pages_dict)
+    got = _run_ours(pages_path, seed, tmp_path, max_depth=2)
+    for url, (depth, parent) in expected.items():
+        assert got[url][1] == parent, url
