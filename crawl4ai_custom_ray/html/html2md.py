@@ -123,6 +123,57 @@ _RE_OL_ITEM = re.compile(r"\d+\.\s")
 _RE_UL_ITEM = re.compile(r"[-\*\+]\s")
 
 
+# pad_tables plumbing (fork config.py:7, utils.py:237-305): tables are
+# bracketed with a marker tag in the stream, then a padding pass
+# column-aligns the cells and strips the markers
+_TABLE_MARKER = "special_marker_for_table_padding"
+
+
+def _reformat_table(lines: list[str], right_margin: int) -> list[str]:
+    max_width = [len(x.rstrip()) + right_margin for x in lines[0].split("|")]
+    max_cols = len(max_width)
+    for line in lines:
+        cols = [x.rstrip() for x in line.split("|")]
+        num_cols = len(cols)
+        if num_cols < max_cols:
+            cols += [""] * (max_cols - num_cols)
+        elif max_cols < num_cols:
+            max_width += [
+                len(x) + right_margin for x in cols[-(num_cols - max_cols):]
+            ]
+            max_cols = num_cols
+        max_width = [
+            max(len(x) + right_margin, old) for x, old in zip(cols, max_width)
+        ]
+    out = []
+    for line in lines:
+        cols = [x.rstrip() for x in line.split("|")]
+        if set(line.strip()) == set("-|"):
+            cells = [x + "-" * (m - len(x)) for x, m in zip(cols, max_width)]
+            out.append("|-" + "|".join(cells) + "|")
+        else:
+            cells = [x + " " * (m - len(x)) for x, m in zip(cols, max_width)]
+            out.append("| " + "|".join(cells) + "|")
+    return out
+
+
+def _pad_tables_in_text(text: str, right_margin: int = 1) -> str:
+    lines = text.split("\n")
+    buf: list[str] = []
+    started = False
+    out = []
+    for line in lines:
+        if _TABLE_MARKER in line:
+            started = not started
+            if not started:
+                out.extend(_reformat_table(buf, right_margin))
+                buf = []
+                out.append("")
+            continue
+        (buf if started else out).append(line)
+    return "\n".join(out)
+
+
 def _skipwrap(para: str) -> bool:
     """The fork's utils.skipwrap under the generator defaults
     (wrap_links=True, wrap_list_items=False, wrap_tables=False)."""
@@ -219,6 +270,7 @@ class MarkdownMachine:
         escape_backslash: bool = False,
         preserve_tags=(),
         handle_code_in_pre: bool = False,
+        pad_tables: bool = False,
     ):
         self.baseurl = baseurl
         # The html2text knobs a DefaultMarkdownGenerator user sets via
@@ -270,6 +322,7 @@ class MarkdownMachine:
         # (:1071-1134): preserved subtrees re-serialize as raw HTML
         self.preserve_tags = set(preserve_tags)
         self.handle_code_in_pre = handle_code_in_pre
+        self.pad_tables = pad_tables  # fork :708-716, padding pass :158
         self.preserve_depth = 0
         self.preserved_content: list[str] = []
         self.current_preserved_tag: str | None = None
@@ -793,6 +846,13 @@ class MarkdownMachine:
         if tag == "table":
             if start:
                 self.header_row = True
+                if self.pad_tables:
+                    self.emit("<" + _TABLE_MARKER + ">")
+                    self.emit("  \n")
+            elif self.pad_tables:
+                self._soft_break()
+                self.emit("</" + _TABLE_MARKER + ">")
+                self.emit("  \n")
         elif tag == "tr":
             if start:
                 self.cell_count = 0
@@ -817,7 +877,11 @@ class MarkdownMachine:
         # under unicode_snob, plain space otherwise
         nbsp = html.entities.html5["nbsp;"] if self.unicode_snob else " "
         text = "".join(self._out).replace(_NBSP_TOKEN, nbsp)
-        return self._optwrap(text) if self.body_width else text
+        if self.body_width:
+            text = self._optwrap(text)
+        if self.pad_tables:  # after optwrap, like the fork's handle()
+            text = _pad_tables_in_text(text)
+        return text
 
     # -- body_width wrapping: the fork's optwrap (:964-1024) under the
     # Custom defaults (wrap_links=True → inline links stay inline and

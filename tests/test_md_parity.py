@@ -248,6 +248,8 @@ OPTION_CONFIGS = [
     {"preserve_tags": ["pre", "table"]},
     {"preserve_tags": ["figure"], "ignore_images": True},
     {"handle_code_in_pre": True},
+    {"pad_tables": True},
+    {"pad_tables": True, "body_width": 40},
 ]
 
 
