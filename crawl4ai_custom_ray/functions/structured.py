@@ -219,6 +219,15 @@ class JsonXPathExtractionStrategy(JsonCssExtractionStrategy):
 # Backwards-compatible alias (round-1 name)
 JsonXPathLikeExtractionStrategy = JsonXPathExtractionStrategy
 
+# Reference surface parity: JsonLxmlExtractionStrategy
+# (extraction_strategy.py:1429-1698) is the same schema semantics on
+# an lxml selector backend chosen purely for speed.  lxml is not
+# installed in this environment, so the name maps to the CSS engine —
+# selector semantics are engine-equivalence-tested against the XPath
+# engine in tests/test_xpath.py, which is the property the lxml
+# backend also guarantees.
+JsonLxmlExtractionStrategy = JsonCssExtractionStrategy
+
 
 def extract_structured(
     ds,

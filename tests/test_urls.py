@@ -52,8 +52,12 @@ def test_empty_href():
 
 
 def test_deep_crawl_variant_keeps_param_case():
+    # the reference's own function keeps first-appearance key order
+    # (parse_qs + urlencode(doseq)) — it does NOT sort; verified
+    # byte-equal against the extracted reference function in
+    # tests/test_ref_crawl_parity.py::test_normalizer_matches_reference_function
     url = "https://example.com/p?ref=abc&z=1&a=2#frag"
-    assert normalize_url_for_deep_crawl(url, BASE) == "https://example.com/p?a=2&z=1"
+    assert normalize_url_for_deep_crawl(url, BASE) == "https://example.com/p?z=1&a=2"
 
 
 def test_base_domain():
