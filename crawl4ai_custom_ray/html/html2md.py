@@ -118,6 +118,7 @@ _DASH_MATCHER = re.compile(r"^(\s*)(-)(?=\s|\-)", re.MULTILINE)
 # optwrap helpers (reference config.py:64-75; RE_SPACE's r"\s\+" quirk
 # is intentional — see MarkdownMachine._optwrap)
 _RE_SPACE = re.compile(r"\s\+")
+_RE_LINK = re.compile(r"(\[.*?\] ?\(.*?\))|(\[.*?\]:.*?)")
 _RE_TABLE = re.compile(r" \| ")
 _RE_OL_ITEM = re.compile(r"\d+\.\s")
 _RE_UL_ITEM = re.compile(r"[-\*\+]\s")
@@ -174,18 +175,26 @@ def _pad_tables_in_text(text: str, right_margin: int = 1) -> str:
     return "\n".join(out)
 
 
-def _skipwrap(para: str) -> bool:
-    """The fork's utils.skipwrap under the generator defaults
-    (wrap_links=True, wrap_list_items=False, wrap_tables=False)."""
+def _skipwrap(
+    para: str,
+    wrap_links: bool = True,
+    wrap_list_items: bool = False,
+    wrap_tables: bool = False,
+) -> bool:
+    """The fork's utils.skipwrap (utils.py:162-196); defaults are the
+    generator's (wrap_links=True, wrap_list_items=False,
+    wrap_tables=False)."""
+    if not wrap_links and _RE_LINK.search(para):
+        return True
     if para[0:4] == "    " or para[0:1] == "\t":
         return True  # code block
     stripped = para.lstrip()
     if stripped[0:2] == "--" and len(stripped) > 2 and stripped[2] != "-":
         return False  # emdash
     if stripped[0:1] in ("-", "*") and not stripped[0:2] == "**":
-        return True  # wrap_list_items=False
-    if _RE_TABLE.search(para):
-        return True  # wrap_tables=False
+        return not wrap_list_items
+    if not wrap_tables and _RE_TABLE.search(para):
+        return True
     return bool(_RE_OL_ITEM.match(stripped) or _RE_UL_ITEM.match(stripped))
 # escape_md (utils.py:199-204): backslash, brackets, parens
 _MD_CHARS = re.compile(r"([\\\[\]\(\)])")
@@ -271,6 +280,9 @@ class MarkdownMachine:
         preserve_tags=(),
         handle_code_in_pre: bool = False,
         pad_tables: bool = False,
+        wrap_links: bool = True,
+        wrap_list_items: bool = False,
+        wrap_tables: bool = False,
     ):
         self.baseurl = baseurl
         # The html2text knobs a DefaultMarkdownGenerator user sets via
@@ -323,6 +335,9 @@ class MarkdownMachine:
         self.preserve_tags = set(preserve_tags)
         self.handle_code_in_pre = handle_code_in_pre
         self.pad_tables = pad_tables  # fork :708-716, padding pass :158
+        self.wrap_links = wrap_links  # optwrap skipwrap flags
+        self.wrap_list_items = wrap_list_items  # (utils.py:162-196)
+        self.wrap_tables = wrap_tables
         self.preserve_depth = 0
         self.preserved_content: list[str] = []
         self.current_preserved_tag: str | None = None
@@ -893,7 +908,9 @@ class MarkdownMachine:
         newlines = 0
         for para in text.split("\n"):
             if len(para) > 0:
-                if not _skipwrap(para):
+                if not _skipwrap(
+                    para, self.wrap_links, self.wrap_list_items, self.wrap_tables
+                ):
                     indent = ""
                     if para.startswith("  " + self.ul_item_mark):
                         # list item continuation (fork :988)

@@ -250,6 +250,10 @@ OPTION_CONFIGS = [
     {"handle_code_in_pre": True},
     {"pad_tables": True},
     {"pad_tables": True, "body_width": 40},
+    {"body_width": 40, "wrap_links": False},
+    {"body_width": 40, "wrap_list_items": True},
+    {"body_width": 30, "wrap_tables": True},
+    {"body_width": 30, "wrap_links": False, "wrap_list_items": True, "wrap_tables": True},
 ]
 
 
