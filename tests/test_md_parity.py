@@ -368,3 +368,49 @@ def test_markdown_options_through_extract_stage(ray_session):
         cleaned = out.loc[r["url"], "cleaned_html"]
         want = reference_markdown_with(cleaned, r["url"], **cfg)
         assert out.loc[r["url"], "raw_markdown"] == want
+
+
+def test_random_flag_combinations_byte_equal():
+    """Random flag COMBINATIONS × random HTML vs the fork — catches
+    interactions between flags that the fixed configs above miss."""
+    from ref_html2text import reference_markdown_with
+
+    rng = random.Random(20260819)
+    flag_space = {
+        "ignore_links": (True, False),
+        "ignore_images": (True, False),
+        "ignore_emphasis": (True, False),
+        "escape_snob": (True, False),
+        "body_width": (0, 30, 78),
+        "skip_internal_links": (True, False),
+        "ignore_mailto_links": (True, False),
+        "protect_links": (True, False),
+        "images_to_alt": (True, False),
+        "images_with_size": (True, False),
+        "default_image_alt": ("", "img"),
+        "unicode_snob": (True, False),
+        "use_automatic_links": (True, False),
+        "single_line_break": (True, False),
+        "ignore_tables": (True, False),
+        "bypass_tables": (True, False),
+        "pad_tables": (True, False),
+        "ul_item_mark": ("*", "-", "+"),
+        "emphasis_mark": ("_", "*"),
+        "strong_mark": ("**", "__"),
+        "include_sup_sub": (True, False),
+        "wrap_list_items": (True, False),
+        "wrap_tables": (True, False),
+        "escape_dot": (True, False),
+        "escape_plus": (True, False),
+        "escape_dash": (True, False),
+    }
+    for trial in range(150):
+        cfg = {
+            k: rng.choice(v)
+            for k, v in flag_space.items()
+            if rng.random() < 0.3  # sparse combos — realistic configs
+        }
+        html = _gen_html(rng)
+        got = html_to_markdown(html, **cfg)
+        want = reference_markdown_with(html, **cfg)
+        assert got == want, (cfg, html)
