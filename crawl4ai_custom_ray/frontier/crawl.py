@@ -83,7 +83,7 @@ class CrawlConfig:
     #   asyncio.PriorityQueue (bff_strategy.py:142-173) realized as a
     #   sort+limit shuffle over the frontier table; the rest carries
     #   over with its priority intact.
-    # "dfs": degenerate batch=1 LIFO mode (depth desc) mirroring
+    # "dfs": batch-1 true-LIFO mode (seq = DFS pre-order) mirroring
     #   DFSDeepCrawlStrategy — sequential by nature, not the scale path.
     strategy: str = "bfs"
     best_first_batch_size: int = 10
@@ -519,9 +519,13 @@ class BFSCrawl:
                         )
                         sel_tbl = _table_from_pandas(batch.iloc[[i for i, n in enumerate(is_new) if n]])
                     else:
-                        df = df.sort_values(
-                            ["depth", "url"], ascending=[False, True], kind="mergesort"
-                        )
+                        # true LIFO: the reference pops the top of an
+                        # explicit stack (dfs_strategy.py:27-83), which
+                        # over discovery-path keys is exactly
+                        # lexicographic min of seq (DFS pre-order) —
+                        # first-discovered child of the most recently
+                        # expanded page
+                        df = df.sort_values("seq", kind="mergesort")
                         take = 1
                         sel_tbl = _table_from_pandas(df.iloc[:take])
                         rest = _table_from_pandas(df.iloc[take:])
@@ -557,8 +561,8 @@ class BFSCrawl:
                             descending=[True, False, False, False],
                         )
                         take = cfg.best_first_batch_size
-                    else:  # dfs: LIFO ≈ deepest-first, batch of 1
-                        ordered = selected.sort(["depth", "url"], descending=[True, False])
+                    else:  # dfs: true LIFO = seq (DFS pre-order), batch of 1
+                        ordered = selected.sort("seq")
                         take = 1
                     split = ordered.split_at_indices([take])
                     selected = split[0]
@@ -806,7 +810,7 @@ class BFSCrawl:
                             new_tbl = seen_fn(dedup_tbl)
                             if (
                                 remaining is not None
-                                and cfg.strategy == "bfs"
+                                and cfg.strategy in ("bfs", "dfs")
                                 and new_tbl.num_rows
                             ):
                                 new_tbl = _budget_cap_tbl(
@@ -864,7 +868,7 @@ class BFSCrawl:
                             .map_batches(_unpack_dedup_key, batch_format="pyarrow")
                             .map_batches(seen_contains_fn, batch_format="pyarrow")
                         )
-                        if remaining is not None and cfg.strategy == "bfs":
+                        if remaining is not None and cfg.strategy in ("bfs", "dfs"):
                             # mark ALL deduped candidates seen first
                             # (idempotent add pass on a materialized
                             # set), then cap per owner page — over-cap

@@ -208,3 +208,34 @@ def test_bfs_parents_match_reference_code(
     got = _run_ours(pages_path, seed, tmp_path, max_depth=2)
     for url, (depth, parent) in expected.items():
         assert got[url][1] == parent, url
+
+
+def test_dfs_order_matches_reference_code(
+    ray_session, pages_path, pages_dict, seed, tmp_path
+):
+    """DFS visit ORDER parity vs the reference's explicit-stack
+    implementation: our batch-1 rounds pop by lexicographic seq (DFS
+    pre-order), which must equal the reference's LIFO pops."""
+    dc = load_reference_deep_crawl()
+    crawler = StubCrawler(pages_dict)
+    results = asyncio.run(
+        dc.DFSDeepCrawlStrategy(max_depth=2, max_pages=14)._arun_batch(
+            seed, crawler, StubRunConfig()
+        )
+    )
+    ref_order = [r.url for r in results]
+    assert len(ref_order) == len(set(ref_order))
+
+    from crawl4ai_custom_ray.frontier.crawl import CrawlConfig, crawl_bfs
+
+    visited, driver = crawl_bfs(
+        pages_path,
+        [seed],
+        CrawlConfig(strategy="dfs", max_depth=2, max_pages=14, max_rounds=40),
+        str(tmp_path / "dfs"),
+    )
+    try:
+        df = visited.to_pandas().sort_values(["round", "seq"])
+    finally:
+        driver.shutdown()
+    assert list(df["url"]) == ref_order
