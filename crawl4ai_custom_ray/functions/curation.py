@@ -777,6 +777,7 @@ def lm_score(
     text_column: str = "text",
     num_partitions: int = 16,
     salt: int = 8,
+    broadcast_threshold: int = 2_000_000,
 ):
     """CCNet-style LM quality score (Wenzek et al. 2020): each
     document's total bigram log-likelihood under an add-one-smoothed
@@ -816,6 +817,7 @@ def lm_score(
     import math
 
     import pyarrow.compute as pc
+    import ray
 
     from ray.data.aggregate import Sum
 
@@ -857,7 +859,65 @@ def lm_score(
         .map_batches(ref_partial, batch_format="pyarrow")
         .groupby(["kind", "k"])
         .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # counted + consumed below: one execution
     )
+
+    # ---- size-adaptive fast path: when the reference count tables
+    # fit comfortably (vocabulary-bounded — the synthetic corpus and
+    # most single-language slices do), broadcast them once via
+    # ray.put and score each document in ONE stateless pass — no
+    # shuffle joins, no salting.  The join path below is the 100 TB
+    # route (web-scale bigram vocabularies exceed any single heap).
+    n_count_rows = counts.count()
+    if n_count_rows <= broadcast_threshold:
+        tbls = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+        bi_map: dict = {}
+        uni_map: dict = {}
+        for t in tbls:
+            for k, kind, c in zip(
+                t["k"].to_pylist(), t["kind"].to_pylist(), t["cnt"].to_pylist()
+            ):
+                (bi_map if kind == 2 else uni_map)[k] = c
+        maps_ref = ray.put((bi_map, uni_map))
+        vocab_v = len(uni_map)
+
+        def score_docs(batch: pa.Table, _v=vocab_v, _ref=maps_ref) -> pa.Table:
+            bi, uni = ray.get(_ref)
+            term_cache: dict = {}
+            ids, nbs, lps = [], [], []
+            for i, t in zip(
+                batch[id_column].to_pylist(), batch[text_column].to_pylist()
+            ):
+                ws = (t or "").split(" ")
+                c = Counter(zip(ws, ws[1:]))
+                nb = 0
+                lp = 0
+                for (a, b), m in c.items():
+                    key = a + "\x1f" + b
+                    term = term_cache.get(key)
+                    if term is None:
+                        c12 = bi.get(key, 0)
+                        c1 = uni.get(a, 0)
+                        term = math.floor(math.log((c12 + 1) / (c1 + _v)) * 1e9)
+                        term_cache[key] = term
+                    nb += m
+                    lp += m * term
+                ids.append(i)
+                nbs.append(nb)
+                lps.append(lp)
+            return pa.table(
+                {
+                    id_column: pa.array(ids, pa.int64()),
+                    "n_bigrams": pa.array(nbs, pa.int64()),
+                    "logprob_fp": pa.array(lps, pa.int64()),
+                }
+            )
+
+        return ds.select_columns([id_column, text_column]).map_batches(
+            score_docs, batch_format="pyarrow"
+        )
+
+    # ---- join path (100 TB route) ---------------------------------
     # groupby outputs carry schema-less empty blocks at high
     # parallelism — coalesce before deriving the two join inputs
     counts, _ = _coalesce_for_join(counts)
