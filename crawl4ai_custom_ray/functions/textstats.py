@@ -385,6 +385,7 @@ def tfidf_topk(
     id_column: str = "doc_id",
     text_column: str = "text",
     num_partitions: int = 16,
+    broadcast_threshold: int = 2_000_000,
 ):
     """Per-document top-``k`` tokens by TF-IDF, integer-exact ordering.
 
@@ -462,6 +463,61 @@ def tfidf_topk(
         .groupby("token")
         .aggregate(Sum("df_part", alias_name="df"))
     )
+
+    # ---- size-adaptive fast path: a vocabulary-bounded df table
+    # broadcasts once and every document computes its own top-k
+    # locally (a doc's tokens all live in its row) — no join, no
+    # top-k shuffle.  The join route below is the 100 TB path for
+    # vocabularies beyond a single heap.
+    df = df.materialize()
+    if df.count() <= broadcast_threshold:
+        import ray as _ray
+
+        df_map: dict = {}
+        for t in _ray.get(df.to_arrow_refs()):
+            if t.num_rows:
+                df_map.update(zip(t["token"].to_pylist(), t["df"].to_pylist()))
+        df_ref = _ray.put(df_map)
+        cmpl = 10**19
+
+        def topk_local(batch: pa.Table, _n=n_docs, _ref=df_ref) -> pa.Table:
+            dfm = _ray.get(_ref)
+            ids, ranks, toks, tfs, dfs, fps = [], [], [], [], [], []
+            for i, t in zip(
+                batch[id_column].to_pylist(), batch[text_column].to_pylist()
+            ):
+                c = Counter((t or "").split(" "))
+                packed = []
+                for tok_, tf_ in c.items():
+                    dfv = dfm[tok_]
+                    s = int(math.floor(tf_ * math.log(_n / dfv) * 1e6))
+                    # identical pack-string ordering to the distributed
+                    # accumulator: (score desc, token asc)
+                    packed.append((f"{cmpl - s:020d}\x1f{tok_}", tok_, tf_, dfv, s))
+                packed.sort()
+                for rank, (_key, tok_, tf_, dfv, s) in enumerate(
+                    packed[:k], start=1
+                ):
+                    ids.append(i)
+                    ranks.append(rank)
+                    toks.append(tok_)
+                    tfs.append(tf_)
+                    dfs.append(dfv)
+                    fps.append(s)
+            return pa.table(
+                {
+                    id_column: pa.array(ids, pa.int64()),
+                    "rank": pa.array(ranks, pa.int64()),
+                    "token": pa.array(toks, pa.string()),
+                    "tf": pa.array(tfs, pa.int64()),
+                    "df": pa.array(dfs, pa.int64()),
+                    "score_fp": pa.array(fps, pa.int64()),
+                }
+            )
+
+        return ds.select_columns([id_column, text_column]).map_batches(
+            topk_local, batch_format="pyarrow"
+        )
 
     from .dedup import _coalesce_for_join, hash_join_safe
 
