@@ -239,3 +239,61 @@ def test_dfs_order_matches_reference_code(
     finally:
         driver.shutdown()
     assert list(df["url"]) == ref_order
+
+
+def test_bfs_budget_distributed_path_equivalence(
+    ray_session, pages_path, pages_dict, seed, tmp_path
+):
+    """The distributed discovery chain (groupby dedup + seen-add
+    materialize + per-owner budget-cap map_groups) must produce the
+    same crawl as the driver-coordinated path — and both must match
+    the reference.  Forcing driver_links_threshold=0 routes every
+    round through the distributed code."""
+    dc = load_reference_deep_crawl()
+    expected = _run_reference(
+        dc.BFSDeepCrawlStrategy(max_depth=3, max_pages=12), seed, pages_dict
+    )
+    got = _run_ours(
+        pages_path,
+        seed,
+        tmp_path,
+        max_depth=3,
+        max_pages=12,
+        driver_links_threshold=0,
+        driver_round_threshold=0,
+    )
+    assert set(got) == set(expected)
+    for url, (depth, _p) in expected.items():
+        assert got[url][0] == depth, url
+
+
+def test_bfs_distributed_path_order_equivalence(
+    ray_session, pages_path, pages_dict, seed, tmp_path
+):
+    """Unbudgeted distributed-path crawl order still replays the
+    reference sequence (seq survives the shuffle chain)."""
+    dc = load_reference_deep_crawl()
+    crawler = StubCrawler(pages_dict)
+    results = asyncio.run(
+        dc.BFSDeepCrawlStrategy(max_depth=2)._arun_batch(seed, crawler, StubRunConfig())
+    )
+    ref_order = []
+    seen = set()
+    for r in results:
+        if r.url not in seen:
+            seen.add(r.url)
+            ref_order.append(r.url)
+
+    from crawl4ai_custom_ray.frontier.crawl import CrawlConfig, crawl_bfs
+
+    visited, driver = crawl_bfs(
+        pages_path,
+        [seed],
+        CrawlConfig(max_depth=2, driver_links_threshold=0, driver_round_threshold=0),
+        str(tmp_path / "dist"),
+    )
+    try:
+        df = visited.to_pandas().sort_values(["round", "seq"])
+    finally:
+        driver.shutdown()
+    assert list(df["url"]) == ref_order
