@@ -215,6 +215,79 @@ def _extraction_engine(extract_conf: dict) -> str:
     return "css" if kind == "json-css" else "xpath"
 
 
+def _build_filter_chain(specs: list):
+    """Filter-config list → FilterChain, the reference CLI's
+    strategy-from-config pattern applied to the deep-crawl filters
+    (reference filters are constructor-injected via config;
+    SURVEY.md §2.7)."""
+    from .frontier.filters import (
+        ContentTypeFilter,
+        DomainFilter,
+        FilterChain,
+        URLPatternFilter,
+    )
+
+    builders = {
+        "pattern": lambda c: URLPatternFilter(
+            c["patterns"], reverse=bool(c.get("reverse", False))
+        ),
+        "content-type": lambda c: ContentTypeFilter(c["allowed_types"]),
+        "domain": lambda c: DomainFilter(
+            allowed_domains=c.get("allowed_domains"),
+            blocked_domains=c.get("blocked_domains"),
+        ),
+    }
+    filters = []
+    for spec in specs:
+        kind = spec.get("type")
+        if kind not in builders:
+            raise click.ClickException(
+                f"unknown filter type {kind!r} (pattern|content-type|domain)"
+            )
+        filters.append(builders[kind](spec))
+    return FilterChain(filters)
+
+
+def _build_scorer(spec: dict):
+    """Scorer-config → URLScorer (keyword|path-depth|content-type|
+    freshness|domain-authority|composite)."""
+    from .frontier import scorers as sc
+
+    builders = {
+        "keyword": lambda c: sc.KeywordRelevanceScorer(
+            keywords=c["keywords"], weight=c.get("weight", 1.0)
+        ),
+        "path-depth": lambda c: sc.PathDepthScorer(
+            optimal_depth=c.get("optimal_depth", 3), weight=c.get("weight", 1.0)
+        ),
+        "content-type": lambda c: sc.ContentTypeScorer(
+            type_weights=c["type_weights"], weight=c.get("weight", 1.0)
+        ),
+        "freshness": lambda c: sc.FreshnessScorer(
+            weight=c.get("weight", 1.0), current_year=c.get("current_year", 2024)
+        ),
+        "domain-authority": lambda c: sc.DomainAuthorityScorer(
+            domain_weights=c["domain_weights"], weight=c.get("weight", 1.0)
+        ),
+    }
+
+    def build(c: dict):
+        kind = c.get("type")
+        if kind == "composite":
+            return sc.CompositeScorer(
+                [build(s) for s in c["scorers"]],
+                normalize=bool(c.get("normalize", True)),
+            )
+        if kind not in builders:
+            raise click.ClickException(
+                f"unknown scorer type {kind!r} "
+                "(keyword|path-depth|content-type|freshness|domain-authority|composite)"
+            )
+        return builders[kind](c)
+
+    return build(spec)
+
+
 def _emit(text: str, output_file: str | None) -> None:
     if output_file:
         Path(output_file).write_text(text)
@@ -376,6 +449,12 @@ def crawl_cmd(pages, seeds, deep_crawl, max_depth, max_pages, crawler_config,
     fields.setdefault("max_depth", max_depth)
     if max_pages is not None:
         fields.setdefault("max_pages", max_pages)
+    # declarative filter/scorer specs → strategy objects (the crwl
+    # config-to-strategy pattern, reference cli.py:1066-1160)
+    if isinstance(fields.get("filter_chain"), list):
+        fields["filter_chain"] = _build_filter_chain(fields["filter_chain"])
+    if isinstance(fields.get("scorer"), dict):
+        fields["scorer"] = _build_scorer(fields["scorer"])
     known = {f for f in CrawlConfig.__dataclass_fields__}
     bad = set(fields) - known
     if bad:

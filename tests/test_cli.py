@@ -201,3 +201,57 @@ def test_crawl_command(runner, ray_session, tmp_path):
     )
     assert r.exit_code == 0, r.output
     assert pq.read_table(str(out)).num_rows >= 1
+
+
+def test_build_filter_chain_and_scorer():
+    fc = c4r._build_filter_chain([
+        {"type": "pattern", "patterns": ["*/articles/*"]},
+        {"type": "domain", "blocked_domains": ["bad.example.com"]},
+        {"type": "content-type", "allowed_types": ["text/html"]},
+    ])
+    assert fc.apply("https://a.example.com/articles/x")
+    assert not fc.apply("https://bad.example.com/articles/x")
+    sc = c4r._build_scorer({
+        "type": "composite",
+        "scorers": [
+            {"type": "keyword", "keywords": ["articles"]},
+            {"type": "path-depth", "optimal_depth": 2},
+            {"type": "freshness"},
+            {"type": "domain-authority", "domain_weights": {"a.example.com": 1.0}},
+        ],
+    })
+    assert sc.score("https://a.example.com/articles/x") > 0
+    with pytest.raises(click.ClickException):
+        c4r._build_scorer({"type": "nope"})
+    with pytest.raises(click.ClickException):
+        c4r._build_filter_chain([{"type": "nope"}])
+
+
+def test_crawl_command_with_config_strategies(runner, ray_session, tmp_path):
+    from crawl4ai_custom_ray.pipelines.flagship import read_pages
+
+    pages_dir = tmp_path / "pages"
+    read_pages(SF_DIR).write_parquet(str(pages_dir))
+    import pyarrow.parquet as pq
+
+    seed = sorted(pq.read_table(str(pages_dir), columns=["url"])["url"].to_pylist())[0]
+    cfg = tmp_path / "crawl.yml"
+    cfg.write_text(
+        "filter_chain:\n"
+        "  - type: pattern\n"
+        "    patterns: ['*/private/*']\n"
+        "    reverse: true\n"
+        "scorer:\n"
+        "  type: keyword\n"
+        "  keywords: [articles]\n"
+    )
+    out = tmp_path / "visited"
+    r = runner.invoke(
+        c4r.cli,
+        ["crawl", str(pages_dir), "-u", seed, "--max-depth", "1",
+         "-C", str(cfg), "-O", str(out)],
+    )
+    assert r.exit_code == 0, r.output
+    df = pq.read_table(str(out)).to_pandas()
+    assert len(df) > 0
+    assert not df["url"].str.contains("/private/").any()
