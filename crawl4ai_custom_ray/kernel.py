@@ -95,14 +95,28 @@ def extract_page(
     excluded_tags: list[str] | None = None,
     fields: frozenset | set | None = None,
     markdown_options: dict | None = None,
+    markdown_source: str = "cleaned_html",
 ) -> dict:
     """Full extraction record for one page; ``fields`` restricts which
-    outputs are computed (None = everything)."""
+    outputs are computed (None = everything).
+
+    ``markdown_source`` is the reference's
+    ``DefaultMarkdownGenerator(content_source=...)`` dispatch
+    (``async_webcrawler.py:524-557``): markdown (and the pruning
+    filter feeding fit_markdown/text) runs on ``"cleaned_html"`` (the
+    scraped tree — the fast default), ``"raw_html"`` (the original
+    page bytes), or ``"fit_html"`` (the schema-preprocessed page);
+    unknown values fall back to cleaned_html like the reference."""
     need = ALL_FIELDS if fields is None else set(fields)
     need_markdown = bool(
         need & {"raw_markdown", "markdown_with_citations", "references_markdown"}
     )
     need_prune = bool(need & {"fit_markdown", "text"})
+    md_source = (
+        markdown_source
+        if markdown_source in ("raw_html", "fit_html")
+        else "cleaned_html"
+    )
 
     root = None
     schema_root = None
@@ -114,7 +128,9 @@ def extract_page(
         # snapshot the pristine tree for fit_html BEFORE scrape mutates it:
         # a node copy (~0.1 ms/page) replaces a second full tokenize (~0.3)
         schema_root = (
-            root.copy_tree() if compute_fit_html and "fit_html" in need else None
+            root.copy_tree()
+            if (compute_fit_html and "fit_html" in need) or md_source == "fit_html"
+            else None
         )
 
         scraped = scrape_tree(
@@ -125,10 +141,48 @@ def extract_page(
             serialize_cleaned="cleaned_html" in need,
         )
 
+        schema_html = (
+            preprocess_tree_for_schema(
+                schema_root, html, text_threshold=500, max_size=300_000
+            )
+            if schema_root is not None
+            else ""
+        )
+
         md_opts = markdown_options or {}
         raw_markdown = ""
         markdown_with_citations = ""
         references_markdown = ""
+        fit_markdown = ""
+        text = ""
+        if md_source != "cleaned_html" and (need_markdown or need_prune):
+            # non-default source: run the generator on the selected
+            # STRING, exactly like the reference feeds
+            # markdown_input_html to generate_markdown
+            from .html.markdown import html_to_markdown
+
+            src_html = html if md_source == "raw_html" else schema_html
+            if need_markdown:
+                raw_markdown = html_to_markdown(src_html, url, **md_opts)
+                if citations:
+                    markdown_with_citations, references_markdown = (
+                        convert_links_to_citations(raw_markdown, url)
+                    )
+                else:
+                    markdown_with_citations = raw_markdown
+            if need_prune:
+                content_filter = PruningContentFilter(threshold=pruning_threshold)
+                blocks = content_filter.filter_content(src_html)
+                if "fit_markdown" in need:
+                    # reference generate_markdown wraps each surviving
+                    # block in a <div> before converting (:236-239)
+                    wrapped = "\n".join("<div>{}</div>".format(s) for s in blocks)
+                    fit_markdown = html_to_markdown(wrapped, url, **md_opts)
+                if "text" in need:
+                    text = extract_text_from_blocks(blocks)
+            need_markdown = False
+            need_prune = False
+
         if need_markdown:
             raw_markdown = markdown_from_tree(root, url, **md_opts)
             if citations:
@@ -138,8 +192,6 @@ def extract_page(
             else:
                 markdown_with_citations = raw_markdown
 
-        fit_markdown = ""
-        text = ""
         if need_prune:
             # prune the scraped tree IN PLACE (markdown already walked
             # it) — matches the reference, which filters cleaned_html
@@ -159,14 +211,6 @@ def extract_page(
                     if t:
                         parts.append(t)
                 text = _WS_BLOCK_SEP.join(parts)
-
-        schema_html = (
-            preprocess_tree_for_schema(
-                schema_root, html, text_threshold=500, max_size=300_000
-            )
-            if schema_root is not None
-            else ""
-        )
 
         return {
             "url": url,

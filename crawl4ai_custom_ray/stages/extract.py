@@ -79,6 +79,7 @@ def make_extract_batch_fn(
     compute_fit_html: bool = False,
     excluded_tags: list[str] | None = None,
     markdown_options: dict | None = None,
+    markdown_source: str = "cleaned_html",
 ):
     """Build the batch fn. ``columns`` restricts the output schema
     (always includes url) — column pruning at the operator level."""
@@ -125,6 +126,7 @@ def make_extract_batch_fn(
                 excluded_tags=excluded_tags,
                 fields=kernel_fields,
                 markdown_options=markdown_options,
+                markdown_source=markdown_source,
             )
             for name in wanted:
                 if name in ("links_internal", "links_external"):
@@ -159,6 +161,7 @@ def extract_pages(
     compute_fit_html: bool = False,
     excluded_tags: list[str] | None = None,
     markdown_options: dict | None = None,
+    markdown_source: str = "cleaned_html",
     batch_size: int | None = None,
     **map_kwargs,
 ):
@@ -175,6 +178,7 @@ def extract_pages(
         compute_fit_html=compute_fit_html,
         excluded_tags=excluded_tags,
         markdown_options=markdown_options,
+        markdown_source=markdown_source,
     )
     return ds.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True, **map_kwargs

@@ -414,3 +414,44 @@ def test_random_flag_combinations_byte_equal():
         got = html_to_markdown(html, **cfg)
         want = reference_markdown_with(html, **cfg)
         assert got == want, (cfg, html)
+
+
+def test_markdown_source_dispatch_matches_reference():
+    """content_source dispatch (async_webcrawler.py:524-557): markdown
+    and the pruning filter run on the selected source string."""
+    from crawl4ai_custom_ray.kernel import extract_page
+
+    u = "https://ex.com/p"
+    body = "<article><h1>Main</h1><p>" + " ".join(["word"] * 60) + "</p></article>"
+    h = (
+        "<html><head><title>T</title></head><body><aside>in an aside</aside>"
+        + body
+        + "</body></html>"
+    )
+    # with the aside excluded from the scrape, cleaned-source markdown
+    # loses it while raw-source markdown keeps it
+    raw = extract_page(u, h, markdown_source="raw_html", excluded_tags=["aside"])
+    dflt = extract_page(u, h, excluded_tags=["aside"])
+    assert "in an aside" in raw["raw_markdown"]
+    assert "in an aside" not in dflt["raw_markdown"]
+    assert raw["raw_markdown"] == ref(h, u)
+    # fit source: markdown of the kernel's own fit_html string
+    fit = extract_page(u, h, markdown_source="fit_html", compute_fit_html=True)
+    assert fit["raw_markdown"] == ref(fit["fit_html"], u)
+    # unknown value falls back to cleaned_html like the reference
+    assert (
+        extract_page(u, h, markdown_source="nope")["raw_markdown"]
+        == extract_page(u, h)["raw_markdown"]
+    )
+
+
+def test_markdown_source_through_extract_stage(ray_session):
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.stages.extract import extract_pages
+
+    rows = [{"url": "https://e.com/a", "html": b"<form>F</form><p>content body</p>"}]
+    out = extract_pages(
+        rd.from_items(rows), columns=["raw_markdown"], markdown_source="raw_html"
+    ).take_all()
+    assert "F" in out[0]["raw_markdown"]
