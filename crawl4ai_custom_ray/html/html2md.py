@@ -283,6 +283,8 @@ class MarkdownMachine:
         wrap_links: bool = True,
         wrap_list_items: bool = False,
         wrap_tables: bool = False,
+        inline_links: bool = True,
+        links_each_paragraph: bool = False,
     ):
         self.baseurl = baseurl
         # The html2text knobs a DefaultMarkdownGenerator user sets via
@@ -338,6 +340,15 @@ class MarkdownMachine:
         self.wrap_links = wrap_links  # optwrap skipwrap flags
         self.wrap_list_items = wrap_list_items  # (utils.py:162-196)
         self.wrap_tables = wrap_tables
+        # reference-style links (fork :547-553, :605-611, flush at
+        # :843-868): [text][n] markers with "   [n]: url (title)"
+        # definition lines flushed at document end (or per paragraph
+        # with links_each_paragraph under single_line_break=False)
+        self.inline_links = inline_links
+        self.links_each_paragraph = links_each_paragraph
+        self.ref_links: list[dict] = []  # {attrs, count, outcount}
+        self.acount = 0
+        self.emit_count = 0  # the fork's outcount
         self.preserve_depth = 0
         self.preserved_content: list[str] = []
         self.current_preserved_tag: str | None = None
@@ -393,6 +404,8 @@ class MarkdownMachine:
             self.abbr_text += data
         if self.quiet:
             return
+        pending_breaks = self.breaks  # the fork reads p_p at the
+        # ref-link flush point before resetting it
         if collapse:
             # C-speed fast path: an ASCII chunk with no \t\n\r\f\v and
             # no double space has no whitespace run to collapse (the
@@ -432,11 +445,37 @@ class MarkdownMachine:
             if not self._ends_nl:
                 self._push(" ")
             self.sp = False
+        if self.ref_links and (
+            (pending_breaks == 2 and self.links_each_paragraph) or force == "end"
+        ):
+            # fork o() :843-868 — definition lines bypass blockquote
+            # prefixing (raw self.out) and URLs/titles are NOT
+            # md-escaped, unlike the inline renderer
+            if force == "end":
+                self._push("\n")
+            newa = []
+            for link in self.ref_links:
+                if self.emit_count > link["outcount"]:
+                    self._push(
+                        "   ["
+                        + str(link["count"])
+                        + "]: "
+                        + _urljoin(self.baseurl, link["attrs"].get("href") or "")
+                    )
+                    if link["attrs"].get("title") is not None:
+                        self._push(" (" + link["attrs"]["title"] + ")")
+                    self._push("\n")
+                else:
+                    newa.append(link)
+            if self.ref_links != newa:
+                self._push("\n")
+            self.ref_links = newa
         if self.abbr_defs and force == "end":
             for term, definition in self.abbr_defs.items():
                 self._push("  *[" + term + "]: " + definition + "\n")
         self.breaks = 0
         self._push(data)
+        self.emit_count += 1
 
     def _want_break(self) -> None:
         # pbr(): at most one pending newline
@@ -782,11 +821,14 @@ class MarkdownMachine:
                         self.emit("[")
                         self.link_empty = False
                         self.auto_href = None
-                    self.breaks = 0
-                    title = _escape_md(a.get("title") or "")
-                    url = _escape_md(_urljoin(self.baseurl, a["href"]))
-                    suffix = ' "{}"'.format(title) if title.strip() else ""
-                    self.emit("]({}{})".format(url, suffix))
+                    if self.inline_links:
+                        self.breaks = 0  # fork :547 resets p_p only inline
+                        title = _escape_md(a.get("title") or "")
+                        url = _escape_md(_urljoin(self.baseurl, a["href"]))
+                        suffix = ' "{}"'.format(title) if title.strip() else ""
+                        self.emit("]({}{})".format(url, suffix))
+                    else:
+                        self.emit("][" + str(self._ref_link_count(a)) + "]")
 
     def _image(self, attrs: dict) -> None:
         # fork :556-610
@@ -824,7 +866,34 @@ class MarkdownMachine:
             self.emit(_escape_md(alt))
             return
         self.emit("![" + _escape_md(alt) + "]")
-        self.emit("(" + _escape_md(_urljoin(self.baseurl, src)) + ")")
+        if self.inline_links:
+            self.emit("(" + _escape_md(_urljoin(self.baseurl, src)) + ")")
+        else:  # fork :605-611: images share the reference-link list
+            attrs = dict(attrs)
+            attrs["href"] = src
+            self.emit("[" + str(self._ref_link_count(attrs)) + "]")
+
+    def _ref_link_count(self, attrs: dict) -> int:
+        """previousIndex + AnchorElement bookkeeping (fork :209-235,
+        :547-553): reuse the number of an existing entry with the same
+        href (and same title when either side carries one)."""
+        for link in self.ref_links:
+            la = link["attrs"]
+            if la.get("href") == attrs.get("href"):
+                if "title" in la or "title" in attrs:
+                    if (
+                        "title" in la
+                        and "title" in attrs
+                        and la["title"] == attrs["title"]
+                    ):
+                        return link["count"]
+                else:
+                    return link["count"]
+        self.acount += 1
+        self.ref_links.append(
+            {"attrs": attrs, "count": self.acount, "outcount": self.emit_count}
+        )
+        return self.acount
 
     def _list_item(self, start: bool) -> None:
         self._want_break()

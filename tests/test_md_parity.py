@@ -251,6 +251,10 @@ OPTION_CONFIGS = [
     {"pad_tables": True},
     {"pad_tables": True, "body_width": 40},
     {"body_width": 40, "wrap_links": False},
+    {"inline_links": False},
+    {"inline_links": False, "single_line_break": False, "links_each_paragraph": True},
+    {"inline_links": False, "body_width": 40},
+    {"inline_links": False, "ignore_images": True},
     {"body_width": 40, "wrap_list_items": True},
     {"body_width": 30, "wrap_tables": True},
     {"body_width": 30, "wrap_links": False, "wrap_list_items": True, "wrap_tables": True},
@@ -401,6 +405,8 @@ def test_random_flag_combinations_byte_equal():
         "wrap_list_items": (True, False),
         "wrap_tables": (True, False),
         "escape_dot": (True, False),
+        "inline_links": (True, False),
+        "links_each_paragraph": (True, False),
         "escape_plus": (True, False),
         "escape_dash": (True, False),
     }
