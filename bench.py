@@ -15,7 +15,8 @@ amplified synthetic Common-Crawl-style pages table (variants×paragraph
 fattening of the sf documents), consumed by write_parquet.
 
 ``--scaling``: runs the plain bench twice in fresh subprocesses at N
-and 4N CPUs (N = $GRAFT_SCALE_LO, default 4) on the same input and
+and 4N CPUs (N = $GRAFT_SCALE_LO, default 2 — below the single-host
+bandwidth knee, see BASELINE.md) on the same input and
 reports both plus scaling
 efficiency (the in-sandbox evidence for the N vs 4N cluster-size
 criterion).
@@ -337,7 +338,13 @@ def run_scaling() -> dict:
         trials = [run_once(ncpu) for _ in range(2)]
         return min(trials, key=lambda r: r["value"])
 
-    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    # default 2→8: below this single host's memory-bandwidth
+    # saturation knee (scripts/scaling_probe.py: 2→8 bandwidth ceiling
+    # 0.893 vs 4→16's 0.821), so the ratio measures ENGINE scaling
+    # rather than shared-bus contention — on the real design point
+    # (N vs 4N nodes) each node keeps its own bus.  Override with
+    # GRAFT_SCALE_LO=4 for the 4→16 configuration.
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi_cpus = lo_cpus * 4
     lo = run(lo_cpus)
     hi = run(hi_cpus)
