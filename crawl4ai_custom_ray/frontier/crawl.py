@@ -412,10 +412,22 @@ class BFSCrawl:
                 )
                 frontier = rd.read_parquet(frontier_path) if _has_parquet(frontier_path) else None
                 if frontier is not None and "seq" not in frontier.schema().names:
-                    # checkpoint written before the seq column existed
+                    # checkpoint written before the seq column existed:
+                    # backfill a FIXED-WIDTH placeholder per depth
+                    # ((depth+1) hops of "ffffffff") so legacy rows keep
+                    # the equal-length positional-comparison invariant
+                    # against new-format keys at the same depth (they
+                    # sort deterministically after all real keys)
                     frontier = frontier.map_batches(
                         lambda t: t.append_column(
-                            "seq", pa.array([""] * t.num_rows, pa.string())
+                            "seq",
+                            pa.array(
+                                [
+                                    "ffffffff" * (int(d) + 1)
+                                    for d in t["depth"].to_pylist()
+                                ],
+                                pa.string(),
+                            ),
                         ),
                         batch_format="pyarrow",
                     )
@@ -605,6 +617,58 @@ class BFSCrawl:
             else:
                 n_selected = n_sel_probe
             if n_selected == 0:
+                if cfg.strategy == "best_first":
+                    # best_first marks visited at POP, so the frontier
+                    # legitimately accumulates duplicate entries of
+                    # already-popped URLs.  A pop that filters to
+                    # nothing consumes those entries but does NOT end
+                    # the crawl — the reference does `if not batch:
+                    # continue` and keeps popping
+                    # (bff_strategy.py:175-176).  Commit a zero-visit
+                    # round carrying the remainder so a resume replays
+                    # the same queue state.
+                    remainder = def_tbl if def_tbl is not None else deferred
+                    n_rest = 0
+                    if remainder is not None:
+                        n_rest = (
+                            remainder.num_rows
+                            if isinstance(remainder, pa.Table)
+                            else remainder.count()
+                        )
+                    if n_rest > 0:
+                        if isinstance(remainder, pa.Table):
+                            os.makedirs(os.path.join(rdir, "frontier"), exist_ok=True)
+                            pq_write_table(
+                                remainder,
+                                os.path.join(rdir, "frontier", "part-0.parquet"),
+                            )
+                        else:
+                            remainder.write_parquet(os.path.join(rdir, "frontier"))
+                        ckpt.save_seen_shards(
+                            self.checkpoint_dir,
+                            round_idx,
+                            self.seen.dump_all(),
+                            manifest=self.seen.config_manifest(),
+                        )
+                        ckpt.commit_round(
+                            self.checkpoint_dir,
+                            round_idx,
+                            {
+                                "n_frontier_in": n_frontier,
+                                "n_visited": 0,
+                                "n_success": 0,
+                                "n_links": 0,
+                                "n_deferred": n_rest,
+                                "n_frontier_out": n_rest,
+                                "seen_mode": cfg.seen_mode,
+                                "seen_total": self.seen.total(),
+                                "seen_overflow": self.seen.overflow_total(),
+                                "seen_exact_lower_bound": self.pages_visited + n_rest,
+                                "wall_ms": int((time.time() - t0) * 1000),
+                            },
+                        )
+                        frontier = remainder
+                        continue
                 break
 
             # "fetch": frontier ⋈ pages on url (the simulated network).
@@ -671,7 +735,12 @@ class BFSCrawl:
             links_tbl = None  # sentinel-bearing table (driver path)
             links_all = None
             n_links = 0
-            n_success = n_selected  # refined below from fetch evidence
+            # with a link phase, success is counted from fetch-sentinel
+            # evidence (a round whose fetch join returns zero rows must
+            # record 0, or resume rebuilds an inflated pages_visited);
+            # with max_depth == 0 and no budget gate there is no fetch
+            # evidence pass, so selected counts as visited
+            n_success = 0 if cfg.max_depth > 0 else n_selected
             if cfg.max_depth > 0:
                 links_all = fetched.map_batches(
                     _with_depth(_extract_links_batch), batch_format="pyarrow"
@@ -697,8 +766,7 @@ class BFSCrawl:
                 if (
                     cfg.strategy == "best_first"
                     and cfg.max_pages is not None
-                    and sel_table is not None
-                    and 0 < n_rows_all <= cfg.driver_links_threshold
+                    and n_rows_all > 0
                 ):
                     # the reference's mid-batch budget break
                     # (bff_strategy.py:195-201): the success that
@@ -706,17 +774,45 @@ class BFSCrawl:
                     # emitted nor link-discovered, and the rest of the
                     # popped batch is discarded.  Replay the batch in
                     # queue order against the fetch-success sentinels.
-                    links_tbl = _dataset_to_table(links_all, schema=None)
-                    success_urls = {
-                        s
-                        for s, h in zip(
-                            links_tbl["src_url"].to_pylist(),
-                            links_tbl["href"].to_pylist(),
+                    # The popped batch is always driver-sized (≤
+                    # best_first_batch_size), so the replay runs on the
+                    # driver even when the LINK set is too large to
+                    # read back — only the sentinel rows (≤ one per
+                    # popped url) come down in that case.
+                    small_links = n_rows_all <= cfg.driver_links_threshold
+                    if small_links:
+                        links_tbl = _dataset_to_table(links_all, schema=None)
+                        success_urls = {
+                            s
+                            for s, h in zip(
+                                links_tbl["src_url"].to_pylist(),
+                                links_tbl["href"].to_pylist(),
+                            )
+                            if h is None
+                        }
+                    else:
+                        sent = _dataset_to_table(
+                            links_all.map_batches(
+                                lambda t: t.filter(t["href"].is_null()).select(
+                                    ["src_url"]
+                                ),
+                                batch_format="pyarrow",
+                            ),
+                            schema=None,
                         )
-                        if h is None
-                    }
+                        success_urls = (
+                            set(sent["src_url"].to_pylist()) if sent.num_rows else set()
+                        )
+                    sel_replay = (
+                        sel_table
+                        if sel_table is not None
+                        else _read_dir_parquet(
+                            os.path.join(rdir, "visited"),
+                            ["url", "host", "depth", "seq"],
+                        )
+                    )
                     before = cfg.max_pages - self.pages_visited
-                    rows = sel_table.to_pylist()
+                    rows = sel_replay.to_pylist()
                     cutoff = None
                     n_succ = 0
                     for i, row in enumerate(rows):
@@ -727,43 +823,81 @@ class BFSCrawl:
                                 break
                     if cutoff is not None:
                         kept_urls = {r["url"] for r in rows[:cutoff]}
-                        mask = pa.array(
-                            [u in kept_urls for u in sel_table["url"].to_pylist()],
-                            pa.bool_(),
-                        )
-                        visited_tbl = sel_table.filter(mask)
                         # rewrite this round's visited checkpoint with
-                        # the truncated batch
+                        # the truncated batch (full original schema)
                         vdir = os.path.join(rdir, "visited")
+                        import pyarrow.parquet as _pq
+
+                        full_visited = pa.concat_tables(
+                            [
+                                _pq.read_table(os.path.join(vdir, name))
+                                for name in sorted(os.listdir(vdir))
+                                if name.endswith(".parquet")
+                            ]
+                        )
+                        visited_tbl = full_visited.filter(
+                            pa.array(
+                                [
+                                    u in kept_urls
+                                    for u in full_visited["url"].to_pylist()
+                                ],
+                                pa.bool_(),
+                            )
+                        )
                         for name in os.listdir(vdir):
                             os.unlink(os.path.join(vdir, name))
                         pq_write_table(
-                            visited_tbl.append_column(
-                                "round",
-                                pa.array([round_idx] * visited_tbl.num_rows, pa.int32()),
-                            ),
-                            os.path.join(vdir, "part-0.parquet"),
+                            visited_tbl, os.path.join(vdir, "part-0.parquet")
                         )
-                        lmask = pa.array(
-                            [
-                                s in kept_urls
-                                for s in links_tbl["src_url"].to_pylist()
-                            ],
-                            pa.bool_(),
-                        )
-                        links_tbl = links_tbl.filter(lmask)
+                        if small_links:
+                            lmask = pa.array(
+                                [
+                                    s in kept_urls
+                                    for s in links_tbl["src_url"].to_pylist()
+                                ],
+                                pa.bool_(),
+                            )
+                            links_tbl = links_tbl.filter(lmask)
+                        else:
+                            kept_ref = ray.put(kept_urls)
+
+                            def _keep_kept(t: pa.Table, ref=kept_ref) -> pa.Table:
+                                ks = ray.get(ref)
+                                return t.filter(
+                                    pa.array(
+                                        [s in ks for s in t["src_url"].to_pylist()],
+                                        pa.bool_(),
+                                    )
+                                )
+
+                            links_all = links_all.map_batches(
+                                _keep_kept, batch_format="pyarrow"
+                            ).materialize()
                     self.pages_visited += n_succ
                     remaining = cfg.max_pages - self.pages_visited
                     n_success = n_succ
-                    cand_rows = _candidate_filter(links_tbl)
-                    n_links = cand_rows.num_rows
-                    if remaining <= 0 and cutoff is not None:
-                        new_tbl = None
+                    if small_links:
+                        cand_rows = _candidate_filter(links_tbl)
+                        n_links = cand_rows.num_rows
+                        if remaining <= 0 and cutoff is not None:
+                            new_tbl = None
+                        else:
+                            cand = gate_fn(cand_rows)
+                            if cand.num_rows:
+                                new_tbl = seen_contains_fn(cand)
+                        _stage("discover(driver:bff-budget)")
                     else:
-                        cand = gate_fn(cand_rows)
-                        if cand.num_rows:
-                            new_tbl = seen_contains_fn(cand)
-                    _stage("discover(driver:bff-budget)")
+                        links = links_all.map_batches(
+                            _candidate_filter, batch_format="pyarrow"
+                        )
+                        n_links = links.count()
+                        if remaining <= 0 and cutoff is not None:
+                            new_frontier = None
+                        else:
+                            new_frontier = links.map_batches(
+                                gate_fn, batch_format="pyarrow"
+                            ).map_batches(seen_contains_fn, batch_format="pyarrow")
+                        _stage("discover(dataset:bff-budget)")
                 elif 0 < n_rows_all <= cfg.driver_links_threshold:
                     # ---- driver-coordinated discovery: the link set is
                     # bounded, so gate → first-wins dedup → seen run on
@@ -1159,6 +1293,19 @@ def _budget_cap_pandas(df, cap: int, use_score: bool):
     if use_score:
         df = df.sort_values("score", ascending=False, kind="mergesort")
     kept = df.groupby("parent", sort=False).head(cap)
+    if use_score:
+        # the reference's score sort PERSISTS into the next_level
+        # append (bfs_strategy.py:131-137), so the next level crawls
+        # the kept links in score-desc order, not discovery order.
+        # Downstream ordering is seq-lexicographic — rewrite the final
+        # seq hop to the score rank within the parent so the replayed
+        # order matches (parent prefix unchanged: children's keys stay
+        # consistent).
+        kept = kept.copy()
+        ranks = kept.groupby("parent", sort=False).cumcount()
+        kept["seq"] = [
+            s[:-8] + f"{r:08x}" for s, r in zip(kept["seq"], ranks)
+        ]
     return kept.sort_values("seq", kind="mergesort")
 
 
