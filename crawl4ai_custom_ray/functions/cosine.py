@@ -36,9 +36,15 @@ class HashingEmbedder:
         self.dim = dim
 
     def _token_index(self, token: str) -> tuple[int, int]:
-        h = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
-        idx = int.from_bytes(h[:4], "big") % self.dim
-        sign = 1 if h[4] & 1 else -1
+        # md5 rather than blake2b so the mapping is reproducible in
+        # ANSI SQL (DuckDB ships md5 but no blake2) — the adaptive
+        # EmbeddingStrategy replay oracle recomputes idx/sign as
+        # ('0x'||substr(md5(tok),1,8))::UINT32 % dim and hex-digit-9
+        # parity; any cryptographic hash serves the feature-hashing
+        # trick equally
+        h = hashlib.md5(token.encode("utf-8")).hexdigest()
+        idx = int(h[:8], 16) % self.dim
+        sign = 1 if int(h[8], 16) & 1 else -1
         return idx, sign
 
     def embed(self, text: str) -> np.ndarray:
@@ -77,6 +83,55 @@ class LinearMapEmbedder:
             if texts
             else np.zeros((0, self.dim))
         )
+
+
+class SentenceTransformerEmbedder:
+    """Real-model embedder for the ``embedder_factory`` seam (the
+    reference loads its model once per process via ``model_loader.py``
+    ``load_HF_embedding_model``/``get_device``).  Import-gated like the
+    aiohttp fetch path: this environment ships no model weights or
+    ``sentence_transformers`` package, so construction raises a loud
+    ImportError here — in a deployment with the package installed the
+    swap is pure config:
+
+        semantic_cluster(ds, embedder_factory=sentence_transformer_factory())
+    """
+
+    def __init__(self, dim: int = 128, model_name: str = "sentence-transformers/all-MiniLM-L6-v2"):
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:
+            raise ImportError(
+                "SentenceTransformerEmbedder needs the sentence_transformers "
+                "package (absent in this environment); use the default "
+                "HashingEmbedder or inject another embedder_factory"
+            ) from e
+        # once-per-actor model load — the expensive state this seam
+        # exists to amortize
+        self._model = SentenceTransformer(model_name)
+        self.dim = self._model.get_sentence_embedding_dimension()
+
+    def embed(self, text: str) -> np.ndarray:
+        return self.embed_many([text])[0]
+
+    def embed_many(self, texts: list[str]) -> np.ndarray:
+        if not texts:
+            return np.zeros((0, self.dim))
+        vecs = np.asarray(
+            self._model.encode(texts, normalize_embeddings=True), dtype=np.float64
+        )
+        return vecs
+
+
+def sentence_transformer_factory(model_name: str = "sentence-transformers/all-MiniLM-L6-v2"):
+    """``embedder_factory`` adapter: ``factory(dim)`` ignores the
+    requested hashing dim (the model dictates its own) and returns the
+    gated real-model embedder."""
+
+    def factory(dim: int) -> SentenceTransformerEmbedder:
+        return SentenceTransformerEmbedder(dim=dim, model_name=model_name)
+
+    return factory
 
 
 def greedy_cluster(vectors: np.ndarray, threshold: float) -> list[int]:

@@ -244,6 +244,243 @@ FROM a{rounds - 1} a
     return "".join(parts)
 
 
+def _emb_variations(query: str, seed: int = 42, n_synthetic: int = 10) -> list[str]:
+    """Replay of the EmbeddingStrategy's deterministic query-variation
+    stand-in (``frontier/adaptive.py:_variations`` — seeded token
+    resamplings standing in for the reference's LLM variations,
+    ``adaptive_crawler.py:736-748``).  Data-independent: a pure
+    function of the constant query string, so the resulting strings
+    are inlined into the SQL as literals (same footing as the qterms
+    literal in ``_adaptive_stat_sql``)."""
+    import random
+
+    terms = query.split()
+    rng = random.Random(seed)
+    out = []
+    for i in range(int(n_synthetic * 1.3)):
+        k = max(1, len(terms) - (i % 2))
+        picked = rng.sample(terms, k=min(k, len(terms)))
+        rng.shuffle(picked)
+        out.append(" ".join(picked) + f" aspect{i}")
+    return out
+
+
+def _emb_train_val(query: str, seed: int = 42) -> tuple[list[str], list[str]]:
+    """80/20 train/validation split of the variations (original query
+    always in train) — ``EmbeddingStrategy.map_query_space``."""
+    import random
+
+    variations = _emb_variations(query, seed)
+    rng = random.Random(seed + 1)
+    rng.shuffle(variations)
+    n_val = max(2, int(len(variations) * 0.2))
+    return [query] + variations[:-n_val], variations[-n_val:]
+
+
+def _adaptive_emb_sql(path: str) -> str:
+    """Exact chained-CTE replay of the EMBEDDING adaptive crawl
+    (``frontier/adaptive.py:adaptive_digest_embedding`` with the
+    ``q_adaptive_crawl_embedding`` config: query 'batch stream spark
+    merge query', threshold 0.9, max_pages 10, top_k 5,
+    max_iterations 10, dim 64, coverage_radius 0.2, overlap 0.85,
+    min_confidence 0.1, min_relative_improvement 0.1, validation 0.4).
+
+    The stand-in embedder is the md5 feature-hashing trick
+    (``functions/cosine.py:HashingEmbedder``): idx = first 8 md5 hex
+    chars mod 64, sign = parity of the 9th — both directly computable
+    in DuckDB, which is why the embedder hashes with md5.  Component
+    values ``sign_sum / sqrt(sum(sign_sum^2))`` are exact-integer
+    sums divided by a correctly-rounded sqrt, so every vector
+    component is the identical binary64 on both engines; dot products
+    may differ by summation-order ulps, which cannot move a guard
+    (0.9 / 0.1 / 0.4 thresholds, 4-decimal rounding) or a ranking off
+    a boundary — exact ties occur only between identical token bags,
+    where both engines compute exactly equal scores and fall through
+    to the href tiebreak.
+
+    Round mapping mirrors ``_adaptive_stat_sql``: c0 replays engine
+    iteration 1 (the trivially-guarded seed pop), SQL rounds 1..9
+    replay iterations 2..10, conf10 is the final confidence over the
+    final knowledge base.  Guards are encoded into each round's
+    selection ``c{r}``; once any guard fires the state freezes, and
+    every guard is monotone under a frozen state (confidence is
+    unchanged, avg-improvement only shrinks, the candidate set is
+    unchanged), so frozen rounds replay the engine's loop break
+    exactly."""
+    utm = "'\\?utm_source=feed&utm_campaign=c[0-9]+&b=2&a=1$', '?a=1&b=2'"
+    train, val = _emb_train_val("batch stream spark merge query")
+    tq_lit = ", ".join(f"({i}, '{t}')" for i, t in enumerate(train))
+    vq_lit = ", ".join(f"({i}, '{t}')" for i, t in enumerate(val))
+    rounds = 10  # cfg.max_iterations
+
+    def comp_cte(prefix: str, src: str, keys: str, text_expr: str) -> str:
+        """tokens → md5 idx/sign → summed components → normalized
+        sparse vector (``HashingEmbedder.embed``)."""
+        return f"""
+{prefix}t AS MATERIALIZED (
+    SELECT {keys}, unnest(list_filter(string_split_regex(lower({text_expr}), '\\s+'), x -> x <> '')) AS tok
+    FROM {src}
+),
+{prefix}c0 AS MATERIALIZED (
+    SELECT {keys}, CAST(('0x' || substr(md5(tok), 1, 8))::UINT32 % 64 AS INT) AS idx,
+           SUM(CASE WHEN ('0x' || substr(md5(tok), 9, 1))::INT % 2 = 1 THEN 1 ELSE -1 END) AS s
+    FROM {prefix}t GROUP BY ALL
+),
+{prefix}n AS MATERIALIZED (
+    SELECT {keys}, sqrt(CAST(SUM(s * s) AS DOUBLE)) AS nrm FROM {prefix}c0 GROUP BY ALL
+),
+{prefix}comp AS MATERIALIZED (
+    SELECT {keys}, idx, CAST(s AS DOUBLE) / nrm AS val
+    FROM {prefix}c0 JOIN {prefix}n USING ({keys}) WHERE s <> 0
+)"""
+
+    parts = [
+        f"""WITH
+tq(qid, qtext) AS (VALUES {tq_lit}),
+vq(qid, qtext) AS (VALUES {vq_lit}),{comp_cte("tq", "tq", "qid", "qtext")},{comp_cte("vq", "vq", "qid", "qtext")},
+pgs AS MATERIALIZED (SELECT DISTINCT url, text FROM read_parquet('{path}')),{comp_cte("d", "pgs", "url", "text")},
+purl AS MATERIALIZED (SELECT url FROM pgs),
+lraw AS MATERIALIZED (
+    SELECT url AS src,
+           regexp_extract_all(decode(html), '<a href="([^"]+)">([^<]*)</a>', 1) AS hs,
+           regexp_extract_all(decode(html), '<a href="([^"]+)">([^<]*)</a>', 2) AS ts
+    FROM read_parquet('{path}')
+),
+lun AS MATERIALIZED (
+    SELECT src, unnest(hs) AS rawhref, unnest(ts) AS txt,
+           unnest(range(1, len(hs) + 1)) AS pos
+    FROM lraw
+),
+links0 AS MATERIALIZED (
+    SELECT src, pos, regexp_replace(rawhref, {utm}) AS href, txt
+    FROM lun WHERE rawhref NOT LIKE '%external-site.org%'
+),
+links AS MATERIALIZED (
+    SELECT src, pos, href, txt FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src, href ORDER BY pos) AS rn
+        FROM links0
+    ) WHERE rn = 1
+),
+lpair AS MATERIALIZED (SELECT src, href, txt FROM links),{comp_cte("l", "lpair", "src, href", "txt || ' ' || href")},
+c0 AS MATERIALIZED (SELECT min(url) AS url FROM read_parquet('{path}') WHERE url NOT LIKE '%/private/%'),
+a0 AS MATERIALIZED (SELECT url FROM c0),
+f0 AS MATERIALIZED (SELECT p.url FROM purl p JOIN c0 USING (url)),
+ft0 AS MATERIALIZED (SELECT 0 AS rnd, url FROM f0)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        # history entering engine iteration r+1 = [0.0, conf1..conf{r}]
+        # → r consecutive diffs, summed left-to-right like the engine
+        diffs = ["ABS((SELECT v FROM conf1) - 0.0)"] + [
+            f"ABS((SELECT v FROM conf{i}) - (SELECT v FROM conf{i - 1}))"
+            for i in range(2, r + 1)
+        ]
+        avg_expr = f"(({' + '.join(diffs)}) / {r})"
+        parts.append(f""",
+qd{r} AS MATERIALIZED (
+    SELECT q.qid, f.url, SUM(q.val * d.val) AS dot
+    FROM ft{p} f JOIN dcomp d ON d.url = f.url JOIN tqcomp q ON q.idx = d.idx
+    GROUP BY 1, 2
+),
+qb{r} AS MATERIALIZED (
+    SELECT t.qid, MAX(COALESCE(x.dot, 0.0)) AS best,
+           COALESCE(MIN(1.0 - COALESCE(x.dot, 0.0)), 1.0) AS gapd
+    FROM (SELECT qid FROM tq) t
+    LEFT JOIN ft{p} f ON TRUE
+    LEFT JOIN qd{r} x ON x.qid = t.qid AND x.url = f.url
+    GROUP BY 1
+),
+conf{r} AS MATERIALIZED (SELECT AVG(best) AS v FROM qb{r})""")
+        if r == rounds:
+            break
+        parts.append(f""",
+need{r} AS MATERIALIZED (SELECT COUNT(*) AS n FROM qb{r} WHERE gapd > 0.2),
+vd{r} AS MATERIALIZED (
+    SELECT q.qid, f.url, SUM(q.val * d.val) AS dot
+    FROM ft{p} f JOIN dcomp d ON d.url = f.url JOIN vqcomp q ON q.idx = d.idx
+    GROUP BY 1, 2
+),
+vb{r} AS MATERIALIZED (
+    SELECT t.qid, MIN(1.0 - COALESCE(x.dot, 0.0)) AS mind
+    FROM (SELECT qid FROM vq) t
+    LEFT JOIN ft{p} f ON TRUE
+    LEFT JOIN vd{r} x ON x.qid = t.qid AND x.url = f.url
+    GROUP BY 1
+),
+valv{r} AS MATERIALIZED (
+    SELECT CASE WHEN (SELECT COUNT(*) FROM ft{p}) = 0 THEN 0.0
+           ELSE (SELECT AVG(1.0 - mind) FROM vb{r}) END AS v
+),
+stop{r} AS MATERIALIZED (
+    SELECT (((SELECT v FROM conf{r}) < 0.1 AND (SELECT COUNT(*) FROM a{p}) > 0)
+            OR ({avg_expr} < 0.1 * (SELECT v FROM conf{r})
+                AND (SELECT v FROM valv{r}) > 0.4)) AS s
+),
+pend{r} AS MATERIALIZED (
+    SELECT href, src FROM (
+        SELECT l.href, l.src,
+               ROW_NUMBER() OVER (PARTITION BY l.href ORDER BY f.rnd, l.src, l.pos) AS rn
+        FROM links l JOIN ft{p} f ON f.url = l.src
+    ) WHERE rn = 1
+),
+cand{r} AS MATERIALIZED (
+    SELECT src, href FROM pend{r} WHERE href NOT IN (SELECT url FROM a{p})
+),
+cqd{r} AS MATERIALIZED (
+    SELECT c.href, q.qid, SUM(l.val * q.val) AS dot
+    FROM cand{r} c JOIN lcomp l ON l.src = c.src AND l.href = c.href
+    JOIN tqcomp q ON q.idx = l.idx
+    GROUP BY 1, 2
+),
+cimp{r} AS MATERIALIZED (
+    SELECT c.href,
+           SUM(CASE WHEN g.gapd > 0.2 AND (1.0 - COALESCE(x.dot, 0.0)) < g.gapd
+                    THEN (g.gapd - (1.0 - COALESCE(x.dot, 0.0))) * 2
+                    ELSE 0.0 END) AS ti
+    FROM cand{r} c CROSS JOIN qb{r} g
+    LEFT JOIN cqd{r} x ON x.href = c.href AND x.qid = g.qid
+    GROUP BY 1
+),
+cdd{r} AS MATERIALIZED (
+    SELECT c.href, f.url, SUM(l.val * d.val) AS dot
+    FROM cand{r} c JOIN lcomp l ON l.src = c.src AND l.href = c.href
+    JOIN dcomp d ON d.idx = l.idx JOIN ft{p} f ON f.url = d.url
+    GROUP BY 1, 2
+),
+cmx{r} AS MATERIALIZED (
+    SELECT c.href, MAX(COALESCE(x.dot, 0.0)) AS msim
+    FROM cand{r} c
+    LEFT JOIN ft{p} f ON TRUE
+    LEFT JOIN cdd{r} x ON x.href = c.href AND x.url = f.url
+    GROUP BY 1
+),
+cs{r} AS MATERIALIZED (
+    SELECT i.href,
+           (CASE WHEN (SELECT n FROM need{r}) > 0
+                 THEN i.ti / (SELECT n FROM need{r}) ELSE 0.0 END)
+           * (1.0 - CASE WHEN m.msim > 0.85 THEN (m.msim - 0.85) * 2 ELSE 0.0 END) AS score
+    FROM cimp{r} i JOIN cmx{r} m USING (href)
+),
+c{r} AS MATERIALIZED (
+    SELECT href AS url FROM (
+        SELECT href, ROW_NUMBER() OVER (ORDER BY score DESC, href) AS rn FROM cs{r}
+    )
+    WHERE (SELECT v FROM conf{r}) < 0.9
+      AND (SELECT COUNT(*) FROM a{p}) < 10
+      AND NOT (SELECT s FROM stop{r})
+      AND rn <= LEAST(5, 10 - (SELECT COUNT(*) FROM a{p}))
+),
+a{r} AS MATERIALIZED (SELECT url FROM a{p} UNION SELECT url FROM c{r}),
+f{r} AS MATERIALIZED (SELECT p.url FROM purl p JOIN c{r} USING (url)),
+ft{r} AS MATERIALIZED (SELECT rnd, url FROM ft{p} UNION ALL SELECT {r} AS rnd, url FROM f{r})""")
+    parts.append(f"""
+SELECT 'embedding' AS strategy, a.url,
+       ROUND((SELECT v FROM conf{rounds}), 4) AS confidence
+FROM a{rounds - 1} a
+""")
+    return "".join(parts)
+
+
 def oracle_sql_for(sf_dir: str) -> dict[str, str]:
     # the pages cache is a directory of part files → DuckDB glob
     path = pages_parquet_path(sf_dir) + "/*.parquet"
@@ -2685,12 +2922,12 @@ d{t} AS (
         ORDER BY lift_ppm DESC, n_pair DESC, tok_a, tok_b
         LIMIT 100
     """
-    # Statistical adaptive crawl: exact iteration-by-iteration replay
-    # (see _adaptive_stat_sql).  The embedding-strategy variant
-    # (adaptive_crawl_embedding) has no oracle by necessity: its
-    # stand-in embedder hashes tokens with blake2b, which SQL cannot
-    # reproduce — the driver records the weaker rows-only check.
+    # Adaptive crawls: exact iteration-by-iteration replays (see
+    # _adaptive_stat_sql / _adaptive_emb_sql — the embedding variant
+    # became SQL-expressible when the stand-in embedder switched its
+    # token hash to md5, which DuckDB ships).
     sql["adaptive_crawl"] = _adaptive_stat_sql(path)
+    sql["adaptive_crawl_embedding"] = _adaptive_emb_sql(path)
     # CosineStrategy clustering (functions/cosine.py): with the
     # q_semantic_cluster defaults (no semantic_filter), every kept
     # chunk has filter_sim 1.0, and on this corpus each document is a

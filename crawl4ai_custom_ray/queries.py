@@ -376,13 +376,32 @@ def q_regex_emails(sf_dir: str):
 # ---------------------------------------------------------------- frontier
 
 
-def _sorted_seed_urls(sf_dir: str, n: int = 3) -> list[str]:
-    import pyarrow.parquet as pq
+def _min_n_public_urls(pages_path: str, n: int) -> list[str]:
+    """The n lexicographically-smallest public urls WITHOUT
+    materializing the url column on the driver: a column-pruned
+    distributed min-n — each block filters ``/private/`` in-batch and
+    reduces to its n smallest urls (a combiner, no shuffle), so the
+    driver merge sees ≤ n rows per block regardless of corpus size
+    (the ``_query_vectors`` recipe applied to seed selection)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
 
+    def min_n(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(
+            pc.invert(pc.match_substring(batch["url"], "/private/"))
+        )
+        return sub.take(pc.sort_indices(sub["url"])[:n])
+
+    parts = rd.read_parquet(pages_path, columns=["url"]).map_batches(
+        min_n, batch_format="pyarrow"
+    )
+    return sorted(r["url"] for r in parts.take_all())[:n]
+
+
+def _sorted_seed_urls(sf_dir: str, n: int = 3) -> list[str]:
     from .sources.pages import pages_parquet_path
 
-    urls = pq.read_table(pages_parquet_path(sf_dir), columns=["url"])["url"].to_pylist()
-    return sorted(u for u in urls if "/private/" not in u)[:n]
+    return _min_n_public_urls(pages_parquet_path(sf_dir), n)
 
 
 def q_frontier_bfs(sf_dir: str):
@@ -1051,17 +1070,10 @@ def q_seed_cc(sf_dir: str):
 
 
 def _adaptive_start_url(sf_dir: str) -> tuple[str, str]:
-    import pyarrow.parquet as pq
-
     from .sources.pages import pages_parquet_path
 
     pages_path = pages_parquet_path(sf_dir)
-    start = sorted(
-        u
-        for u in pq.read_table(pages_path, columns=["url"])["url"].to_pylist()
-        if "/private/" not in u
-    )[0]
-    return pages_path, start
+    return pages_path, _min_n_public_urls(pages_path, 1)[0]
 
 
 def _adaptive_rows(name: str, st) -> pa.Table:
@@ -1090,10 +1102,11 @@ def q_adaptive_crawl(sf_dir: str):
 
 
 def q_adaptive_crawl_embedding(sf_dir: str):
-    """Adaptive digest with the EmbeddingStrategy (blake2b hashing
-    embedder stand-in — not SQL-reproducible, so rows-only; the
-    strategy's determinism and stop conditions are pytest-covered in
-    tests/test_adaptive.py)."""
+    """Adaptive digest with the EmbeddingStrategy (md5 feature-hashing
+    embedder stand-in).  Exact oracle: a per-iteration chained-CTE
+    replay with the embedder recomputed in SQL
+    (oracles._adaptive_emb_sql); stop conditions also pytest-covered
+    in tests/test_adaptive.py."""
     from .frontier.adaptive import AdaptiveConfig, adaptive_digest_embedding
 
     pages_path, start = _adaptive_start_url(sf_dir)

@@ -89,9 +89,11 @@ QUERY_NAMES, ROWS_ONLY_QUERIES = _query_partition()
 
 
 def test_rows_only_is_the_known_one():
-    """Only the blake2b-embedder adaptive variant may lack an oracle —
-    a new query landing here by accident is a missing-oracle bug."""
-    assert ROWS_ONLY_QUERIES == ["adaptive_crawl_embedding"]
+    """Every query has a SQL oracle (the last holdout,
+    adaptive_crawl_embedding, gained a chained-CTE replay once the
+    stand-in embedder moved to md5) — a query landing here is a
+    missing-oracle bug."""
+    assert ROWS_ONLY_QUERIES == []
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
