@@ -41,7 +41,13 @@ class ParquetTransport:
     """Offline transport: serves url → (status, headers, body bytes,
     final_url) from a pages parquet (dict built once per actor).
     Unknown URLs 404 — the same semantics as the frontier fetch-join's
-    missing rows."""
+    missing rows.
+
+    **Test/sandbox double only — not a scale path.** It materializes
+    the whole pages table per actor; production offline fetch is the
+    frontier's fetch-join (``frontier/crawl.py``) and production live
+    fetch is the aiohttp/stdlib session below.  Never wire this into a
+    real pipeline."""
 
     def __init__(self, pages_path: str):
         import pyarrow.parquet as pq
@@ -79,6 +85,7 @@ class HttpFetchWorker:
         per_host_limit: int = 4,
         headers: dict | None = None,
         follow_redirects: bool = True,
+        stdlib_fallback: bool = True,
     ):
         self.timeout_s = timeout_s
         self.per_host_limit = per_host_limit
@@ -86,6 +93,8 @@ class HttpFetchWorker:
         self.follow_redirects = follow_redirects
         self._session = None
         self._loop = None
+        self._stdlib_live = False
+        self._opener = None
         if transport is not None:
             self.transport = transport() if isinstance(transport, type) else transport
         elif pages_path is not None:
@@ -99,11 +108,23 @@ class HttpFetchWorker:
                 )
             try:
                 import aiohttp  # noqa: F401
-            except ImportError as e:  # pragma: no cover - env gate
-                raise ImportError(
-                    "HttpFetchWorker live mode needs aiohttp (absent in "
-                    "this environment); inject transport= instead"
-                ) from e
+            except ImportError as e:
+                if not stdlib_fallback:  # pragma: no cover - env gate
+                    raise ImportError(
+                        "HttpFetchWorker live mode needs aiohttp (absent "
+                        "in this environment); inject transport= or keep "
+                        "stdlib_fallback=True"
+                    ) from e
+                # no aiohttp: serve the live path with the stdlib
+                # urllib opener — same semantics (headers, timeout,
+                # redirect follow, non-2xx as error rows, charset
+                # decode), one pooled-less opener per actor.  The
+                # sequential per-URL loop below already enforces a
+                # politeness stricter than per_host_limit.
+                self.transport = None
+                self._stdlib_live = True
+                self._opener = self._build_stdlib_opener(follow_redirects)
+                return
             import asyncio
 
             import aiohttp
@@ -135,7 +156,43 @@ class HttpFetchWorker:
                 return 200, {}, f.read(), url
         if self.transport is not None:
             return self.transport(url)
+        if self._stdlib_live:
+            return self._fetch_live_stdlib(url)
         return self._fetch_live(url)
+
+    @staticmethod
+    def _build_stdlib_opener(follow_redirects: bool):
+        import urllib.request
+
+        handlers = []
+        if not follow_redirects:
+
+            class _NoRedirect(urllib.request.HTTPRedirectHandler):
+                def redirect_request(self, req, fp, code, msg, headers, newurl):
+                    return None  # surface the 3xx itself
+
+            handlers.append(_NoRedirect())
+        return urllib.request.build_opener(*handlers)
+
+    def _fetch_live_stdlib(self, url: str):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(url, headers=self.headers)
+        try:
+            with self._opener.open(req, timeout=self.timeout_s) as resp:
+                return (
+                    resp.status,
+                    dict(resp.headers.items()),
+                    resp.read(),
+                    resp.geturl(),
+                )
+        except urllib.error.HTTPError as he:
+            # non-2xx is a RESPONSE, not an exception, in this stage's
+            # contract (error row with the real status) — mirror
+            # aiohttp, which never raises on status
+            body = he.read() if he.fp is not None else b""
+            return he.code, dict(he.headers.items()), body, he.geturl() or url
 
     def _fetch_live(self, url: str):  # pragma: no cover - needs egress
         async def go():
