@@ -45,12 +45,25 @@ class BaseCrawler(ABC):
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
-        run_method = cls.run
-        if not run_method.__code__.co_argcount >= 2:  # self + source
+        # validate the subclass's run() shape at class-creation time:
+        # it must accept a positional source argument after self, and
+        # must be a plain function (batch pipelines drive lazy
+        # Datasets synchronously; there is no event loop here)
+        try:
+            params = list(inspect.signature(cls.run).parameters.values())
+        except (TypeError, ValueError):
+            params = []
+        positional = [
+            p
+            for p in params
+            if p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD, p.VAR_POSITIONAL)
+        ]
+        if len(positional) < 2:  # fewer than (self, source)
             raise TypeError(
                 f"{cls.__name__} must implement 'run(self, source: str, **kwargs)'"
             )
-        if inspect.iscoroutinefunction(run_method):
+        if inspect.iscoroutinefunction(cls.run):
             raise TypeError(
                 f"{cls.__name__}.run must be synchronous (batch engine)"
             )

@@ -182,3 +182,62 @@ def test_embedding_strategy_model_seam(ray_session):
     # differs from the hashing default on the same crawl config
     base = adaptive_digest_embedding(pages_path, start, q, cfg)
     assert st.metrics["confidence"] != base.metrics["confidence"]
+
+
+class TestSentenceTransformerGate:
+    def test_gate_fires_without_package(self):
+        """No sentence_transformers in this environment: the factory
+        raises a loud ImportError at construction (not at use)."""
+        from crawl4ai_custom_ray.functions.cosine import (
+            sentence_transformer_factory,
+        )
+
+        with pytest.raises(ImportError, match="sentence_transformers"):
+            sentence_transformer_factory()(128)
+
+    def test_fake_package_drives_the_seam(self, monkeypatch):
+        """With the package importable, the factory is a drop-in
+        embedder_factory: the model loads once in __init__, dictates
+        its own dim, and normalizes encodings."""
+        import sys
+        import types
+
+        import numpy as np
+
+        class _FakeModel:
+            def __init__(self, name):
+                self.name = name
+
+            def get_sentence_embedding_dimension(self):
+                return 16
+
+            def encode(self, texts, normalize_embeddings=False):
+                out = []
+                for t in texts:
+                    v = np.array(
+                        [float((len(t) * (i + 3)) % 7 - 3) for i in range(16)]
+                    )
+                    n = np.linalg.norm(v)
+                    out.append(v / n if normalize_embeddings and n > 0 else v)
+                return np.asarray(out)
+
+        fake = types.ModuleType("sentence_transformers")
+        fake.SentenceTransformer = _FakeModel
+        monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+
+        from crawl4ai_custom_ray.frontier.adaptive import EmbeddingStrategy
+        from crawl4ai_custom_ray.functions.cosine import (
+            sentence_transformer_factory,
+        )
+
+        factory = sentence_transformer_factory("some/model")
+        emb = factory(128)  # requested dim overridden by the model's
+        assert emb.dim == 16
+        assert emb._model.name == "some/model"
+        v = emb.embed("hello world")
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+        # plugs into the strategy seam exactly like the stand-ins
+        s = EmbeddingStrategy(dim=16, embedder_factory=factory)
+        q = s.map_query_space("batch stream spark")
+        assert q.shape[1] == 16
