@@ -128,11 +128,11 @@ def run_bench() -> dict:
     import tempfile
 
     base_pages = pages_parquet_path(SF_DIR)
-    seeds = sorted(
-        u
-        for u in pq.read_table(base_pages, columns=["url"])["url"].to_pylist()
-        if "/private/" not in u
-    )[:50]
+    # seed pick is a distributed column-pruned min-n (never the whole
+    # url column on the driver — same recipe as queries._query_vectors)
+    from crawl4ai_custom_ray.queries import _min_n_public_urls
+
+    seeds = _min_n_public_urls(base_pages, 50)
 
     def frontier():
         driver = BFSCrawl(

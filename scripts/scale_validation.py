@@ -1,0 +1,327 @@
+"""Volume validation: run the distributed code paths at ≥1M pages.
+
+The sf test dirs top out at 5k docs / 20k pages, where the engine's
+size-adaptive fast paths keep everything driver-side; this run
+amplifies sf0.1 by 200× (1,000,000 docs / 1,000,000 pages, ~2.5 GB of
+HTML) and drives the HEAVY pipelines end-to-end with the distributed
+branches forced on, recording wall, rows/sec, and the driver's peak
+RSS (the no-driver-blowup evidence):
+
+    python scripts/scale_validation.py [--replicas 200] [--cpus 32]
+                                       [--seeds 10000]
+
+- extract_1m      full extraction kernel → parquet sink (streaming)
+- frontier_dist   BFS depth-2 from 10k seeds with
+                  driver_round_threshold=0, driver_links_threshold=0,
+                  broadcast_fetch_threshold=0, fetch_strategy="join" —
+                  every round runs the Dataset branch (asserted from
+                  the stage-timing labels)
+- dedup_minhash_1m / dedup_cluster_1m over the 1M-doc table
+- curate_1m       normalize → exact-dedup → Gopher gate → packing
+
+Results go to SCALE_VALIDATION.json (and one JSON line on stdout).
+Corpus generation runs in a SEPARATE subprocess so its memory
+footprint cannot pollute the measured driver RSS.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import io
+import json
+import os
+import resource
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE_SF = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _rss_gib() -> float:
+    return round(resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+
+
+def generate(replicas: int) -> None:
+    """Subprocess entry: build the scaled documents + pages caches."""
+    import ray
+
+    ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from crawl4ai_custom_ray.sources.scale import (
+        scaled_documents_dir,
+        scaled_pages_dir,
+    )
+
+    t0 = time.time()
+    sdir = scaled_documents_dir(BASE_SF, replicas)
+    t1 = time.time()
+    pdir = scaled_pages_dir(sdir)
+    print(
+        json.dumps(
+            {
+                "scale_dir": sdir,
+                "pages_dir": pdir,
+                "gen_docs_sec": round(t1 - t0, 1),
+                "gen_pages_sec": round(time.time() - t1, 1),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = None) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from crawl4ai_custom_ray.sources.scale import scale_dir_for
+    from crawl4ai_custom_ray.stages.extract import extract_pages
+
+    sdir = scale_dir_for(BASE_SF, replicas)
+    pages_dir = os.path.join(sdir, "pages.parquet")
+    docs_dir = os.path.join(sdir, "documents.parquet")
+    assert os.path.isdir(pages_dir), "run generation first"
+
+    n_pages = rd.read_parquet(pages_dir, columns=["url"]).count()
+    n_docs = rd.read_parquet(docs_dir, columns=["doc_id"]).count()
+    report: dict = {
+        "base_sf": BASE_SF,
+        "replicas": replicas,
+        "num_cpus": cpus,
+        "n_pages": n_pages,
+        "n_docs": n_docs,
+        "stages": {},
+        "loadavg_start": [round(x, 2) for x in os.getloadavg()],
+    }
+
+    def want(name: str) -> bool:
+        return only is None or name in only
+
+    def stage(name: str, fn, rows_basis: int):
+        if not want(name):
+            return
+        t0 = time.time()
+        out_rows = fn()
+        dt = time.time() - t0
+        report["stages"][name] = {
+            "wall_sec": round(dt, 1),
+            "rows_in": rows_basis,
+            "rows_per_sec": round(rows_basis / dt, 1),
+            "rows_out": out_rows,
+            "driver_peak_rss_gib": _rss_gib(),
+        }
+        print(f"{name:18s} {dt:7.1f}s  {rows_basis / dt:10.0f} rows/s  "
+              f"out={out_rows}  rss={_rss_gib()}GiB", flush=True)
+
+    # ---- 1. full extraction kernel over 1M pages → parquet sink ----
+    out_dir = "/tmp/scale_out/extracted"
+
+    def run_extract():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        ds = rd.read_parquet(pages_dir, override_num_blocks=cpus * 3)
+        extract_pages(ds, compute_fit_html=True).write_parquet(out_dir)
+        return rd.read_parquet(out_dir, columns=["url"]).count()
+
+    stage("extract_1m", run_extract, n_pages)
+
+    # ---- 2. distributed frontier crawl (Dataset branch forced) ----
+    from crawl4ai_custom_ray.frontier.crawl import BFSCrawl, CrawlConfig
+    from crawl4ai_custom_ray.sources.pages import page_url
+
+    # deterministic host-spread seed list (a lexicographic min-n would
+    # put every seed on the lexicographically first host and turn the
+    # crawl into a politeness queue); /private/ ids (i%13==5) skipped
+    stride = max(1, n_docs // n_seeds)
+    seeds = [
+        page_url(i, n_docs)
+        for i in range(0, n_docs, stride)
+        if i % 13 != 5
+    ][:n_seeds]
+
+    def run_frontier():
+        import tempfile
+
+        cfg = CrawlConfig(
+            max_depth=2,
+            check_robots=True,
+            per_host_cap=200,  # skewed host0 defers → politeness path live
+            n_seen_shards=8,
+            fetch_strategy="join",
+            driver_round_threshold=0,
+            driver_links_threshold=0,
+            broadcast_fetch_threshold=0,
+        )
+        driver = BFSCrawl(
+            pages_dir, cfg, tempfile.mkdtemp(prefix="scale_bfs_")
+        )
+        os.environ["GRAFT_CRAWL_TIMING"] = "1"
+        buf = io.StringIO()
+        try:
+            with contextlib.redirect_stdout(buf):
+                n = driver.run(seeds).count()
+        finally:
+            os.environ.pop("GRAFT_CRAWL_TIMING", None)
+            driver.shutdown()
+        labels = buf.getvalue()
+        # distributed-mode proof: no driver-coordinated stage ran
+        assert "(driver)" not in labels, labels
+        assert "write_visited:" in labels or "write_visited" in labels
+        report["stages"]["frontier_dist"] = {"visited": n}
+        return n
+
+    if want("frontier_dist"):
+        t0 = time.time()
+        visited = run_frontier()
+        dt = time.time() - t0
+        report["stages"]["frontier_dist"].update(
+            {
+                "wall_sec": round(dt, 1),
+                "seeds": len(seeds),
+                "pages_per_sec": round(visited / dt, 1),
+                "driver_peak_rss_gib": _rss_gib(),
+                "distributed_branch_confirmed": True,
+            }
+        )
+        print(f"frontier_dist      {dt:7.1f}s  visited={visited} "
+              f"({visited / dt:.0f} pages/s)  rss={_rss_gib()}GiB", flush=True)
+
+    # ---- 2b. same crawl under the PRODUCTION config (size-adaptive
+    # thresholds at defaults): small politeness-bounded rounds run
+    # driver-side, the broadcast fetch pushes the round's url set into
+    # the pages scan — the contrast that shows what the adaptive
+    # design buys over always-distributed coordination ----
+    if want("frontier_prod"):
+
+        def run_frontier_prod():
+            import tempfile
+
+            cfg = CrawlConfig(
+                max_depth=2,
+                check_robots=True,
+                per_host_cap=200,
+                n_seen_shards=8,
+            )
+            driver = BFSCrawl(
+                pages_dir, cfg, tempfile.mkdtemp(prefix="scale_bfs_prod_")
+            )
+            try:
+                return driver.run(seeds).count()
+            finally:
+                driver.shutdown()
+
+        t0 = time.time()
+        visited_p = run_frontier_prod()
+        dt = time.time() - t0
+        report["stages"]["frontier_prod"] = {
+            "wall_sec": round(dt, 1),
+            "seeds": len(seeds),
+            "visited": visited_p,
+            "pages_per_sec": round(visited_p / dt, 1),
+            "driver_peak_rss_gib": _rss_gib(),
+        }
+        print(f"frontier_prod      {dt:7.1f}s  visited={visited_p} "
+              f"({visited_p / dt:.0f} pages/s)  rss={_rss_gib()}GiB", flush=True)
+
+    # ---- 3/4. near-dedup at 1M docs ----
+    from crawl4ai_custom_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        near_dedup_clusters,
+    )
+
+    def run_minhash():
+        docs = rd.read_parquet(docs_dir, columns=["doc_id", "text"])
+        return minhash_lsh_pairs(
+            docs, threshold=0.5, num_perm=64, bands=16, shingle_n=3
+        ).count()
+
+    stage("dedup_minhash_1m", run_minhash, n_docs)
+
+    def run_cluster():
+        docs = rd.read_parquet(docs_dir, columns=["doc_id", "text"])
+        return near_dedup_clusters(
+            docs, threshold=0.5, num_perm=64, bands=16, shingle_n=3
+        ).count()
+
+    stage("dedup_cluster_1m", run_cluster, n_docs)
+
+    # ---- 5. end-to-end curation (normalize→dedup→gate→pack) ----
+    from crawl4ai_custom_ray.queries import q_curate_pipeline
+
+    def run_curate():
+        return q_curate_pipeline(sdir).count()
+
+    stage("curate_1m", run_curate, n_docs)
+
+    report["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+    ray.shutdown()
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=200)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--seeds", type=int, default=10_000)
+    ap.add_argument("--generate-only", action="store_true")
+    ap.add_argument(
+        "--stages",
+        default=None,
+        help="comma list to run a subset (extract_1m,frontier_dist,"
+        "dedup_minhash_1m,dedup_cluster_1m,curate_1m); results merge "
+        "into --out so long runs can be split across invocations",
+    )
+    ap.add_argument("--out", default="/root/repo/SCALE_VALIDATION.json")
+    args = ap.parse_args()
+
+    if os.environ.get("_SCALE_GEN_CHILD"):
+        generate(args.replicas)
+        return 0
+
+    # generation in a child process: keeps its RSS out of the
+    # validation driver's high-water mark
+    env = dict(os.environ, _SCALE_GEN_CHILD="1")
+    gen = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--replicas", str(args.replicas)],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    sys.stderr.write(gen.stderr[-2000:])
+    gen_line = [l for l in gen.stdout.splitlines() if l.startswith("{")]
+    gen_info = json.loads(gen_line[-1]) if gen_line else {}
+    print("generation:", json.dumps(gen_info), flush=True)
+    if args.generate_only:
+        return 0
+
+    only = set(args.stages.split(",")) if args.stages else None
+    report = validate(args.replicas, args.cpus, args.seeds, only)
+    report["generation"] = gen_info
+    if only and os.path.exists(args.out):
+        # merge stage subsets into the existing report
+        with open(args.out) as f:
+            prev = json.load(f)
+        prev.setdefault("stages", {}).update(report["stages"])
+        prev["loadavg_end"] = report["loadavg_end"]
+        report = prev
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

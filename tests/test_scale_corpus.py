@@ -1,0 +1,101 @@
+"""The scaled-corpus generator behind scripts/scale_validation.py:
+deterministic amplification with replica-bijective token perturbation
+(within-replica similarity preserved, cross-replica similarity ~0) and
+streaming Ray page generation matching the base generator's output."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from crawl4ai_custom_ray.sources.scale import (
+    scale_dir_for,
+    scaled_documents_dir,
+    scaled_pages_dir,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def scaled(tmp_path_factory, ray_session, monkeypatch_module):
+    # redirect the cache root so tests never collide with real runs
+    import crawl4ai_custom_ray.sources.scale as scale_mod
+
+    root = str(tmp_path_factory.mktemp("scale_cache"))
+    monkeypatch_module.setattr(scale_mod, "SCALE_CACHE_ROOT", root)
+    sdir = scaled_documents_dir(SF, replicas=3)
+    pdir = scaled_pages_dir(sdir)
+    return sdir, pdir
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+def test_documents_amplified(scaled):
+    sdir, _ = scaled
+    base = pq.read_table(os.path.join(SF, "documents.parquet"))
+    t = pq.read_table(os.path.join(sdir, "documents.parquet"))
+    n_base = base.num_rows
+    assert t.num_rows == 3 * n_base
+    assert sorted(t.column_names) == sorted(base.column_names)
+    ids = set(t["doc_id"].to_pylist())
+    assert ids == set(range(3 * n_base))
+
+    by_id = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    base_by_id = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
+    d0 = min(base_by_id)
+    # replica 0 is pristine
+    assert by_id[d0] == base_by_id[d0]
+    # replica r>0 is a token bijection: same token count, every token
+    # suffixed, zero vocabulary overlap with the base
+    t2 = by_id[2 * n_base + d0]
+    toks0, toks2 = base_by_id[d0].split(), t2.split()
+    assert len(toks0) == len(toks2)
+    assert all(b == f"{a}r2" for a, b in zip(toks0, toks2))
+    assert not set(toks0) & set(toks2)
+    # within-replica Jaccard preserved exactly under the bijection
+    d1 = sorted(base_by_id)[1]
+    s_a0, s_b0 = set(base_by_id[d0].split()), set(base_by_id[d1].split())
+    s_a2 = set(by_id[2 * n_base + d0].split())
+    s_b2 = set(by_id[2 * n_base + d1].split())
+    j0 = len(s_a0 & s_b0) / len(s_a0 | s_b0)
+    j2 = len(s_a2 & s_b2) / len(s_a2 | s_b2)
+    assert j0 == j2
+
+
+def test_pages_match_base_generator(scaled):
+    """The streamed Ray page generation must reproduce the base
+    generator byte-for-byte on the pristine replica's rows."""
+    import glob
+
+    from crawl4ai_custom_ray.sources.pages import build_page_html, page_url
+
+    sdir, pdir = scaled
+    parts = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+    assert parts
+    t = pq.read_table(parts[0] if len(parts) == 1 else pdir)
+    n = t.num_rows
+    docs = pq.read_table(os.path.join(sdir, "documents.parquet"))
+    assert n == docs.num_rows
+    assert sorted(t.column_names) == sorted(
+        ["url", "warc_ts", "html", "text", "lang"]
+    )
+    by_url = dict(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    for i in [0, 1, n - 1]:
+        u = page_url(i, n)
+        body = " ".join(texts[i].split())
+        assert by_url[u] == build_page_html(i, n, body).encode("utf-8"), u
+
+
+def test_generation_is_idempotent(scaled):
+    sdir, pdir = scaled
+    assert scaled_documents_dir(SF, replicas=3) == sdir
+    assert scaled_pages_dir(sdir) == pdir
