@@ -266,6 +266,30 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
 
     stage("curate_1m", run_curate, n_docs)
 
+    # ---- 6. sequence packing over ALL 1M docs (the two-pass
+    # distributed prefix sum — the round-2 scale finding — carrying a
+    # full-volume ungated load) ----
+    from crawl4ai_custom_ray.functions.textstats import pack_sequences
+
+    def run_pack():
+        docs = rd.read_parquet(
+            docs_dir, columns=["doc_id", "source", "text"]
+        )
+        return pack_sequences(docs, budget=1024).count()
+
+    stage("pack_1m", run_pack, n_docs)
+
+    # ---- 7. per-doc TF-IDF top-k at 1M docs: the perturbed replicas
+    # multiply the vocabulary ~200×, pushing the df table toward the
+    # size-adaptive broadcast/join decision boundary ----
+    from crawl4ai_custom_ray.functions.textstats import tfidf_topk
+
+    def run_tfidf():
+        docs = rd.read_parquet(docs_dir, columns=["doc_id", "text"])
+        return tfidf_topk(docs, k=5).count()
+
+    stage("tfidf_1m", run_tfidf, n_docs)
+
     report["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     ray.shutdown()
     return report
