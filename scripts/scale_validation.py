@@ -295,12 +295,95 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
     return report
 
 
+def extract_once(replicas: int, cpus: int) -> None:
+    """Subprocess entry for --scaling: one timed extract over the
+    scaled corpus at ``cpus`` CPUs, one JSON line on stdout."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from crawl4ai_custom_ray.sources.scale import scale_dir_for
+    from crawl4ai_custom_ray.stages.extract import extract_pages
+
+    pages_dir = os.path.join(scale_dir_for(BASE_SF, replicas), "pages.parquet")
+    # warm workers + page cache outside the timed window
+    extract_pages(
+        rd.read_parquet(pages_dir).limit(512), columns=["text"]
+    ).materialize()
+    out = "/tmp/scale_out/extract_scaling"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    ds = rd.read_parquet(pages_dir, override_num_blocks=max(cpus * 3, 96))
+    extract_pages(ds, compute_fit_html=True).write_parquet(out)
+    dt = time.time() - t0
+    print(json.dumps({"cpus": cpus, "sec": round(dt, 1)}))
+    ray.shutdown()
+
+
+def run_scaling(replicas: int, lo: int, hi: int, out_path: str) -> None:
+    """The N-vs-4N criterion at VOLUME: the same 1M-page extract in
+    fresh processes at ``lo`` and ``hi`` CPUs (lo below the host's
+    bandwidth knee, see BASELINE.md), raw efficiency reported."""
+    results = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ, _SCALE_EXTRACT_CHILD=str(cpus))
+        r = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--replicas",
+                str(replicas),
+            ],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        sys.stderr.write(r.stderr[-1500:])
+        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)["sec"]
+        print(f"extract_1m @ {cpus:2d} cpus: {results[cpus]}s", flush=True)
+    eff = (results[lo] / results[hi]) / (hi / lo)
+    summary = {
+        "stage": "extract_1m",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": results[lo],
+        "sec_hi": results[hi],
+        "scaling_efficiency": round(eff, 3),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    print(json.dumps(summary))
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            rep = json.load(f)
+    else:
+        rep = {}
+    rep["scaling_1m"] = summary
+    with open(out_path, "w") as f:
+        json.dump(rep, f, indent=1)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=200)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--seeds", type=int, default=10_000)
     ap.add_argument("--generate-only", action="store_true")
+    ap.add_argument(
+        "--scaling",
+        action="store_true",
+        help="run the 1M-page extract at two CPU counts (default "
+        "$GRAFT_SCALE_LO=2 vs 4x) and report raw scaling efficiency",
+    )
     ap.add_argument(
         "--stages",
         default=None,
@@ -311,8 +394,15 @@ def main() -> int:
     ap.add_argument("--out", default="/root/repo/SCALE_VALIDATION.json")
     args = ap.parse_args()
 
+    if os.environ.get("_SCALE_EXTRACT_CHILD"):
+        extract_once(args.replicas, int(os.environ["_SCALE_EXTRACT_CHILD"]))
+        return 0
     if os.environ.get("_SCALE_GEN_CHILD"):
         generate(args.replicas)
+        return 0
+    if args.scaling:
+        lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+        run_scaling(args.replicas, lo, lo * 4, args.out)
         return 0
 
     # generation in a child process: keeps its RSS out of the
