@@ -105,6 +105,15 @@ class CrawlConfig:
     # always the small side). "join": Dataset.join hash shuffle, for
     # rounds too large to broadcast.
     fetch_strategy: str = "broadcast"
+    # fetch-join semi-filter: a hash join shuffles BOTH sides, and the
+    # pages side carries the html payloads — almost all of the bytes.
+    # Rounds up to this many urls broadcast their digest set (8 B per
+    # url, driver memory bounded by this knob, never by corpus size)
+    # and the pages scan is filtered BEFORE the join shuffle, so
+    # non-candidate html never moves.  Digest collisions only admit
+    # extra rows into the exact url join; none are lost.  Bigger
+    # rounds fall back to the unfiltered hash join.  0 disables.
+    fetch_filter_max: int = 20_000_000
     max_rounds: int = 64
     # size-adaptive round coordination: a round whose frontier (resp.
     # discovered-link set) fits these row thresholds is coordinated
@@ -119,6 +128,52 @@ class CrawlConfig:
     # join and host-state aggregates run distributed
     broadcast_fetch_threshold: int = 100_000
     extra: dict = field(default_factory=dict)
+
+
+def _url_digests64(urls):
+    """uint64 digest per url (pandas' siphash — fixed key, independent
+    of PYTHONHASHSEED, identical across driver and worker processes;
+    vectorized in C).  Feeds the fetch semi-join filter: a collision
+    can only let an extra pages-side row through to the exact url
+    join, never drop a match."""
+    import numpy as np
+    import pandas as pd
+
+    if hasattr(urls, "to_numpy"):
+        arr = urls.to_numpy(zero_copy_only=False)
+    else:
+        arr = np.asarray(urls, dtype=object)
+    return pd.util.hash_array(arr.astype(object, copy=False))
+
+
+def _repack_blocks(ds, n_rows: int):
+    """Round-boundary block hygiene for the cross-round frontier.
+
+    The dataset round path builds frontier_{k+1} from sorts, splits
+    and unions, each of which keeps every shuffle partition — empty
+    ones included — and the next round re-reads the written files one
+    block apiece.  Left alone the frontier's block count compounds
+    with ROUND COUNT while its row count stays flat (observed: 293
+    parquet files holding 197 rows by round 8, with per-round wall
+    doubling even as data shrank).  Re-pack to ~32k rows per block
+    (split/coalesce repartition — no all-to-all shuffle) whenever the
+    count drifts far above that invariant, so block count tracks data
+    volume, never round count."""
+    m = ds.materialize()
+    target = max(1, -(-n_rows // 32768))
+    if n_rows > 0 and m.num_blocks() > 4 * target + 8:
+        m = m.repartition(target).materialize()
+    return m
+
+
+def _digest_rows(batch: pa.Table) -> pa.Table:
+    """One output row per input block: the block's sorted unique url
+    digests as raw little-endian uint64 bytes (8 B per url — the
+    driver-side concatenation is bounded by ``fetch_filter_max``)."""
+    import numpy as np
+
+    d = np.unique(_url_digests64(batch["url"]))
+    return pa.table({"digs": pa.array([d.astype("<u8").tobytes()], pa.binary())})
 
 
 def _extract_links_batch(batch: pa.Table) -> pa.Table:
@@ -643,6 +698,7 @@ class BFSCrawl:
                                 os.path.join(rdir, "frontier", "part-0.parquet"),
                             )
                         else:
+                            remainder = _repack_blocks(remainder, n_rest)
                             remainder.write_parquet(os.path.join(rdir, "frontier"))
                         ckpt.save_seen_shards(
                             self.checkpoint_dir,
@@ -683,8 +739,70 @@ class BFSCrawl:
                     if sel_table is not None
                     else sel_ds.select_columns(["url", "depth", "seq"])
                 )
+                # semi-join pre-filter (see CrawlConfig.fetch_filter_max):
+                # broadcast the round's url digests and drop
+                # non-candidate pages rows BEFORE the shuffle — the
+                # html payloads of unmatched pages never move.
+                pages_side = pages
+                if 0 < n_selected <= cfg.fetch_filter_max:
+                    import numpy as np
+
+                    if sel_table is not None:
+                        digs = np.unique(_url_digests64(sel_table["url"]))
+                    else:
+                        blobs = (
+                            sel_ds.select_columns(["url"])
+                            .map_batches(_digest_rows, batch_format="pyarrow")
+                            .take_all()
+                        )
+                        digs = (
+                            np.unique(
+                                np.concatenate(
+                                    [
+                                        np.frombuffer(b["digs"], dtype="<u8")
+                                        for b in blobs
+                                    ]
+                                )
+                            )
+                            if blobs
+                            else np.empty(0, dtype="<u8")
+                        )
+                    digs_ref = ray.put(digs)
+
+                    def _page_semi_filter(
+                        batch: pa.Table, _ref=digs_ref
+                    ) -> pa.Table:
+                        import numpy as np
+
+                        if batch.num_rows == 0:
+                            return batch
+                        dg = ray.get(_ref)
+                        if len(dg) == 0:
+                            # empty digest set ⇒ empty round selection
+                            # ⇒ nothing can match; keep the anchor row
+                            # (below) so the join never sees an
+                            # all-empty right side.
+                            return batch.slice(0, 1)
+                        h = _url_digests64(batch["url"])
+                        pos = np.clip(np.searchsorted(dg, h), 0, len(dg) - 1)
+                        mask = dg[pos] == h
+                        if not mask.any():
+                            # Ray's hash-shuffle join loses the right
+                            # side's schema when EVERY block filters to
+                            # zero rows (pyarrow "No match for FieldRef
+                            # url").  Keep one digest-mismatched anchor
+                            # row per emptied block: its url provably
+                            # differs from every round url, so the
+                            # exact inner join drops it.
+                            return batch.slice(0, 1)
+                        return batch.filter(pa.array(mask))
+
+                    pages_side = pages.map_batches(
+                        _page_semi_filter, batch_format="pyarrow"
+                    )
+                    _stage("fetch_semi_digest")
                 fetched = join_side.join(
-                    pages,
+                    pages_side,
                     join_type="inner",
                     num_partitions=_join_partitions(cfg.join_partitions),
                     on=("url",),
@@ -1060,6 +1178,8 @@ class BFSCrawl:
                     for p in parts[1:]:
                         nxt = nxt.union(p)
                     nxt = nxt.materialize()
+                    n_next = nxt.count()
+                    nxt = _repack_blocks(nxt, n_next)
                     _stage("next_frontier_materialize")
                     # idempotent seen marking rides the write pass: the
                     # contains-filter above only read the shards, so a
@@ -1073,7 +1193,7 @@ class BFSCrawl:
                     )
                     marked.write_parquet(os.path.join(rdir, "frontier"))
                     _stage("next_frontier_write")
-                    frontier = nxt if nxt.count() > 0 else None
+                    frontier = nxt if n_next > 0 else None
                 else:
                     frontier = None
 
