@@ -159,6 +159,12 @@ def _explode_pairs_batch(batch: pa.Table) -> pa.Table:
 # ones run hash joins.
 SMALL_PAIR_THRESHOLD = 200_000
 
+# jaccard_prefix_pairs pass-1 merge gate: total per-block df-partial
+# rows the driver may pull and collapse with a Counter instead of a
+# vocabulary groupby shuffle (each row is a (token, count) pair, so
+# the pull is bounded ≈ blocks × per-block vocabulary).
+_DF_PARTIAL_DRIVER_MAX = 2_000_000
+
 
 def _coalesce_for_join(ds, *, target_rows_per_block: int = 4096, max_blocks: int = 64):
     """Materialize + repartition a shuffle-produced dataset into a few
@@ -1845,6 +1851,7 @@ def jaccard_prefix_pairs(
     num_partitions: int = 16,
     max_bucket: int | None = None,
     broadcast_vocab_max: int = 1_000_000,
+    broadcast_docs_max: int = 100_000,
 ):
     """EXACT all pairs (a < b) with token/shingle-set Jaccard ≥
     ``threshold_num/threshold_den`` via prefix filtering — the
@@ -1865,12 +1872,30 @@ def jaccard_prefix_pairs(
     ceil; the emitted ``jaccard`` column is the same float division
     the exact path (and the oracle) computes.
 
-    Scale shape: df via per-block combiner + vocabulary groupby;
-    tok ⋈ df hash join; per-doc prefix selection inside ONE
-    ``groupby(id)`` aggregate whose state is that doc's tokens;
-    verification attaches each candidate's full packed token list by
-    hash join on a then b (never a corpus broadcast) and intersects
-    vectorized.  ``max_bucket`` optionally caps pathological prefix
+    Scale shape — size-adaptive at every exchange, both routes
+    value-identical (the packing goes through one shared helper and a
+    forced-route regression test pins equality):
+
+    * df pass: per-block combiner over the documents; partials merge
+      on the driver under ``_DF_PARTIAL_DRIVER_MAX`` rows, else via a
+      vocabulary groupby.
+    * candidate prep, route A (vocabulary ≤ ``broadcast_vocab_max``):
+      the df map broadcasts via ``ray.put`` and per-doc prefix packing
+      is ONE stateless ``map_batches`` over documents — no token
+      explosion, no join, no stateful groupby.  Route B (web-scale
+      vocabulary): token rows ⋈ df hash join, then per-doc packing in
+      ONE ``groupby(id)`` aggregate whose state is that doc's tokens.
+    * prefix pruning is exact and df-aware: df-1 tokens are dropped
+      from the indexed prefix (their buckets are singletons), which
+      removes the dominant unique-shingle fraction from the bucket
+      shuffle at web scale.
+    * verification is size-adaptive — the corpus-bounded per-doc table
+    broadcasts once (``ray.put``) under ``broadcast_docs_max`` rows and
+    pairs verify in a single stateless pass, while larger corpora
+    attach each candidate's packed token list by hash join on a then b
+    (never a corpus broadcast); both routes are value-identical and
+    regression-tested against each other.  ``max_bucket`` optionally
+    caps pathological prefix
     buckets (identical-corpus skew) at the cost of recall — leave
     ``None`` for the exact guarantee.
     """
@@ -1881,12 +1906,49 @@ def jaccard_prefix_pairs(
     t_num, t_den = threshold_num, threshold_den
     threshold = t_num / t_den
 
-    tok = ds.map_batches(
-        _token_rows_fn(id_column, text_column, shingle_n), batch_format="pyarrow"
-    ).materialize()
+    def _shingle_set(t: str) -> set:
+        return set(tokenize_words(t)) if shingle_n == 1 else word_shingles(t, shingle_n)
 
-    def df_partial(batch: pa.Table) -> pa.Table:
-        c = Counter(batch["token"].to_pylist())
+    def _sanitize(tok: str) -> str:
+        # delimiter guard: a token carrying \x1e/\x1f (str.split()
+        # does not split on control chars) would corrupt the packing;
+        # map them to U+FFFD — deterministic corpus-wide, so set
+        # semantics stay consistent (tokens differing only in these
+        # two control chars coalesce, an accepted edge case)
+        return tok.replace("\x1e", "�").replace("\x1f", "�")
+
+    def _pack(entries) -> str:
+        """(df, sanitized_token) entries → one packed cell.  Order is
+        global rarity (df asc, token asc).  The indexed prefix keeps
+        only its df ≥ 2 members: a df-1 token occurs in exactly one
+        document, so its bucket is a singleton and can never emit a
+        pair — dropping it changes nothing in the result but removes
+        the (at web scale, dominant) unique-shingle fraction from the
+        bucket shuffle.  Layout: "kept\\x1e" + kept-prefix tokens
+        first, then the rest — so a [:kept] slice is the index prefix
+        while the full body remains the doc's token set for
+        verification.  Both candidate routes pack through this one
+        helper, so their cells are bit-identical by construction."""
+        ent = sorted(entries)
+        n = len(ent)
+        plen = n - (-(-(t_num * n) // t_den)) + 1  # n - ceil(t·n) + 1
+        kept = [tok for d, tok in ent[:plen] if d >= 2]
+        rest = [tok for d, tok in ent[:plen] if d < 2]
+        rest += [tok for _, tok in ent[plen:]]
+        return str(len(kept)) + "\x1e" + "\x1f".join(kept + rest)
+
+    # Pass 1 — document frequency, combiner-first straight over the
+    # documents (each block contributes one vocabulary-bounded partial
+    # table).  Merge is size-adaptive: under _DF_PARTIAL_DRIVER_MAX
+    # total partial rows they collapse on the driver (the same bounded
+    # pull as a df-table to_pandas); above it a vocabulary groupby
+    # merges, and the result is broadcast only when the vocabulary
+    # itself fits under ``broadcast_vocab_max`` — web-scale shingle
+    # vocabularies take the fully distributed route B below.
+    def df_partial_docs(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch[text_column].to_pylist():
+            c.update(_shingle_set(t))
         toks = sorted(c)
         return pa.table(
             {
@@ -1895,83 +1957,101 @@ def jaccard_prefix_pairs(
             }
         )
 
-    df = (
-        tok.select_columns(["token"])
-        .map_batches(df_partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("df_part", alias_name="df"))
-    )
-    df, n_vocab = _coalesce_for_join(df)
-    if n_vocab <= broadcast_vocab_max:
-        # size-adaptive fast path (the repo's sanctioned bounded
-        # broadcast): a small vocabulary's df map rides ray.put once
-        # instead of a 2-materialization hash join; web-scale shingle
-        # vocabularies exceed the cap and take the join
-        import ray as _ray
+    import ray as _ray
 
-        dfp = df.to_pandas()
-        dref = _ray.put(dict(zip(dfp["token"], dfp["df"])))
+    partials = ds.map_batches(df_partial_docs, batch_format="pyarrow").materialize()
+    df_map = None
+    df = None
+    if partials.count() <= _DF_PARTIAL_DRIVER_MAX:
+        agg = Counter()
+        for blk in _ray.get(partials.to_arrow_refs()):
+            if blk.num_rows:
+                for tok_, n_ in zip(
+                    blk["token"].to_pylist(), blk["df_part"].to_pylist()
+                ):
+                    agg[tok_] += n_
+        if len(agg) <= broadcast_vocab_max:
+            df_map = dict(agg)
+    if df_map is None:
+        df = partials.groupby("token").aggregate(Sum("df_part", alias_name="df"))
+        df, n_vocab = _coalesce_for_join(df)
+        if n_vocab <= broadcast_vocab_max:
+            dfp = df.to_pandas()
+            df_map = dict(zip(dfp["token"], dfp["df"]))
 
-        def attach_df(batch: pa.Table) -> pa.Table:
+    if df_map is not None:
+        # Route A — broadcast df map (ray.put once): per-doc prefix
+        # packing is ONE stateless pass over the documents; no token
+        # explosion ever hits the object store and no groupby carries
+        # Python aggregate state.
+        dref = _ray.put(df_map)
+
+        def pack_docs(batch: pa.Table) -> pa.Table:
             dmap = _ray.get(dref)
-            vals = [dmap[t] for t in batch["token"].to_pylist()]
-            return batch.append_column("df", pa.array(vals, pa.int64()))
+            ids_out, packs = [], []
+            for i, t in zip(
+                batch[id_column].to_pylist(), batch[text_column].to_pylist()
+            ):
+                toks = _shingle_set(t)
+                if not toks:
+                    continue  # token-less docs never enter route B's groupby either
+                ids_out.append(i)
+                packs.append(
+                    _pack((dmap[tok], _sanitize(tok)) for tok in toks)
+                )
+            return pa.table(
+                {
+                    "id": pa.array(ids_out, pa.int64()),
+                    "packed": pa.array(packs, pa.string()),
+                }
+            )
 
-        joined = tok.map_batches(attach_df, batch_format="pyarrow")
+        per_doc = ds.map_batches(pack_docs, batch_format="pyarrow").materialize()
     else:
+        # Route B — fully distributed: token explosion ⋈ df hash join,
+        # then one groupby(id) whose state is the doc's own (df, token)
+        # entries as SORTABLE STRINGS "{df:012d}\x1etoken" (fixed-width
+        # df makes the lexicographic order = (df asc, token asc); a
+        # list of strings stays Arrow-native between accumulate and
+        # merge, where tuples fall back to pickled blocks — measured
+        # 1.7× slower end-to-end); finalize defers to the shared _pack.
+        tok = ds.map_batches(
+            _token_rows_fn(id_column, text_column, shingle_n),
+            batch_format="pyarrow",
+        ).materialize()
         joined = hash_join_safe(
             tok, df, on=("token",), num_partitions=num_partitions
         )
 
-    # one groupby(id): state is the doc's own (df, token) entries as
-    # SORTABLE STRINGS "{df:012d}\x1etoken" (fixed-width df makes the
-    # lexicographic order = (df asc, token asc); a list of strings
-    # stays Arrow-native between accumulate and merge, where tuples
-    # fall back to pickled blocks — measured 1.7× slower end-to-end);
-    # finalize orders by global rarity and packs prefix_len + the full
-    # sorted token list into one string cell
-    def _acc(acc, block):
-        toks = (
-            block["token"].to_pylist()
-            if hasattr(block, "column_names")
-            else list(block["token"])
-        )
-        dfs = (
-            block["df"].to_pylist()
-            if hasattr(block, "column_names")
-            else list(block["df"])
-        )
-        # delimiter guard: a token carrying \x1e/\x1f (str.split()
-        # does not split on control chars) would corrupt the packing;
-        # map them to U+FFFD — deterministic corpus-wide, so set
-        # semantics stay consistent (tokens differing only in these
-        # two control chars coalesce, an accepted edge case)
-        acc.extend(
-            f"{d:012d}\x1e" + t.replace("\x1e", "�").replace("\x1f", "�")
-            for d, t in zip(dfs, toks)
-        )
-        return acc
+        def _acc(acc, block):
+            toks = (
+                block["token"].to_pylist()
+                if hasattr(block, "column_names")
+                else list(block["token"])
+            )
+            dfs = (
+                block["df"].to_pylist()
+                if hasattr(block, "column_names")
+                else list(block["df"])
+            )
+            acc.extend(
+                f"{d:012d}\x1e" + _sanitize(t) for d, t in zip(dfs, toks)
+            )
+            return acc
 
-    def _fin(acc):
-        acc.sort()
-        n = len(acc)
-        prefix_len = n - (-(-(t_num * n) // t_den)) + 1  # n - ceil(t·n) + 1
-        return (
-            str(prefix_len)
-            + "\x1e"
-            + "\x1f".join(e.partition("\x1e")[2] for e in acc)
-        )
+        def _fin(acc):
+            return _pack((int(e[:12]), e[13:]) for e in acc)
 
-    packed_agg = AggregateFn(
-        init=lambda k: [],
-        accumulate_block=_acc,
-        merge=lambda a, b: a + b,
-        finalize=_fin,
-        name="packed",
-    )
-    per_doc = (
-        joined.groupby("id").aggregate(packed_agg).materialize()
-    )
+        packed_agg = AggregateFn(
+            init=lambda k: [],
+            accumulate_block=_acc,
+            merge=lambda a, b: a + b,
+            finalize=_fin,
+            name="packed",
+        )
+        per_doc = (
+            joined.groupby("id").aggregate(packed_agg).materialize()
+        )
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         ids_out, toks = [], []
@@ -1984,20 +2064,98 @@ def jaccard_prefix_pairs(
             {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
         )
 
-    pairs = (
+    buckets = (
         per_doc.map_batches(prefix_rows, batch_format="pyarrow")
         .groupby("token")
         .aggregate(_collect_ids_agg("id", max_members=max_bucket))
-        .map_batches(_explode_pairs_batch, batch_format="pyarrow")
+    )
+
+    # Size-adaptive verification, mirroring minhash_lsh_pairs: the
+    # per-doc packed table is corpus-bounded (one row per doc), so
+    # under ``broadcast_docs_max`` rows it broadcasts once via ray.put
+    # and the bucket explosion FUSES candidate dedup + verification
+    # into one stateless pass — no (a, b) groupby shuffle and no
+    # attach joins.  Duplicate emissions (a pair sharing several
+    # prefix tokens appears in several buckets) are collapsed exactly
+    # by the CANONICAL-BUCKET rule: the pair is scored only in the
+    # bucket of its globally rarest shared prefix token (both kept
+    # lists are stored in global rarity order, so the canonical token
+    # is the first of either list found in the other's kept set —
+    # symmetric and unique; the current bucket's token is always in
+    # the intersection, so the scan cannot miss).  Web-scale corpora
+    # exceed the cap and take the explicit pair-dedup groupby + hash
+    # joins below, which never hold anything corpus-sized in one
+    # place.
+    if per_doc.count() <= broadcast_docs_max:
+        pdp = per_doc.to_pandas()
+        full_sets, kept_lists, kept_sets = {}, {}, {}
+        for i, p in zip(pdp["id"], pdp["packed"]):
+            plen_s, _, body = p.partition("\x1e")
+            toks = body.split("\x1f")
+            k = int(plen_s)
+            full_sets[i] = frozenset(toks)
+            kept_lists[i] = toks[:k]
+            kept_sets[i] = frozenset(toks[:k])
+        sref = _ray.put((full_sets, kept_lists, kept_sets))
+
+        def explode_verify(batch: pa.Table) -> pa.Table:
+            full, kept_l, kept_s = _ray.get(sref)
+            a_out, b_out, j_out = [], [], []
+            for token, ids in zip(
+                batch["token"].to_pylist(), batch["ids"].to_pylist()
+            ):
+                if ids is None or len(ids) < 2:
+                    continue
+                ids = sorted(set(ids))
+                for x in range(len(ids)):
+                    a = ids[x]
+                    la = kept_l[a]
+                    sa = full[a]
+                    for y in range(x + 1, len(ids)):
+                        b = ids[y]
+                        lb = kept_l[b]
+                        it, other = (
+                            (la, kept_s[b]) if len(la) <= len(lb) else (lb, kept_s[a])
+                        )
+                        canon = next(tk for tk in it if tk in other)
+                        if canon != token:
+                            continue
+                        sb = full[b]
+                        c = len(sa & sb)
+                        j = c / (len(sa) + len(sb) - c)
+                        if j >= threshold:
+                            a_out.append(a)
+                            b_out.append(b)
+                            j_out.append(j)
+            return pa.table(
+                {
+                    "a": pa.array(a_out, pa.int64()),
+                    "b": pa.array(b_out, pa.int64()),
+                    "jaccard": pa.array(j_out, pa.float64()),
+                }
+            )
+
+        out = buckets.map_batches(
+            explode_verify, batch_format="pyarrow"
+        ).materialize()
+        if out.count() == 0:
+            return _empty_dataset(
+                {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
+            )
+        return out
+
+    pairs = (
+        buckets.map_batches(_explode_pairs_batch, batch_format="pyarrow")
         .groupby(["a", "b"])
         .aggregate(Count(alias_name="n_buckets"))
     )
-    pairs, n_pairs = _coalesce_for_join(pairs)
-    if n_pairs == 0:
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
         return _empty_dataset(
             {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
         )
 
+    pairs, _ = _coalesce_for_join(pairs)
     with_a = _attach_by_id(
         pairs.select_columns(["a", "b"]),
         per_doc,

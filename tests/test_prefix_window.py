@@ -60,6 +60,37 @@ def test_prefix_pairs_equal_brute_force(ray_session, t_num, t_den, shingle_n):
     assert got == _brute_pairs(DOCS, t_num / t_den, shingle_n)
 
 
+@pytest.mark.parametrize("t_num,t_den", [(1, 2), (2, 3)])
+def test_prefix_pairs_join_route_identical(ray_session, t_num, t_den):
+    """Force the distributed route (vocab hash join + per-candidate
+    attach joins) by zeroing both broadcast caps: the result set and
+    jaccard values must match the default broadcast fast path and the
+    brute force exactly."""
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    ).repartition(3)
+    kw = dict(threshold_num=t_num, threshold_den=t_den, shingle_n=3)
+    joined = {
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in jaccard_prefix_pairs(
+            ds, broadcast_vocab_max=0, broadcast_docs_max=0, **kw
+        ).take_all()
+    }
+    fast = {
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in jaccard_prefix_pairs(ds, **kw).take_all()
+    }
+    assert joined == fast
+    assert {(a, b) for a, b, _ in joined} == _brute_pairs(
+        DOCS, t_num / t_den, 3
+    )
+
+
 def test_prefix_pairs_empty_result(ray_session):
     ds = rd.from_arrow(
         pa.table(
