@@ -1895,9 +1895,12 @@ def jaccard_prefix_pairs(
     attach each candidate's packed token list by hash join on a then b
     (never a corpus broadcast); both routes are value-identical and
     regression-tested against each other.  ``max_bucket`` optionally
-    caps pathological prefix
-    buckets (identical-corpus skew) at the cost of recall — leave
-    ``None`` for the exact guarantee.
+    caps pathological prefix buckets (identical-corpus skew) at the
+    cost of recall — leave ``None`` for the exact guarantee.  Note the
+    broadcast route scores a pair only in its canonical bucket, so a
+    capped canonical bucket drops its pairs even when a rarer shared
+    token's bucket survived; with the cap unset (the exact
+    configuration, and the default) the two routes remain identical.
     """
     from collections import Counter
 
