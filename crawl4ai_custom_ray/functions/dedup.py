@@ -186,6 +186,18 @@ def _empty_dataset(schema: dict):
     return rd.from_arrow(pa.table({k: pa.array([], t) for k, t in schema.items()}))
 
 
+def _dataset_from_table(tbl: pa.Table, *, rows_per_block: int = 4096, max_blocks: int = 64):
+    """Driver table → multi-block Dataset (zero-copy slices) so a
+    downstream ``map_batches`` parallelizes instead of running the
+    whole table as one task."""
+    import ray.data as rd
+
+    n = tbl.num_rows
+    blocks = max(1, min(max_blocks, -(-n // rows_per_block)))
+    step = -(-n // blocks)
+    return rd.from_arrow([tbl.slice(i, step) for i in range(0, max(n, 1), step)])
+
+
 def _join_partitions(requested: int) -> int:
     """Bound join parallelism by the session size: each hash-join
     shuffle holds aggregator actors, and two joins in one plan can
@@ -602,10 +614,14 @@ def minhash_lsh_pairs(
     threshold).
 
     Pipeline: signatures → explode (band_id, band_hash, id) →
-    groupby(band) → within-bucket pairs → distinct pairs → JOIN the
-    pair table back onto the shingle-hash dataset (on a, then on b) →
-    vectorized set intersection per pair.  No corpus-sized broadcast;
-    the joins ship only candidate docs' hash sets."""
+    groupby(band) → within-bucket pairs → distinct pairs → verify.
+    The cross-band distinct is size-adaptive: raw pair lists at or
+    under ``SMALL_PAIR_THRESHOLD`` dedup on the driver inside the
+    candidate pull the broadcast verify already pays for (no second
+    exchange), larger ones distinct via ``groupby(a, b)`` and attach
+    shingle-hash sets by hash join (on a, then on b) → vectorized set
+    intersection per pair.  No corpus-sized broadcast; the joins ship
+    only candidate docs' hash sets."""
     rows_per_band = num_perm // bands
     docs = ds.select_columns([id_column, text_column])
     sigs = minhash_signatures(
@@ -634,30 +650,29 @@ def minhash_lsh_pairs(
             }
         )
 
-    candidates = (
+    raw_pairs = (
         sigs.map_batches(explode_bands, batch_format="pyarrow")
         .groupby(["band", "bucket"])
         .aggregate(_collect_ids_agg("id", max_members=max_bucket))
         .map_batches(_explode_pairs_batch, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
     ).materialize()
-    n_cand = candidates.count()
-    if n_cand == 0:
+    n_raw = raw_pairs.count()
+    if n_raw == 0:
         return _empty_dataset({"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()})
 
     # Semi-join reduction before verification: only candidate docs
-    # need shingle sets.  Under the threshold the candidate id list is
-    # the provably-small side and broadcasts; above it NOTHING
-    # candidate-sized touches the driver — the reduction is skipped
-    # and every doc's shingle set is hashed (linear, distributed) and
-    # attached by hash join.
+    # need shingle sets.  Under the threshold (gated on the RAW pair
+    # count, so the driver pull is provably bounded) the cross-band
+    # distinct runs on the driver — folding the former groupby(a, b)
+    # exchange into the candidate-id pull this path already paid for.
+    # Above it NOTHING candidate-sized touches the driver: the
+    # distinct is a groupby(a, b) shuffle and every doc's shingle set
+    # is hashed (linear, distributed) and attached by hash join.
     import ray
 
-    small = n_cand <= SMALL_PAIR_THRESHOLD
+    small = n_raw <= SMALL_PAIR_THRESHOLD
     if small:
-        cand_tbl = candidates.to_pandas()
+        cand_tbl = raw_pairs.to_pandas().drop_duplicates(ignore_index=True)
         cand_ids = pa.array(
             sorted(set(cand_tbl["a"]).union(cand_tbl["b"])), pa.int64()
         )
@@ -710,8 +725,13 @@ def minhash_lsh_pairs(
                 a, b, (sm[x] for x in a), (sm[y] for y in b)
             )
 
-        return candidates.map_batches(verify_small, batch_format="pyarrow")
+        return _dataset_from_table(
+            pa.Table.from_pandas(cand_tbl, preserve_index=False)
+        ).map_batches(verify_small, batch_format="pyarrow")
 
+    candidates = (
+        raw_pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
+    )
     candidates, _ = _coalesce_for_join(candidates)
     sh = sh_reduced.materialize()
     with_a = _attach_by_id(
@@ -768,7 +788,10 @@ def simhash_pairs(
     agrees exactly on ≥1 segment → groupby (segment_id, segment_value)
     yields a candidate superset (lossless).  Each bucket group carries
     its members' (id, fp) through the aggregate, so the exact-Hamming
-    verify is bucket-local — no id→fp map exists anywhere."""
+    verify is bucket-local — no id→fp map exists anywhere — and (with
+    no ``max_bucket`` cap) each pair is emitted only by its FIRST
+    agreeing segment, so no cross-segment distinct exchange runs at
+    all; the capped route keeps the groupby(a, b) distinct."""
     n_seg = max_hamming + 1
     seg_bits = 64 // n_seg
 
@@ -798,9 +821,20 @@ def simhash_pairs(
             }
         )
 
+    # Exactly-once emission: both fingerprints already travel with the
+    # bucket, so the bucket for segment ``s`` can check whether any
+    # EARLIER segment also agrees — if so, that earlier (canonical)
+    # bucket owns the pair and this one skips it.  That removes the
+    # cross-segment distinct (a whole groupby(a, b) exchange) at every
+    # scale for free.  The canonical check only holds when no bucket
+    # was dropped, so a ``max_bucket`` cap keeps the distinct-exchange
+    # route (same caveat as the prefix join: a capped canonical bucket
+    # would silently drop pairs a surviving later bucket still saw).
+    canonical = max_bucket is None
+
     def verify_bucket(batch: pa.Table) -> pa.Table:
         a_out, b_out, d_out = [], [], []
-        for blob in batch["members"].to_pylist():
+        for s, blob in zip(batch["seg"].to_pylist(), batch["members"].to_pylist()):
             if blob is None or len(blob) < 32:  # fewer than 2 members
                 continue
             rec = np.frombuffer(blob, dtype=[("id", "<i8"), ("fp", "<u8")])
@@ -809,11 +843,20 @@ def simhash_pairs(
                 ix, fx = uniq[x]
                 for y in range(x + 1, len(uniq)):
                     iy, fy = uniq[y]
-                    d = (fx ^ fy).bit_count()
-                    if d <= max_hamming:
-                        a_out.append(ix)
-                        b_out.append(iy)
-                        d_out.append(d)
+                    xor = fx ^ fy
+                    d = xor.bit_count()
+                    if d > max_hamming:
+                        continue
+                    if canonical and any(
+                        (xor >> (sp * seg_bits))
+                        & ((1 << (seg_bits if sp < n_seg - 1 else 64 - sp * seg_bits)) - 1)
+                        == 0
+                        for sp in range(s)
+                    ):
+                        continue  # an earlier segment owns this pair
+                    a_out.append(ix)
+                    b_out.append(iy)
+                    d_out.append(d)
         return pa.table(
             {
                 "a": pa.array(a_out, pa.int64()),
@@ -832,7 +875,9 @@ def simhash_pairs(
         .aggregate(_collect_id_fp_agg(max_members=max_bucket))
         .map_batches(verify_bucket, batch_format="pyarrow")
     )
-    # distinct (a pair can collide in several segments)
+    if canonical:
+        return pairs
+    # capped route: a pair can survive in several segments — distinct
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 

@@ -387,6 +387,31 @@ def test_minhash_large_path_equals_small_path(ray_session, monkeypatch):
     assert (abs(s["jaccard"] - l["jaccard"]) < 1e-12).all()
 
 
+def test_simhash_canonical_route_equals_distinct_route(ray_session, dup_corpus):
+    """The cap-free canonical-segment emission (no groupby(a, b)
+    exchange) must produce exactly the distinct-exchange route's
+    pairs — forced by an unreachably high max_bucket, which keeps the
+    groupby route without ever capping a bucket."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions.dedup import simhash_pairs
+
+    canon = simhash_pairs(
+        rd.from_items(dup_corpus), max_hamming=3
+    ).to_pandas()
+    distinct = simhash_pairs(
+        rd.from_items(dup_corpus), max_hamming=3, max_bucket=10**9
+    ).to_pandas()
+    key = ["a", "b"]
+    c = canon.sort_values(key).reset_index(drop=True)
+    d = distinct.sort_values(key).reset_index(drop=True)
+    assert len(c) > 0
+    assert c[key].values.tolist() == d[key].values.tolist()
+    # exactly-once: the canonical route must not emit duplicates
+    assert not canon.duplicated(subset=key).any()
+    assert c["hamming"].tolist() == d["hamming"].tolist()
+
+
 def test_sentence_chunking_abbreviation_aware():
     from crawl4ai_custom_ray.functions.chunkers import (
         NlpSentenceChunking,
