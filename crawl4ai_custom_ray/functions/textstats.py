@@ -652,31 +652,38 @@ def pmi_pairs(
         doc_idx = np.repeat(
             np.arange(len(toks_list)), [len(t) for t in toks_list]
         )
-        los, his = [], []
+        # factorize tokens ONCE per block (O(n) hash), then rank codes
+        # by lexicographic vocab order so code-min/max == string-min/max
+        # — pair instances become int64 keys instead of wide fixed-width
+        # unicode rows, so the distinct-count sort runs over 8-byte ints
+        import pandas as pd
+
+        raw_codes, vocab = pd.factorize(all_toks, sort=False)
+        vocab = np.asarray(vocab, dtype=object)
+        order = np.argsort(vocab.astype(str), kind="stable")
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order), dtype=np.int64)
+        codes = rank[raw_codes]
+        vocab_sorted = vocab[order]
+        V = np.int64(len(vocab_sorted))
+
+        keys = []
         for off in range(1, window + 1):
-            if off >= len(all_toks):
+            if off >= len(codes):
                 break
-            a, b = all_toks[:-off], all_toks[off:]
             same = doc_idx[:-off] == doc_idx[off:]
-            aa = np.asarray(a[same], dtype=str)
-            bb = np.asarray(b[same], dtype=str)
-            swap = aa > bb
-            los.append(np.where(swap, bb, aa))
-            his.append(np.where(swap, aa, bb))
-        if not los:
+            ca = codes[:-off][same]
+            cb = codes[off:][same]
+            keys.append(np.minimum(ca, cb) * V + np.maximum(ca, cb))
+        if not keys:
             return empty
-        lo_all, hi_all = np.concatenate(los), np.concatenate(his)
-        # common fixed width so stack/unique(axis=0) views rows as void
-        # bytes — no separator char (numpy U-dtype strips trailing NULs,
-        # so a sentinel-join would corrupt on pathological tokens)
-        width = max(lo_all.dtype.itemsize, hi_all.dtype.itemsize) // 4
-        dt = f"<U{max(width, 1)}"
-        stacked = np.stack([lo_all.astype(dt), hi_all.astype(dt)], axis=1)
-        uniq, cnt = np.unique(stacked, axis=0, return_counts=True)
+        uniq, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        lo = (uniq // V).astype(np.intp)
+        hi = (uniq % V).astype(np.intp)
         return pa.table(
             {
-                "tok_a": pa.array(uniq[:, 0].tolist(), pa.string()),
-                "tok_b": pa.array(uniq[:, 1].tolist(), pa.string()),
+                "tok_a": pa.array(vocab_sorted[lo].tolist(), pa.string()),
+                "tok_b": pa.array(vocab_sorted[hi].tolist(), pa.string()),
                 "n_part": pa.array(cnt, pa.int64()),
             }
         )
@@ -685,8 +692,7 @@ def pmi_pairs(
         docs.map_batches(pair_partial, batch_format="pyarrow")
         .groupby(["tok_a", "tok_b"])
         .aggregate(Sum("n_part", alias_name="n_pair"))
-    )
-    pairs, _ = _coalesce_for_join(pairs)
+    ).materialize()
 
     def uni_partial(batch: pa.Table) -> pa.Table:
         texts = batch[text_column].to_pylist()
@@ -695,11 +701,13 @@ def pmi_pairs(
             return pa.table(
                 {"token": pa.array([], pa.string()), "n_part": pa.array([], pa.int64())}
             )
-        uniq, cnt = np.unique(np.asarray(toks, dtype=str), return_counts=True)
+        import pandas as pd
+
+        codes, vocab = pd.factorize(np.asarray(toks, dtype=object), sort=False)
         return pa.table(
             {
-                "token": pa.array(uniq.tolist(), pa.string()),
-                "n_part": pa.array(cnt, pa.int64()),
+                "token": pa.array(vocab.tolist(), pa.string()),
+                "n_part": pa.array(np.bincount(codes).astype(np.int64), pa.int64()),
             }
         )
 
@@ -729,6 +737,18 @@ def pmi_pairs(
                 }
             )
         )
+
+    # min_count push-down: pairs below the cutoff can never reach the
+    # output, so the joins only carry surviving collocations.  P — the
+    # PMI denominator — was summed ABOVE this filter, so scores are
+    # unchanged; the surviving-pair table is what drops both joins
+    # under hash_join_safe's local-path threshold at bench scale.
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_pair"], min_count))
+
+    pairs, _ = _coalesce_for_join(
+        pairs.map_batches(keep_frequent, batch_format="pyarrow")
+    )
 
     nparts = _join_partitions(num_partitions)
     j1 = hash_join_safe(
