@@ -114,6 +114,18 @@ class CrawlConfig:
     # extra rows into the exact url join; none are lost.  Bigger
     # rounds fall back to the unfiltered hash join.  0 disables.
     fetch_filter_max: int = 20_000_000
+    # fetch-attach fast path: a round at or under this many SELECTED
+    # rows skips the hash join entirely.  The selection's metadata —
+    # (128-bit url digest, depth, seq); 20 B + seq per row, bounded by
+    # this knob, never html, never the corpus — is collected and
+    # broadcast once via ray.put, and ONE map pass over the pages scan
+    # filters + attaches depth/seq by digest.  The key is two
+    # independent siphash64 families (128 bits total) — strictly
+    # stronger identity than the 64-bit blake2b the exact seen set
+    # already trusts for frontier dedup.  Rounds above the knob run
+    # the digest semi-filter + exact url hash join (the unbounded
+    # route, value-identical).  0 disables (always hash join).
+    fetch_attach_max: int = 2_000_000
     max_rounds: int = 64
     # size-adaptive round coordination: a round whose frontier (resp.
     # discovered-link set) fits these row thresholds is coordinated
@@ -130,12 +142,14 @@ class CrawlConfig:
     extra: dict = field(default_factory=dict)
 
 
-def _url_digests64(urls):
+def _url_digests64(urls, hash_key: str | None = None):
     """uint64 digest per url (pandas' siphash — fixed key, independent
     of PYTHONHASHSEED, identical across driver and worker processes;
     vectorized in C).  Feeds the fetch semi-join filter: a collision
     can only let an extra pages-side row through to the exact url
-    join, never drop a match."""
+    join, never drop a match.  ``hash_key`` selects an independent
+    siphash family (16 chars) — two families together form the 128-bit
+    key of the fetch-attach fast path."""
     import numpy as np
     import pandas as pd
 
@@ -143,10 +157,89 @@ def _url_digests64(urls):
         arr = urls.to_numpy(zero_copy_only=False)
     else:
         arr = np.asarray(urls, dtype=object)
-    return pd.util.hash_array(arr.astype(object, copy=False))
+    arr = arr.astype(object, copy=False)
+    if hash_key is None:
+        return pd.util.hash_array(arr)
+    return pd.util.hash_array(arr, hash_key=hash_key)
 
 
-def _repack_blocks(ds, n_rows: int):
+# second independent siphash family for the 128-bit fetch-attach key
+# (any 16-char key distinct from pandas' default "0123456789123456")
+_ATTACH_HASH_KEY2 = "f7c1a94e2d8b6035"
+
+
+def _attach_meta_rows(batch: pa.Table) -> pa.Table:
+    """(d1, d2, depth, seq) metadata rows for the fetch-attach
+    broadcast — digests computed worker-side, so on the distributed
+    branch the round's url strings never travel to the driver."""
+    return pa.table(
+        {
+            "d1": pa.array(_url_digests64(batch["url"]), pa.uint64()),
+            "d2": pa.array(
+                _url_digests64(batch["url"], _ATTACH_HASH_KEY2), pa.uint64()
+            ),
+            "depth": batch["depth"],
+            "seq": batch["seq"],
+        }
+    )
+
+
+def _fetch_attach_fn(blob_ref):
+    """Map-pass fetch: filter a pages batch to the round's selection
+    and attach (depth, seq) by 128-bit digest, replacing the hash-join
+    shuffle.  The broadcast blob is (d1 sorted, d2, depth, seq) numpy
+    arrays in lexsort order of (d1, d2).  Selection rows are unique by
+    url (first-wins frontier dedup / best_first pop dedup), so first
+    key match per page row reproduces the inner join exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        def _empty() -> pa.Table:
+            return (
+                batch.slice(0, 0)
+                .append_column("depth", pa.array([], pa.int32()))
+                .append_column("seq", pa.array([], pa.string()))
+            )
+
+        if batch.num_rows == 0:
+            return _empty()
+        d1s, d2s, deps, seqs = ray.get(blob_ref)
+        if len(d1s) == 0:
+            return _empty()
+        h1 = np.asarray(_url_digests64(batch["url"]), dtype=np.uint64)
+        lo = np.searchsorted(d1s, h1, side="left")
+        hi = np.searchsorted(d1s, h1, side="right")
+        cand = np.nonzero(hi > lo)[0]
+        if len(cand) == 0:
+            return _empty()
+        # second family only for candidate rows (first-family hits)
+        h2 = np.asarray(
+            _url_digests64(
+                batch["url"].take(pa.array(cand, pa.int64())),
+                _ATTACH_HASH_KEY2,
+            ),
+            dtype=np.uint64,
+        )
+        rows, out_dep, out_seq = [], [], []
+        for k, i in enumerate(cand):
+            for j in range(lo[i], hi[i]):
+                if d2s[j] == h2[k]:
+                    rows.append(int(i))
+                    out_dep.append(int(deps[j]))
+                    out_seq.append(seqs[j])
+                    break
+        if not rows:
+            return _empty()
+        sub = batch.take(pa.array(rows, pa.int64()))
+        return sub.append_column(
+            "depth", pa.array(out_dep, pa.int32())
+        ).append_column("seq", pa.array(out_seq, pa.string()))
+
+    return fn
+
+
+def _repack_blocks(ds, n_rows: int, rows_per_block: int = 32768):
     """Round-boundary block hygiene for the cross-round frontier.
 
     The dataset round path builds frontier_{k+1} from sorts, splits
@@ -155,12 +248,15 @@ def _repack_blocks(ds, n_rows: int):
     block apiece.  Left alone the frontier's block count compounds
     with ROUND COUNT while its row count stays flat (observed: 293
     parquet files holding 197 rows by round 8, with per-round wall
-    doubling even as data shrank).  Re-pack to ~32k rows per block
-    (split/coalesce repartition — no all-to-all shuffle) whenever the
-    count drifts far above that invariant, so block count tracks data
-    volume, never round count."""
+    doubling even as data shrank).  Re-pack to ~``rows_per_block``
+    rows per block (split/coalesce repartition — no all-to-all
+    shuffle) whenever the count drifts far above that invariant, so
+    block count tracks data volume, never round count.  The link set
+    uses a smaller block target than the frontier: its downstream
+    gate (normalize + robots + scoring) is the round's CPU-heavy
+    pass and needs the parallelism."""
     m = ds.materialize()
-    target = max(1, -(-n_rows // 32768))
+    target = max(1, -(-n_rows // rows_per_block))
     if n_rows > 0 and m.num_blocks() > 4 * target + 8:
         m = m.repartition(target).materialize()
     return m
@@ -730,8 +826,41 @@ class BFSCrawl:
             # "fetch": frontier ⋈ pages on url (the simulated network).
             # Broadcast pushdown requires the round's url set on the
             # driver — only sound when the round was small enough to
-            # read back; otherwise (or on request) a bounded hash join.
-            if cfg.fetch_strategy == "join" or sel_table is None:
+            # read back; otherwise (or on request) a bounded hash join,
+            # with the digest-keyed attach fast path below it replacing
+            # the join shuffle for rounds whose METADATA fits the
+            # broadcast budget (see CrawlConfig.fetch_attach_max).
+            if (cfg.fetch_strategy == "join" or sel_table is None) and (
+                0 < n_selected <= cfg.fetch_attach_max
+            ):
+                import numpy as np
+
+                if sel_table is not None:
+                    meta = _attach_meta_rows(
+                        sel_table.select(["url", "depth", "seq"])
+                    )
+                else:
+                    # bounded collect of (d1, d2, depth, seq) — 20 B +
+                    # seq per selected row, never urls, never html
+                    meta = _dataset_to_table(
+                        sel_ds.select_columns(["url", "depth", "seq"]).map_batches(
+                            _attach_meta_rows, batch_format="pyarrow"
+                        ),
+                        schema=None,
+                    )
+                d1 = meta["d1"].to_numpy(zero_copy_only=False)
+                d2 = meta["d2"].to_numpy(zero_copy_only=False)
+                deps = meta["depth"].to_numpy(zero_copy_only=False)
+                seqs = meta["seq"].to_numpy(zero_copy_only=False)
+                order = np.lexsort((d2, d1))
+                blob_ref = ray.put(
+                    (d1[order], d2[order], deps[order], seqs[order])
+                )
+                _stage("fetch_attach_meta")
+                fetched = pages.map_batches(
+                    _fetch_attach_fn(blob_ref), batch_format="pyarrow"
+                )
+            elif cfg.fetch_strategy == "join" or sel_table is None:
                 from ..functions.dedup import _join_partitions
 
                 join_side = (
@@ -865,6 +994,14 @@ class BFSCrawl:
                 ).materialize()
                 _stage("links_materialize")
                 n_rows_all = links_all.count()
+                # block hygiene: the attach-path fetch maps over the
+                # full pages scan, so links_all inherits one block per
+                # pages file — almost all empty.  Left alone, every
+                # downstream pass (sentinel count, gate→groupby
+                # dedup, host-state distinct) pays per-block fixed
+                # cost on hundreds of empty blocks; repack to
+                # row-proportional blocks once instead.
+                links_all = _repack_blocks(links_all, n_rows_all, rows_per_block=4096)
 
                 def _candidate_filter(t: pa.Table) -> pa.Table:
                     keep = pa.compute.and_(

@@ -45,7 +45,11 @@ def test_semi_filter_equivalence_driver_build(ray_session, tmp_path):
     from sel_table.  Same visited rows/order as fetch_filter_max=0."""
     pages_path = pages_parquet_path(SF)
     seeds = _seeds(pages_path)
-    base = dict(max_depth=2, fetch_strategy="join", n_seen_shards=2)
+    # fetch_attach_max=0 pins the hash-join route — otherwise the
+    # attach fast path would bypass the semi-filter entirely
+    base = dict(
+        max_depth=2, fetch_strategy="join", n_seen_shards=2, fetch_attach_max=0
+    )
     on = _run(pages_path, seeds, tmp_path / "on", **base)
     off = _run(pages_path, seeds, tmp_path / "off", fetch_filter_max=0, **base)
     pd.testing.assert_frame_equal(on, off)
@@ -65,6 +69,7 @@ def test_semi_filter_equivalence_distributed_build(ray_session, tmp_path):
         broadcast_fetch_threshold=0,
         fetch_strategy="join",
         n_seen_shards=2,
+        fetch_attach_max=0,  # pin the hash-join route
     )
     on = _run(pages_path, seeds, tmp_path / "on", **base)
     off = _run(pages_path, seeds, tmp_path / "off", fetch_filter_max=0, **base)
@@ -87,6 +92,7 @@ def test_semi_filter_zero_match_round(ray_session, tmp_path):
         max_depth=2,
         fetch_strategy="join",
         n_seen_shards=2,
+        fetch_attach_max=0,  # pin the hash-join route
     )
     assert list(out["url"]) == ["https://nonexistent.example/none"]
 
