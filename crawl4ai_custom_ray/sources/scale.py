@@ -114,6 +114,82 @@ def scaled_documents_dir(base_sf_dir: str, replicas: int) -> str:
     return out
 
 
+def scaled_embeddings_dir(base_sf_dir: str, replicas: int) -> str:
+    """Amplified embeddings table for ANN volume runs:
+    ``embeddings.parquet`` as a part-file directory under the scale
+    cache, ``vec_id = r * n_base + v``.
+
+    Replica ``r > 0`` applies a SIGNED PERMUTATION of the dimensions
+    (roll by ``r`` positions, deterministic ±1 signs from integer
+    arithmetic — no RNG).  A signed permutation is orthogonal, so
+    WITHIN a replica every cosine similarity is preserved exactly
+    (near-duplicate structure replicates bit-for-bit in float64),
+    while ACROSS replicas vectors decorrelate — the same
+    duplicate-density philosophy as the token-suffix document
+    amplification above."""
+    import numpy as np
+
+    base_name = os.path.basename(os.path.normpath(base_sf_dir))
+    out = os.path.join(
+        SCALE_CACHE_ROOT,
+        f"emb_{base_name}_x{replicas}_g{_SCALE_VERSION}.parquet",
+    )
+    if os.path.isdir(out) and any(
+        n.endswith(".parquet") for n in os.listdir(out)
+    ):
+        return out
+    base = pq.read_table(
+        os.path.join(base_sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    )
+    n_base = base.num_rows
+    vec_ids = np.asarray(base["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(
+        [list(v) for v in base["embedding"].to_pylist()], dtype=np.float32
+    )
+    labels = base["label"].to_pylist()
+    dim = mat.shape[1]
+
+    os.makedirs(SCALE_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=SCALE_CACHE_ROOT)
+    try:
+        per_part = 25  # replicas per part file: bounded memory, many parts
+        for p0 in range(0, replicas, per_part):
+            parts = []
+            for r in range(p0, min(p0 + per_part, replicas)):
+                perm = np.roll(np.arange(dim), r % dim)
+                signs = np.where(
+                    ((np.arange(dim) * 40503 + r * 2654435761) >> 7) & 1,
+                    -1.0,
+                    1.0,
+                ).astype(np.float32)
+                m_r = mat[:, perm] * signs[None, :]
+                parts.append(
+                    pa.table(
+                        {
+                            "vec_id": pa.array(
+                                r * n_base + vec_ids, pa.int64()
+                            ),
+                            "embedding": pa.array(
+                                list(m_r), pa.list_(pa.float32())
+                            ),
+                            "label": pa.array(labels, pa.int32()),
+                        }
+                    )
+                )
+            pq.write_table(
+                pa.concat_tables(parts),
+                os.path.join(tmp, f"emb_{p0:05d}.parquet"),
+                row_group_size=4096,
+            )
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(out):
+            raise
+    return out
+
+
 def scaled_pages_dir(scale_dir: str) -> str:
     """Pages parquet directory for a scaled sf dir, generated as a
     streaming Ray Data pipeline: documents scan → per-batch

@@ -290,6 +290,48 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
 
     stage("tfidf_1m", run_tfidf, n_docs)
 
+    # ---- 8/9. ANN at 1M vectors: exact brute-force top-k and
+    # SemDeDup over a signed-permutation-amplified embeddings table
+    # (within-replica cosine structure preserved exactly; see
+    # sources/scale.py:scaled_embeddings_dir) ----
+    if want("knn_1m") or want("semdedup_1m"):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from crawl4ai_custom_ray.functions.similarity import (
+            knn_brute_force,
+            semantic_dedup,
+        )
+        from crawl4ai_custom_ray.sources.scale import scaled_embeddings_dir
+
+        n_base_emb = 2000  # sf0.1 embeddings table
+        emb_replicas = max(1, 1_000_000 // n_base_emb)
+        emb_dir = scaled_embeddings_dir(BASE_SF, emb_replicas)
+        n_vecs = rd.read_parquet(emb_dir, columns=["vec_id"]).count()
+
+        def run_knn():
+            # query prep: predicate-pushdown row fetch, never a full
+            # column on the driver (the _query_vectors recipe)
+            qt = (
+                rd.read_parquet(emb_dir, filter=pc.field("vec_id") < 32)
+                .take_all()
+            )
+            qt.sort(key=lambda r: r["vec_id"])
+            qids = [int(r["vec_id"]) for r in qt]
+            qvecs = np.asarray([list(r["embedding"]) for r in qt])
+            emb = rd.read_parquet(emb_dir)
+            return knn_brute_force(emb, qvecs, qids, k=10).num_rows
+
+        stage("knn_1m", run_knn, n_vecs)
+
+        def run_semdedup():
+            emb = rd.read_parquet(emb_dir)
+            return semantic_dedup(
+                emb, threshold=0.9, n_clusters=1024, max_cluster=8192
+            ).count()
+
+        stage("semdedup_1m", run_semdedup, n_vecs)
+
     report["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     ray.shutdown()
     return report
@@ -388,6 +430,7 @@ def main() -> int:
         "--stages",
         default=None,
         help="comma list to run a subset (extract_1m,frontier_dist,"
+        "knn_1m,semdedup_1m,"
         "dedup_minhash_1m,dedup_cluster_1m,curate_1m); results merge "
         "into --out so long runs can be split across invocations",
     )

@@ -99,3 +99,52 @@ def test_generation_is_idempotent(scaled):
     sdir, pdir = scaled
     assert scaled_documents_dir(SF, replicas=3) == sdir
     assert scaled_pages_dir(sdir) == pdir
+
+
+def test_embeddings_amplified_signed_permutation(monkeypatch_module, tmp_path_factory):
+    """scaled_embeddings_dir: replica count and ids check out; a
+    signed permutation is orthogonal, so WITHIN a replica every cosine
+    similarity must match the base table exactly (float64), while
+    cross-replica vectors decorrelate."""
+    import numpy as np
+
+    import crawl4ai_custom_ray.sources.scale as scale_mod
+    from crawl4ai_custom_ray.sources.scale import scaled_embeddings_dir
+
+    root = str(tmp_path_factory.mktemp("emb_cache"))
+    monkeypatch_module.setattr(scale_mod, "SCALE_CACHE_ROOT", root)
+    out = scaled_embeddings_dir(SF, replicas=3)
+    t = pq.read_table(out)
+    base = pq.read_table(os.path.join(SF, "embeddings.parquet"))
+    n_base = base.num_rows
+    assert t.num_rows == 3 * n_base
+    assert set(t["vec_id"].to_pylist()) == set(range(3 * n_base))
+
+    def mat(tbl, lo, hi):
+        ids = np.asarray(tbl["vec_id"].to_pylist())
+        m = np.asarray(
+            [list(v) for v in tbl["embedding"].to_pylist()], dtype=np.float64
+        )
+        sel = (ids >= lo) & (ids < hi)
+        order = np.argsort(ids[sel])
+        return m[sel][order]
+
+    def cos(m):
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return n @ n.T
+
+    b = mat(base, 0, n_base)[:50]
+    base_cos = cos(b)
+    for r in (1, 2):
+        m_r = mat(t, r * n_base, r * n_base + 50)
+        # within-replica structure preserved exactly
+        assert np.allclose(cos(m_r), base_cos, atol=1e-6)
+    # cross-replica: replica-1 vector 0 is NOT a near-dup of base 0
+    m1 = mat(t, n_base, n_base + 1)[0]
+    sim = float(
+        (b[0] / np.linalg.norm(b[0])) @ (m1 / np.linalg.norm(m1))
+    )
+    assert sim < 0.99
+
+    # idempotent cache
+    assert scaled_embeddings_dir(SF, replicas=3) == out
