@@ -154,6 +154,58 @@ def _explode_pairs_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _hash_group_blocks(ds, keys: list[str], num_partitions: int):
+    """Hash-partition rows so every ``keys`` group lands WHOLE inside
+    one block — the bucket-grouping primitive behind the LSH/banding
+    paths.
+
+    Ray's aggregate machinery pays per-group Python-object cost, which
+    dominates when groups are tiny and web-scale NUMEROUS (measured on
+    the 1M-doc volume corpus: 16M banding rows → 15.3M buckets took
+    57–85 s through ``groupby().aggregate()`` under either shuffle
+    strategy, with the built-in Count no faster than a custom
+    collect).  A key-hash repartition is ONE arrow-native exchange
+    (8 s on the same input); group-runs are then found with one numpy
+    lexsort per block and consumed vectorized.  Key-based repartition
+    requires the HASH_SHUFFLE strategy; a Dataset captures its
+    DataContext at creation, so set/restore it on the dataset's OWN
+    bound context around the materialize — the session default (sort
+    shuffle, which measured faster for ordinary aggregates) is
+    untouched."""
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ds.context
+    prev = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        return ds.repartition(num_partitions, keys=keys).materialize()
+    finally:
+        ctx.shuffle_strategy = prev
+
+
+def _group_runs(batch: pa.Table, keys: list[str]):
+    """Yield (start, end, sort_order) runs of equal ``keys`` within a
+    hash-partitioned block (see :func:`_hash_group_blocks`): one
+    lexsort, then boundary detection — no per-group allocation."""
+    n = batch.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    cols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+    order = np.lexsort(tuple(reversed(cols)))
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    acc = np.zeros(n - 1, dtype=bool) if n > 1 else np.empty(0, dtype=bool)
+    for c in cols:
+        cs = c[order]
+        if n > 1:
+            acc |= cs[1:] != cs[:-1]
+    if n > 1:
+        new[1:] = acc
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], n)
+    return starts, ends, order
+
+
 # Pair tables at or under this row count take the broadcast fast path
 # (driver state bounded by the threshold, never the corpus); larger
 # ones run hash joins.
@@ -164,6 +216,22 @@ SMALL_PAIR_THRESHOLD = 200_000
 # vocabulary groupby shuffle (each row is a (token, count) pair, so
 # the pull is bounded ≈ blocks × per-block vocabulary).
 _DF_PARTIAL_DRIVER_MAX = 2_000_000
+
+# minhash verify candidate-id pull gate: raw pair counts at or under
+# this broadcast their distinct candidate ids (≤ 2 int64 per pair —
+# ≤ ~320 MB at the gate) so only candidate docs are shingled; larger
+# pair sets shingle the whole corpus (linear, distributed) instead.
+_CAND_ID_FILTER_MAX = 20_000_000
+
+
+def _pair_id_blob_rows(batch: pa.Table) -> pa.Table:
+    """One row per block: the block's sorted unique pair-member ids as
+    raw little-endian int64 bytes (the driver-side concatenation is
+    bounded by ``_CAND_ID_FILTER_MAX`` pairs)."""
+    a = batch["a"].to_numpy(zero_copy_only=False)
+    b = batch["b"].to_numpy(zero_copy_only=False)
+    u = np.unique(np.concatenate([a, b])) if len(a) else np.empty(0, dtype="<i8")
+    return pa.table({"ids": pa.array([u.astype("<i8").tobytes()], pa.binary())})
 
 
 def _coalesce_for_join(ds, *, target_rows_per_block: int = 4096, max_blocks: int = 64):
@@ -650,11 +718,52 @@ def minhash_lsh_pairs(
             }
         )
 
-    raw_pairs = (
-        sigs.map_batches(explode_bands, batch_format="pyarrow")
-        .groupby(["band", "bucket"])
-        .aggregate(_collect_ids_agg("id", max_members=max_bucket))
-        .map_batches(_explode_pairs_batch, batch_format="pyarrow")
+    # bucket grouping via key-hash repartition + per-block runs (see
+    # _hash_group_blocks: 7× over groupby().aggregate() at 15M buckets)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    parts = _hash_group_blocks(
+        sigs.map_batches(explode_bands, batch_format="pyarrow"),
+        ["band", "bucket"],
+        max(num_partitions, cpus),
+    )
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        starts, ends, order = _group_runs(batch, ["band", "bucket"])
+        if len(starts) == 0:
+            return empty
+        ids = batch["id"].to_numpy(zero_copy_only=False)[order]
+        outa, outb = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = np.unique(ids[s:e])
+            n = len(g)
+            # hot-bucket guard: over-cap buckets contribute nothing
+            # (recall note in _collect_ids_agg applies unchanged)
+            if n < 2 or (max_bucket is not None and n > max_bucket):
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            outa.append(g[iu])
+            outb.append(g[ju])
+        if not outa:
+            return empty
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(outa), pa.int64()),
+                "b": pa.array(np.concatenate(outb), pa.int64()),
+            }
+        )
+
+    # batch_size=None: whole-block batches — a bucket's rows are
+    # co-located per block by the repartition, and a smaller batch
+    # size would split runs mid-bucket
+    raw_pairs = parts.map_batches(
+        bucket_pairs, batch_format="pyarrow", batch_size=None
     ).materialize()
     n_raw = raw_pairs.count()
     if n_raw == 0:
@@ -684,6 +793,37 @@ def minhash_lsh_pairs(
             )
 
         sh_source = docs.map_batches(keep_candidates, batch_format="pyarrow")
+    elif n_raw <= _CAND_ID_FILTER_MAX:
+        # large path, still gated: pull only the distinct CANDIDATE
+        # IDS (≤ 2 per raw pair — bounded by the gate, never the
+        # corpus) as per-block sorted blobs, broadcast one int64
+        # array, and md5-shingle only candidate docs.  Above the gate
+        # every doc is shingled (linear, distributed) as before.
+        blobs = raw_pairs.map_batches(
+            _pair_id_blob_rows, batch_format="pyarrow"
+        ).take_all()
+        cand_arr = (
+            np.unique(
+                np.concatenate(
+                    [np.frombuffer(r["ids"], dtype="<i8") for r in blobs]
+                )
+            )
+            if blobs
+            else np.empty(0, dtype="<i8")
+        )
+        arr_ref = ray.put(cand_arr)
+
+        def keep_candidates_sorted(batch: pa.Table) -> pa.Table:
+            ca = ray.get(arr_ref)
+            if len(ca) == 0 or batch.num_rows == 0:
+                return batch.slice(0, 0)
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ca, ids), 0, len(ca) - 1)
+            return batch.filter(pa.array(ca[pos] == ids))
+
+        sh_source = docs.map_batches(
+            keep_candidates_sorted, batch_format="pyarrow"
+        )
     else:
         sh_source = docs
     sh_reduced = shingle_hash_sets(
@@ -832,13 +972,22 @@ def simhash_pairs(
     # would silently drop pairs a surviving later bucket still saw).
     canonical = max_bucket is None
 
-    def verify_bucket(batch: pa.Table) -> pa.Table:
+    def verify_runs(batch: pa.Table) -> pa.Table:
+        """Per-block bucket verify over (seg, val) runs (the buckets
+        are block-local after the key-hash repartition)."""
         a_out, b_out, d_out = [], [], []
-        for s, blob in zip(batch["seg"].to_pylist(), batch["members"].to_pylist()):
-            if blob is None or len(blob) < 32:  # fewer than 2 members
+        starts, ends, order = _group_runs(batch, ["seg", "val"])
+        if len(starts):
+            segs = batch["seg"].to_numpy(zero_copy_only=False)[order]
+            ids = batch["id"].to_numpy(zero_copy_only=False)[order]
+            fps = batch["fp"].to_numpy(zero_copy_only=False)[order]
+        for st, en in zip(starts, ends):
+            if en - st < 2:
                 continue
-            rec = np.frombuffer(blob, dtype=[("id", "<i8"), ("fp", "<u8")])
-            uniq = sorted({(int(i), int(fp)) for i, fp in rec})
+            s = int(segs[st])
+            uniq = sorted({(int(i), int(fp)) for i, fp in zip(ids[st:en], fps[st:en])})
+            if max_bucket is not None and len(uniq) > max_bucket:
+                continue  # hot-bucket guard, as in the aggregate route
             for x in range(len(uniq)):
                 ix, fx = uniq[x]
                 for y in range(x + 1, len(uniq)):
@@ -865,15 +1014,20 @@ def simhash_pairs(
             }
         )
 
+    import ray
     from ray.data.aggregate import Min
 
-    pairs = (
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    parts = _hash_group_blocks(
         ds.select_columns([id_column, text_column])
         .map_batches(fingerprints, batch_format="pyarrow")
-        .map_batches(explode_segments, batch_format="pyarrow")
-        .groupby(["seg", "val"])
-        .aggregate(_collect_id_fp_agg(max_members=max_bucket))
-        .map_batches(verify_bucket, batch_format="pyarrow")
+        .map_batches(explode_segments, batch_format="pyarrow"),
+        ["seg", "val"],
+        max(16, cpus),
+    )
+    # batch_size=None: whole-block batches so runs never split mid-bucket
+    pairs = parts.map_batches(
+        verify_runs, batch_format="pyarrow", batch_size=None
     )
     if canonical:
         return pairs

@@ -387,6 +387,35 @@ def test_minhash_large_path_equals_small_path(ray_session, monkeypatch):
     assert (abs(s["jaccard"] - l["jaccard"]) < 1e-12).all()
 
 
+def test_minhash_cand_filter_gate_equals_full_shingle(ray_session, monkeypatch):
+    """The large path's candidate-id semi-filter (bounded broadcast of
+    distinct pair-member ids) must be invisible: forcing the
+    above-gate route (every doc shingled) produces identical pairs."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions import dedup as dd
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again %d"
+    for i in range(40):
+        rows.append({"doc_id": i, "text": base % (i % 7)})
+
+    monkeypatch.setattr(dd, "SMALL_PAIR_THRESHOLD", 0)
+    filtered = dd.minhash_lsh_pairs(
+        rd.from_items(rows), threshold=0.5, num_perm=32, bands=8
+    ).to_pandas()
+    monkeypatch.setattr(dd, "_CAND_ID_FILTER_MAX", 0)
+    full = dd.minhash_lsh_pairs(
+        rd.from_items(rows), threshold=0.5, num_perm=32, bands=8
+    ).to_pandas()
+    key = ["a", "b"]
+    f = filtered.sort_values(key).reset_index(drop=True)
+    g = full.sort_values(key).reset_index(drop=True)
+    assert len(f) > 0
+    assert f[key].values.tolist() == g[key].values.tolist()
+    assert (abs(f["jaccard"] - g["jaccard"]) < 1e-12).all()
+
+
 def test_simhash_canonical_route_equals_distinct_route(ray_session, dup_corpus):
     """The cap-free canonical-segment emission (no groupby(a, b)
     exchange) must produce exactly the distinct-exchange route's
