@@ -41,6 +41,13 @@ import pyarrow.compute as pc
 # it, the BSP path is the only one that fits in memory.
 _LOCAL_GRAPH_MAX_EDGES = 200_000
 
+# PageRank rank-broadcast gate: node counts at or under this pull the
+# rank table to the driver each iteration as (128-bit url digest,
+# rank) numpy arrays — 24 B per node (120 MB at the gate), never url
+# strings — replacing the per-edge rank join; larger graphs keep the
+# join route, value-identical.
+_PAGERANK_BCAST_MAX = 5_000_000
+
 
 def _pagerank_local(
     e, n, *, src_column, dst_column, node_column, weight_column, iters, scale
@@ -229,14 +236,46 @@ def pagerank(
             iters=iters,
             scale=scale,
         )
-    if weight_column:
-        outdeg = edges.groupby(src_column).aggregate(
-            Sum(weight_column, alias_name="outdeg")
-        )
-    else:
-        outdeg = edges.groupby(src_column).aggregate(Count(alias_name="outdeg"))
-    outdeg, _ = _coalesce_for_join(outdeg)
+    # Out-degree via key-hash repartition + per-block C++ group count
+    # (node-count groups through Ray's aggregate machinery measured 2×
+    # slower; see dedup._hash_group_blocks), then ONE per-edge attach
+    # join — reused by every iteration.
+    import numpy as np
+    import ray
+
+    from .dedup import _hash_group_blocks
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    )
     nparts = _join_partitions(num_partitions)
+    kparts = max(num_partitions, cpus)
+
+    def block_outdeg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    src_column: pa.array([], pa.string()),
+                    "outdeg": pa.array([], pa.int64()),
+                }
+            )
+        if weight_column:
+            g = batch.group_by(src_column).aggregate([(weight_column, "sum")])
+            return pa.table(
+                {
+                    src_column: g[src_column],
+                    "outdeg": g[f"{weight_column}_sum"].cast(pa.int64()),
+                }
+            )
+        g = batch.group_by(src_column).aggregate([(dst_column, "count")])
+        return pa.table(
+            {src_column: g[src_column], "outdeg": g[f"{dst_column}_count"]}
+        )
+
+    outdeg = _hash_group_blocks(edges, [src_column], kparts).map_batches(
+        block_outdeg, batch_format="pyarrow", batch_size=None
+    )
+    outdeg, _ = _coalesce_for_join(outdeg)
 
     edges_w = edges.join(
         outdeg,
@@ -257,32 +296,127 @@ def pagerank(
     ranks = nodes.map_batches(init_rank, batch_format="pyarrow")
     ranks, _ = _coalesce_for_join(ranks)
 
-    for _ in range(iters):
-        contribs = edges_w.join(
-            ranks,
-            join_type="inner",
-            num_partitions=nparts,
-            on=(src_column,),
-            right_on=(node_column,),
+    def per_edge(batch: pa.Table) -> pa.Table:
+        if weight_column:
+            num = pc.multiply(
+                batch["rank"], pc.cast(batch[weight_column], pa.int64())
+            )
+        else:
+            num = batch["rank"]
+        con = pc.divide(num, pc.cast(batch["outdeg"], pa.int64()))
+        return pa.table(
+            {"dst_": batch[dst_column], "con": pc.cast(con, pa.int64())}
         )
 
-        def per_edge(batch: pa.Table) -> pa.Table:
+    def block_sum(batch: pa.Table) -> pa.Table:
+        """Per-block C++ group-sum — final per-dst sums, because the
+        key-hash repartition co-located each dst's rows."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {"dst_": pa.array([], pa.string()), "s": pa.array([], pa.int64())}
+            )
+        g = batch.group_by("dst_").aggregate([("con", "sum")])
+        return pa.table({"dst_": g["dst_"], "s": g["con_sum"]})
+
+    # rank delivery per iteration, size-adaptive: node counts at or
+    # under the gate broadcast the rank table as (128-bit url digest,
+    # rank) numpy arrays — a bounded pull (24 B per node, never url
+    # strings) that replaces the per-edge hash join; above the gate
+    # the join route runs unchanged (value-identical: the digest
+    # lookup drops rank-less sources exactly like the inner join).
+    from ..frontier.crawl import _ATTACH_HASH_KEY2, _url_digests64
+
+    bcast = nodes.count() <= _PAGERANK_BCAST_MAX
+
+    def _rank_blob_rows(batch: pa.Table) -> pa.Table:
+        d1 = np.asarray(_url_digests64(batch[node_column]), dtype="<u8")
+        d2 = np.asarray(
+            _url_digests64(batch[node_column], _ATTACH_HASH_KEY2), dtype="<u8"
+        )
+        r = batch["rank"].to_numpy(zero_copy_only=False).astype("<i8")
+        return pa.table(
+            {
+                "d1": pa.array([d1.tobytes()], pa.binary()),
+                "d2": pa.array([d2.tobytes()], pa.binary()),
+                "r": pa.array([r.tobytes()], pa.binary()),
+            }
+        )
+
+    def _edge_contrib_bcast(ref):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"dst_": pa.array([], pa.string()), "con": pa.array([], pa.int64())}
+                )
+            d1s, d2s, rs = ray.get(ref)
+            h1 = np.asarray(_url_digests64(batch[src_column]), dtype="<u8")
+            h2 = np.asarray(
+                _url_digests64(batch[src_column], _ATTACH_HASH_KEY2), dtype="<u8"
+            )
+            pos = np.clip(np.searchsorted(d1s, h1), 0, max(len(d1s) - 1, 0))
+            ok = (d1s[pos] == h1) & (d2s[pos] == h2)
+            # rare duplicate-d1 runs: scan forward for the d2 match
+            for i in np.nonzero((d1s[pos] == h1) & (d2s[pos] != h2))[0]:
+                j = pos[i]
+                while j < len(d1s) and d1s[j] == h1[i]:
+                    if d2s[j] == h2[i]:
+                        pos[i] = j
+                        ok[i] = True
+                        break
+                    j += 1
+            sub = batch.filter(pa.array(ok))
+            rank = pa.array(rs[pos[ok]], pa.int64())
             if weight_column:
                 num = pc.multiply(
-                    batch["rank"], pc.cast(batch[weight_column], pa.int64())
+                    rank, pc.cast(sub[weight_column], pa.int64())
                 )
             else:
-                num = batch["rank"]
-            con = pc.divide(num, pc.cast(batch["outdeg"], pa.int64()))
-            return pa.table(
-                {"dst_": batch[dst_column], "con": pc.cast(con, pa.int64())}
+                num = rank
+            con = pc.cast(
+                pc.divide(num, pc.cast(sub["outdeg"], pa.int64())), pa.int64()
             )
+            return pa.table({"dst_": sub[dst_column], "con": con})
 
-        incoming = (
-            contribs.map_batches(per_edge, batch_format="pyarrow")
-            .groupby("dst_")
-            .aggregate(Sum("con", alias_name="s"))
-        )
+        return fn
+
+    for _ in range(iters):
+        if bcast:
+            blobs = ranks.map_batches(
+                _rank_blob_rows, batch_format="pyarrow"
+            ).take_all()
+            d1 = (
+                np.concatenate([np.frombuffer(b["d1"], dtype="<u8") for b in blobs])
+                if blobs
+                else np.empty(0, dtype="<u8")
+            )
+            d2 = (
+                np.concatenate([np.frombuffer(b["d2"], dtype="<u8") for b in blobs])
+                if blobs
+                else np.empty(0, dtype="<u8")
+            )
+            r = (
+                np.concatenate([np.frombuffer(b["r"], dtype="<i8") for b in blobs])
+                if blobs
+                else np.empty(0, dtype="<i8")
+            )
+            order = np.lexsort((d2, d1))
+            ref = ray.put((d1[order], d2[order], r[order]))
+            contrib_rows = edges_w.map_batches(
+                _edge_contrib_bcast(ref), batch_format="pyarrow"
+            )
+        else:
+            contribs = edges_w.join(
+                ranks,
+                join_type="inner",
+                num_partitions=nparts,
+                on=(src_column,),
+                right_on=(node_column,),
+            )
+            contrib_rows = contribs.map_batches(per_edge, batch_format="pyarrow")
+
+        incoming = _hash_group_blocks(
+            contrib_rows, ["dst_"], kparts
+        ).map_batches(block_sum, batch_format="pyarrow", batch_size=None)
         incoming, _ = _coalesce_for_join(incoming)
 
         joined = nodes.join(

@@ -332,6 +332,39 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
 
         stage("semdedup_1m", run_semdedup, n_vecs)
 
+    # ---- 10. PageRank over the 1M-page link graph: link extraction
+    # (light parser pass) → first-wins dedup → 5 integer BSP rounds,
+    # every iteration a rank⋈edge join + per-dst sum at 1M nodes ----
+    if want("pagerank_1m"):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from crawl4ai_custom_ray.frontier.crawl import _extract_links_batch
+        from crawl4ai_custom_ray.functions.graph import pagerank
+
+        def run_pagerank():
+            pages_ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+            nodes = rd.read_parquet(pages_dir, columns=["url"])
+
+            def to_edges(batch: _pa.Table) -> _pa.Table:
+                t = _extract_links_batch(batch)
+                t = t.filter(
+                    _pc.and_(t["href"].is_valid(), _pc.invert(t["external"]))
+                )
+                t = t.filter(_pc.not_equal(t["src_url"], t["href"]))
+                return _pa.table(
+                    {"src": t["src_url"], "dst": t["href"]}
+                )
+
+            edges = pages_ds.map_batches(to_edges, batch_format="pyarrow")
+            ranks = pagerank(
+                edges, nodes, src_column="src", dst_column="dst",
+                node_column="url", iters=5,
+            )
+            return ranks.count() if hasattr(ranks, "count") else len(ranks)
+
+        stage("pagerank_1m", run_pagerank, n_pages)
+
     report["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     ray.shutdown()
     return report

@@ -473,6 +473,11 @@ def test_graph_local_vs_distributed(ray_session, monkeypatch):
 
     local = run()  # default threshold → local kernels
     monkeypatch.setattr(g, "_LOCAL_GRAPH_MAX_EDGES", -1)
-    dist = run()  # forced distributed BSP
+    dist = run()  # forced distributed BSP (rank-broadcast route)
     for k in local:
         assert local[k].equals(dist[k]), f"{k} differs:\n{local[k]}\n{dist[k]}"
+    # above-gate route: per-edge rank join instead of the broadcast
+    monkeypatch.setattr(g, "_PAGERANK_BCAST_MAX", -1)
+    joinroute = run()
+    for k in ("pr", "prw"):
+        assert local[k].equals(joinroute[k]), f"{k} join-route differs"
