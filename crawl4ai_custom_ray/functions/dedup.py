@@ -1093,7 +1093,6 @@ def connected_components(
     moved); raises after ``max_iters`` without convergence.
     """
     import ray.data as rd
-    from ray.data.aggregate import Min
 
     if small_threshold is None:
         small_threshold = SMALL_PAIR_THRESHOLD
@@ -1133,13 +1132,59 @@ def connected_components(
             {"node": batch["src"], "label": batch["src"]}
         )
 
-    labels = (
-        edges.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("node")
-        .aggregate(Min("label", alias_name="label"))
-        .materialize()
+    import ray as _ray
+
+    cpus = (
+        int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
     )
-    prev_sum = labels.sum("label")
+    kparts = max(num_partitions, cpus)
+
+    def block_min(batch: pa.Table) -> pa.Table:
+        """Per-block C++ min — final per-node labels, because the
+        key-hash repartition co-located each node's rows (node-count
+        groups through Ray's aggregate machinery measured 2×+ slower;
+        see _hash_group_blocks)."""
+        if batch.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "label": pa.array([], pa.int64())}
+            )
+        g = batch.group_by("node").aggregate([("label", "min")])
+        return pa.table({"node": g["node"], "label": g["label_min"]})
+
+    def _min_by_node(ds_in):
+        return (
+            _hash_group_blocks(ds_in, ["node"], kparts)
+            .map_batches(block_min, batch_format="pyarrow", batch_size=None)
+            .materialize()  # read twice: the fixpoint sum AND the next join
+        )
+
+    def _sum_parts(batch: pa.Table) -> pa.Table:
+        v = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "hi": pa.array([int((v >> 32).sum())], pa.int64()),
+                "lo": pa.array([int((v & 0xFFFFFFFF).sum())], pa.int64()),
+            }
+        )
+
+    def _label_checksum(labels_ds) -> int:
+        """Exact label-sum fixpoint detector, overflow-safe for
+        int64-SCALE node ids (url digests near ±2^63 overflow a naive
+        ``Sum("label")`` — the accumulated Python int then fails the
+        Arrow int64 conversion inside the aggregator).  Per-block
+        exact sums of the arithmetic high/low 32-bit halves stay well
+        inside int64; the driver combines them with Python ints."""
+        parts = labels_ds.map_batches(
+            _sum_parts, batch_format="pyarrow"
+        ).to_pandas()
+        if "hi" not in parts.columns:
+            return 0
+        return int(parts["hi"].sum()) * (1 << 32) + int(parts["lo"].sum())
+
+    labels = _min_by_node(
+        edges.map_batches(init_labels, batch_format="pyarrow")
+    )
+    prev_sum = _label_checksum(labels)
 
     n_parts = _join_partitions(num_partitions)
     for _ in range(max_iters):
@@ -1150,13 +1195,8 @@ def connected_components(
             on=("src",),
             right_on=("node",),
         ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
-        labels = (
-            labels.union(prop)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .materialize()
-        )
-        new_sum = labels.sum("label")
+        labels = _min_by_node(labels.union(prop))
+        new_sum = _label_checksum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

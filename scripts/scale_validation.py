@@ -365,6 +365,44 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
 
         stage("pagerank_1m", run_pagerank, n_pages)
 
+    # ---- 11. distributed connected components over the 9M-edge link
+    # graph (int64 node ids = url digests): small_threshold=0 forces
+    # the min-label-propagation route — the path a >200k-edge dup
+    # graph takes at web scale (the 1M-doc near-dedup run above stays
+    # under the union-find gate by construction) ----
+    if want("cc_link_1m"):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from crawl4ai_custom_ray.frontier.crawl import (
+            _extract_links_batch,
+            _url_digests64,
+        )
+        from crawl4ai_custom_ray.functions.dedup import connected_components
+
+        def run_cc():
+            import numpy as np
+
+            pages_ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+
+            def to_id_edges(batch: _pa.Table) -> _pa.Table:
+                t = _extract_links_batch(batch)
+                t = t.filter(
+                    _pc.and_(t["href"].is_valid(), _pc.invert(t["external"]))
+                )
+                t = t.filter(_pc.not_equal(t["src_url"], t["href"]))
+                a = _url_digests64(t["src_url"]).astype("i8")
+                b = _url_digests64(t["href"]).astype("i8")
+                return _pa.table(
+                    {"a": _pa.array(a, _pa.int64()), "b": _pa.array(b, _pa.int64())}
+                )
+
+            edges = pages_ds.map_batches(to_id_edges, batch_format="pyarrow")
+            labels = connected_components(edges, small_threshold=0)
+            return labels.count()
+
+        stage("cc_link_1m", run_cc, n_pages)
+
     report["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     ray.shutdown()
     return report

@@ -571,6 +571,46 @@ def test_connected_components_distributed_equals_union_find(ray_session):
     assert small.equals(dist)
 
 
+def test_connected_components_digest_scale_ids(ray_session):
+    """int64-SCALE node ids (url digests near ±2^63) must work on the
+    distributed route: a naive Sum("label") fixpoint overflows int64
+    across a million-row label table (the accumulated Python int then
+    fails Arrow conversion inside the aggregator); the hi/lo-split
+    checksum is exact at any magnitude.  Differential vs union-find,
+    and one label row per node."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.frontier.crawl import _url_digests64
+    from crawl4ai_custom_ray.functions.dedup import connected_components
+
+    import random
+
+    rng = random.Random(11)
+    urls = [f"https://h{i % 37}.local/p{i}" for i in range(300)]
+    digs = _url_digests64(urls).astype("i8")
+    # random graph: small diameter, so label propagation converges in
+    # a handful of rounds (propagation is O(diameter) by design)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(500)]
+    edges = [(x, y) for x, y in edges if x != y]
+    a = [int(digs[x]) for x, _ in edges]
+    b = [int(digs[y]) for _, y in edges]
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    small = (
+        connected_components(pairs).to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        connected_components(pairs, small_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert small.equals(dist)
+    assert dist["node"].is_unique
+
+
 def test_near_dedup_clusters_planted(ray_session, dup_corpus):
     """Planted near-dup groups must land in one cluster each, with the
     min id kept; unrelated docs stay singletons."""
