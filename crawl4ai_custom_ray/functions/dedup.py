@@ -183,6 +183,28 @@ def _hash_group_blocks(ds, keys: list[str], num_partitions: int):
         ctx.shuffle_strategy = prev
 
 
+def _min_by_keys(ds, keys: list[str], value_col: str, alias: str):
+    """Per-``keys`` minimum of ``value_col`` via key-hash repartition
+    + per-block C++ group-min — the numerous-tiny-group regime
+    (line/window/content-hash groups are corpus-count at web scale)
+    where Ray's aggregate machinery pays per-group Python cost (see
+    :func:`_hash_group_blocks`).  Final minima, because each key is
+    co-located by the repartition."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    def block_min(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate([(value_col, "min")])
+        return g.rename_columns(
+            [alias if c == f"{value_col}_min" else c for c in g.column_names]
+        )
+
+    return _hash_group_blocks(
+        ds.select_columns(keys + [value_col]), keys, max(16, cpus)
+    ).map_batches(block_min, batch_format="pyarrow", batch_size=None)
+
+
 def _group_runs(batch: pa.Table, keys: list[str]):
     """Yield (start, end, sort_order) runs of equal ``keys`` within a
     hash-partitioned block (see :func:`_hash_group_blocks`): one
@@ -383,13 +405,14 @@ def add_content_hash(ds, text_column: str = "text", hash_column: str = "content_
 
 def exact_dedup(ds, *, text_column: str = "text", id_column: str = "doc_id"):
     """Keep the min-id row per distinct text.  Shuffles only
-    (hash, id) pairs, not the documents."""
+    (hash, id) pairs, not the documents.  Grouping runs as a key-hash
+    repartition + per-block C++ min — distinct-text groups are
+    corpus-count at web scale, the regime where Ray's aggregate
+    machinery pays per-group Python cost (see _hash_group_blocks)."""
     hashed = add_content_hash(
         ds.select_columns([id_column, text_column]), text_column
     ).select_columns([id_column, "content_hash"])
-    from ray.data.aggregate import Min
-
-    return hashed.groupby("content_hash").aggregate(Min(id_column, alias_name=id_column))
+    return _min_by_keys(hashed, ["content_hash"], id_column, id_column)
 
 
 # ------------------------------------------------------------ jaccard exact
@@ -1385,13 +1408,8 @@ def line_dedup(
 
     exploded = docs.map_batches(explode, batch_format="pyarrow").materialize()
 
-    from ray.data.aggregate import Min
-
-    winners = (
-        exploded.filter(expr="elig")
-        .select_columns(["h", "key"])
-        .groupby("h")
-        .aggregate(Min("key", alias_name="keep_key"))
+    winners = _min_by_keys(
+        exploded.filter(expr="elig"), ["h"], "key", "keep_key"
     )
     winners, _ = _coalesce_for_join(winners)
 
@@ -1641,11 +1659,7 @@ def substring_dedup(
 
         return docs.map_batches(rebuild_small, batch_format="pyarrow")
 
-    winners = (
-        exploded.select_columns(["h1", "h2", "key"])
-        .groupby(["h1", "h2"])
-        .aggregate(Min("key", alias_name="keep_key"))
-    )
+    winners = _min_by_keys(exploded, ["h1", "h2"], "key", "keep_key")
     winners, _ = _coalesce_for_join(winners)
 
     joined = hash_join_safe(

@@ -403,6 +403,18 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
 
         stage("cc_link_1m", run_cc, n_pages)
 
+    # ---- 12. CCNet line-level dedup over 1M docs: line explode →
+    # per-line-hash min-key winners (key-hash repartition + per-block
+    # C++ min — line-count groups) → winners join → doc rebuild ----
+    if want("line_dedup_1m"):
+        from crawl4ai_custom_ray.functions.dedup import line_dedup
+
+        def run_line_dedup():
+            docs = rd.read_parquet(docs_dir, columns=["doc_id", "text"])
+            return line_dedup(docs).count()
+
+        stage("line_dedup_1m", run_line_dedup, n_docs)
+
     report["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     ray.shutdown()
     return report
