@@ -205,6 +205,61 @@ def _min_by_keys(ds, keys: list[str], value_col: str, alias: str):
     ).map_batches(block_min, batch_format="pyarrow", batch_size=None)
 
 
+def _count_by_keys(ds, keys: list[str], alias: str):
+    """Per-``keys`` row count via key-hash repartition + per-block C++
+    group-count — same numerous-tiny-group rationale as
+    :func:`_min_by_keys`.  Final counts, because each key is
+    co-located by the repartition."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    def block_count(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns(
+            [alias if c == "count_all" else c for c in g.column_names]
+        )
+
+    return _hash_group_blocks(
+        ds.select_columns(keys), keys, max(16, cpus)
+    ).map_batches(block_count, batch_format="pyarrow", batch_size=None)
+
+
+def _collect_lists_by_key(ds, key: str, value_col: str, alias: str):
+    """Per-``key`` value lists via key-hash repartition + per-block
+    runs → arrow ListArray rows — the vectorized replacement for a
+    collect-list AggregateFn when groups are numerous (vocabulary /
+    bucket keys).  Whole groups per block by construction."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    def block_lists(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            vt = batch.schema.field(value_col).type
+            return pa.table(
+                {
+                    key: pa.array([], batch.schema.field(key).type),
+                    alias: pa.array([], pa.list_(vt)),
+                }
+            )
+        starts, ends, order = _group_runs(batch, [key])
+        take = pa.array(order)
+        keys_sorted = batch[key].take(take).combine_chunks()
+        vals_sorted = batch[value_col].take(take).combine_chunks()
+        offsets = pa.array(np.append(starts, batch.num_rows).astype(np.int32))
+        return pa.table(
+            {
+                key: keys_sorted.take(pa.array(starts)),
+                alias: pa.ListArray.from_arrays(offsets, vals_sorted),
+            }
+        )
+
+    return _hash_group_blocks(
+        ds.select_columns([key, value_col]), [key], max(16, cpus)
+    ).map_batches(block_lists, batch_format="pyarrow", batch_size=None)
+
+
 def _group_runs(batch: pa.Table, keys: list[str]):
     """Yield (start, end, sort_order) runs of equal ``keys`` within a
     hash-partitioned block (see :func:`_hash_group_blocks`): one
@@ -469,17 +524,14 @@ def jaccard_pairs(
     and broadcast (bounded by the pair count, never the corpus — the
     sanctioned small-input fast path); above the threshold two hash
     joins stream the sizes on."""
-    from ray.data.aggregate import Count
-
     explode = _token_rows_fn(id_column, text_column, shingle_n)
 
-    # groupby token → id lists, with the max_df skew guard applied
+    # token → id lists via the key-hash repartition primitive
+    # (vocabulary-count groups), with the max_df skew guard applied
     # BEFORE anything quadratic; materialized because both the sizes
     # and the pairs paths read it
-    grouped = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(_collect_ids_agg("id"))
+    grouped = _collect_lists_by_key(
+        ds.map_batches(explode, batch_format="pyarrow"), "token", "id", "ids"
     )
     if max_df is not None:
 
@@ -502,16 +554,14 @@ def jaccard_pairs(
     # materialized: a join shuffle consuming a still-running groupby
     # shuffle has proven racy; sizes is one small row per doc and both
     # joins read it
-    sizes = (
-        grouped.map_batches(explode_members, batch_format="pyarrow")
-        .groupby("id")
-        .aggregate(Count(alias_name="n"))
+    sizes = _count_by_keys(
+        grouped.map_batches(explode_members, batch_format="pyarrow"), ["id"], "n"
     ).materialize()
 
-    pair_counts = (
-        grouped.map_batches(_explode_pairs_batch, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_common"))
+    pair_counts = _count_by_keys(
+        grouped.map_batches(_explode_pairs_batch, batch_format="pyarrow"),
+        ["a", "b"],
+        "n_common",
     ).materialize()
     n_pairs = pair_counts.count()
     if n_pairs == 0:
