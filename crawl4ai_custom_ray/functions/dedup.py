@@ -171,14 +171,24 @@ def _hash_group_blocks(ds, keys: list[str], num_partitions: int):
     DataContext at creation, so set/restore it on the dataset's OWN
     bound context around the materialize — the session default (sort
     shuffle, which measured faster for ordinary aggregates) is
-    untouched."""
+    untouched.
+
+    Size-adaptive: the hash exchange has ~1 s of fixed aggregator
+    cost, so inputs at or under ``_HASH_GROUP_SMALL_ROWS`` coalesce to
+    ONE block instead (every group trivially whole; the per-block
+    consumer handles the full input in one numpy/arrow pass) — the
+    bench-scale regime where the exchange overhead would dominate."""
     from ray.data.context import ShuffleStrategy
 
-    ctx = ds.context
+    m = ds.materialize()
+    n = m.count()
+    if n <= _HASH_GROUP_SMALL_ROWS:
+        return m.repartition(1).materialize() if m.num_blocks() > 1 else m
+    ctx = m.context
     prev = ctx.shuffle_strategy
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     try:
-        return ds.repartition(num_partitions, keys=keys).materialize()
+        return m.repartition(num_partitions, keys=keys).materialize()
     finally:
         ctx.shuffle_strategy = prev
 
@@ -293,6 +303,14 @@ SMALL_PAIR_THRESHOLD = 200_000
 # vocabulary groupby shuffle (each row is a (token, count) pair, so
 # the pull is bounded ≈ blocks × per-block vocabulary).
 _DF_PARTIAL_DRIVER_MAX = 2_000_000
+
+# _hash_group_blocks coalesce gate: inputs at or under this many rows
+# skip the key-hash exchange and run group detection in one block —
+# a single-block lexsort of 2M skinny rows is ~0.2 s of one core,
+# cheaper than the exchange's fixed aggregator cost; above it the
+# hash route's parallelism wins and driver/worker memory per block
+# stays bounded.
+_HASH_GROUP_SMALL_ROWS = 2_000_000
 
 # minhash verify candidate-id pull gate: raw pair counts at or under
 # this broadcast their distinct candidate ids (≤ 2 int64 per pair —
