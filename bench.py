@@ -268,6 +268,27 @@ def run_bench() -> dict:
 
     queries["curate_pipeline"] = _timed(curate)
 
+    # the composed webtext user journey: crawl → digest semi-join
+    # re-fetch → extract → exact dedup → quality gate → chunk → parquet
+    # (pipelines/webtext.py — the end-to-end flow a reference user runs)
+    from crawl4ai_custom_ray.pipelines.webtext import crawl_and_curate
+
+    def webtext():
+        out_root = tempfile.mkdtemp(prefix="bench_webtext_")
+        try:
+            crawl_and_curate(
+                base_pages,
+                seeds,
+                out_root,
+                crawl_cfg=CrawlConfig(
+                    max_depth=2, per_host_cap=200, check_robots=True, n_seen_shards=4
+                ),
+            )
+        finally:
+            shutil.rmtree(out_root, ignore_errors=True)
+
+    queries["webtext_pipeline"] = _timed(webtext)
+
     # PMI collocations (combiner-first pair counting + unigram joins)
     from crawl4ai_custom_ray.functions.textstats import pmi_pairs
 

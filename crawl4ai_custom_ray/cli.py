@@ -557,12 +557,10 @@ def _query_registry() -> dict:
 
 def _as_pandas(result):
     import pandas as pd
-    import pyarrow as pa
 
     if isinstance(result, pd.DataFrame):
         return result
-    if isinstance(result, pa.Table):
-        return result.to_pandas()
+    # pa.Table and ray Dataset both expose to_pandas()
     return result.to_pandas()
 
 

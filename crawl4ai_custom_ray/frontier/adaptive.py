@@ -411,12 +411,13 @@ def adaptive_digest_embedding(
         batch_links = [link for link, _ in ranked[:budget]]
         batch_urls = {l["href"] for l in batch_links}
 
-        url_ref = ray.put(batch_urls)
+        url_ref = ray.put(pa.array(sorted(batch_urls), pa.string()))
 
         def fetch(batch: pa.Table, ref=url_ref) -> pa.Table:
-            wanted = ray.get(ref)
-            mask = [u in wanted for u in batch["url"].to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            import pyarrow.compute as _pc
+
+            mask = _pc.is_in(batch["url"], value_set=ray.get(ref))
+            return batch.filter(mask)
 
         stats = (
             pages.map_batches(fetch, batch_format="pyarrow")
@@ -520,12 +521,13 @@ def adaptive_digest(
             break
         batch_urls = {l["href"] for l in batch_links}
 
-        url_ref = ray.put(batch_urls)
+        url_ref = ray.put(pa.array(sorted(batch_urls), pa.string()))
 
         def fetch(batch: pa.Table, ref=url_ref) -> pa.Table:
-            wanted = ray.get(ref)
-            mask = [u in wanted for u in batch["url"].to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            import pyarrow.compute as _pc
+
+            mask = _pc.is_in(batch["url"], value_set=ray.get(ref))
+            return batch.filter(mask)
 
         stats = (
             pages.map_batches(fetch, batch_format="pyarrow")

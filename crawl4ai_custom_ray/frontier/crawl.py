@@ -126,6 +126,13 @@ class CrawlConfig:
     # the digest semi-filter + exact url hash join (the unbounded
     # route, value-identical).  0 disables (always hash join).
     fetch_attach_max: int = 2_000_000
+    # the attach blob is NOT a flat 20 B/row: each row carries its seq
+    # string, which grows 8 hex chars per hop — at the 2M-row default
+    # a depth-30 crawl's blob would reach the high hundreds of MB on
+    # the driver.  Gate the fast path on the ESTIMATED byte footprint
+    # rows × (20 + 8 × (max_depth + 1)) too; rounds over the budget
+    # take the digest semi-filter + hash join route (value-identical).
+    fetch_attach_bytes_max: int = 256 * 1024 * 1024
     max_rounds: int = 64
     # size-adaptive round coordination: a round whose frontier (resp.
     # discovered-link set) fits these row thresholds is coordinated
@@ -164,7 +171,21 @@ def _url_digests64(urls, hash_key: str | None = None):
 
 
 # second independent siphash family for the 128-bit fetch-attach key
-# (any 16-char key distinct from pandas' default "0123456789123456")
+# (any 16-char key distinct from pandas' default "0123456789123456").
+#
+# Threat model: the attach fast path (and the PageRank rank broadcast
+# in functions/graph.py) substitutes 128-bit siphash IDENTITY for
+# exact string equality.  Under random inputs a collision needs ~2^64
+# urls — statistically negligible at the 10^10-url design point.  The
+# keys are fixed and public, so an ADVERSARIAL corpus author who can
+# precompute siphash could in principle craft a cross-family colliding
+# url pair and get a wrong page fetched with another row's depth/seq.
+# This is consistent with (and strictly stronger than) the 64-bit
+# blake2b identity the exact seen set already trusts for frontier
+# dedup; a deployment crawling hostile input should derive both sip
+# keys from a per-run secret seed (pass ``hash_key`` overrides), which
+# makes collisions unpredictable at the cost of cross-run digest
+# stability.
 _ATTACH_HASH_KEY2 = "f7c1a94e2d8b6035"
 
 
@@ -270,6 +291,94 @@ def _digest_rows(batch: pa.Table) -> pa.Table:
 
     d = np.unique(_url_digests64(batch["url"]))
     return pa.table({"digs": pa.array([d.astype("<u8").tobytes()], pa.binary())})
+
+
+def _page_semi_filter_fn(digs_ref):
+    """Digest semi-filter over a pages batch: drop rows whose url
+    digest is not in the broadcast sorted digest set.  Collisions only
+    ADMIT extra rows into the exact url join downstream, never drop a
+    match.  Emits one digest-mismatched anchor row when a block
+    filters to zero rows — Ray's hash-shuffle join loses the right
+    side's schema when EVERY block is empty (pyarrow "No match for
+    FieldRef url"); the anchor's url provably differs from every
+    selected url, so the exact inner join drops it."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if batch.num_rows == 0:
+            return batch
+        dg = ray.get(digs_ref)
+        if len(dg) == 0:
+            # empty digest set ⇒ empty selection ⇒ nothing can match;
+            # keep the anchor row so the join never sees an all-empty
+            # right side.
+            return batch.slice(0, 1)
+        h = _url_digests64(batch["url"])
+        pos = np.clip(np.searchsorted(dg, h), 0, len(dg) - 1)
+        mask = dg[pos] == h
+        if not mask.any():
+            return batch.slice(0, 1)
+        return batch.filter(pa.array(mask))
+
+    return fn
+
+
+def _collect_url_digests(url_ds):
+    """Sorted unique uint64 url digests of a Dataset's ``url`` column,
+    computed worker-side and pulled as 8 B/url blobs (driver memory =
+    8 B × distinct urls — the caller gates on row count first)."""
+    import numpy as np
+
+    blobs = (
+        url_ds.select_columns(["url"])
+        .map_batches(_digest_rows, batch_format="pyarrow")
+        .take_all()
+    )
+    if not blobs:
+        return np.empty(0, dtype="<u8")
+    return np.unique(
+        np.concatenate([np.frombuffer(b["digs"], dtype="<u8") for b in blobs])
+    )
+
+
+def fetch_pages_for_urls(
+    pages_path: str,
+    url_ds,
+    *,
+    columns: list[str] | None = None,
+    fetch_filter_max: int = 20_000_000,
+    join_partitions: int = 8,
+):
+    """Semi-join fetch: the pages rows whose url appears in ``url_ds``
+    — the crawl's digest-gated fetch mechanism exposed for composed
+    pipelines (webtext re-fetch of the visited set, resume scans).
+
+    NEVER collects urls on the driver.  Selections at or under
+    ``fetch_filter_max`` rows broadcast their url DIGESTS (8 B/url,
+    computed worker-side) and the pages scan is filtered BEFORE the
+    join shuffle, so non-candidate html never moves; either way the
+    exact url hash join runs last, so digest collisions cost only
+    extra candidate rows, never wrong output.  Returns a Dataset with
+    ``columns`` (default ``[url, html]``)."""
+    from ..functions.dedup import _coalesce_for_join, _join_partitions
+
+    cols = list(columns) if columns is not None else ["url", "html"]
+    url_side, n_urls = _coalesce_for_join(url_ds.select_columns(["url"]))
+    pages = rd.read_parquet(pages_path, columns=cols)
+    if n_urls == 0:
+        return pages.limit(0)
+    if 0 < n_urls <= fetch_filter_max:
+        digs_ref = ray.put(_collect_url_digests(url_side))
+        pages = pages.map_batches(
+            _page_semi_filter_fn(digs_ref), batch_format="pyarrow"
+        )
+    return url_side.join(
+        pages,
+        join_type="inner",
+        num_partitions=_join_partitions(join_partitions),
+        on=("url",),
+    )
 
 
 def _extract_links_batch(batch: pa.Table) -> pa.Table:
@@ -830,8 +939,11 @@ class BFSCrawl:
             # with the digest-keyed attach fast path below it replacing
             # the join shuffle for rounds whose METADATA fits the
             # broadcast budget (see CrawlConfig.fetch_attach_max).
-            if (cfg.fetch_strategy == "join" or sel_table is None) and (
-                0 < n_selected <= cfg.fetch_attach_max
+            attach_est_bytes = n_selected * (20 + 8 * (cfg.max_depth + 1))
+            if (
+                (cfg.fetch_strategy == "join" or sel_table is None)
+                and 0 < n_selected <= cfg.fetch_attach_max
+                and attach_est_bytes <= cfg.fetch_attach_bytes_max
             ):
                 import numpy as np
 
@@ -897,37 +1009,8 @@ class BFSCrawl:
                             else np.empty(0, dtype="<u8")
                         )
                     digs_ref = ray.put(digs)
-
-                    def _page_semi_filter(
-                        batch: pa.Table, _ref=digs_ref
-                    ) -> pa.Table:
-                        import numpy as np
-
-                        if batch.num_rows == 0:
-                            return batch
-                        dg = ray.get(_ref)
-                        if len(dg) == 0:
-                            # empty digest set ⇒ empty round selection
-                            # ⇒ nothing can match; keep the anchor row
-                            # (below) so the join never sees an
-                            # all-empty right side.
-                            return batch.slice(0, 1)
-                        h = _url_digests64(batch["url"])
-                        pos = np.clip(np.searchsorted(dg, h), 0, len(dg) - 1)
-                        mask = dg[pos] == h
-                        if not mask.any():
-                            # Ray's hash-shuffle join loses the right
-                            # side's schema when EVERY block filters to
-                            # zero rows (pyarrow "No match for FieldRef
-                            # url").  Keep one digest-mismatched anchor
-                            # row per emptied block: its url provably
-                            # differs from every round url, so the
-                            # exact inner join drops it.
-                            return batch.slice(0, 1)
-                        return batch.filter(pa.array(mask))
-
                     pages_side = pages.map_batches(
-                        _page_semi_filter, batch_format="pyarrow"
+                        _page_semi_filter_fn(digs_ref), batch_format="pyarrow"
                     )
                     _stage("fetch_semi_digest")
                 fetched = join_side.join(
@@ -1573,14 +1656,28 @@ def _budget_cap_tbl(tbl: pa.Table, cap: int, use_score: bool) -> pa.Table:
 
 
 def _budget_cap_ds(ds, cap: int, use_score: bool):
-    """Distributed per-owner cap: groups are one page's surviving
-    links (bounded by links-per-page), so ``map_groups`` is safe at
-    any corpus size."""
+    """Distributed per-owner cap.  Parent groups are links-per-page
+    SMALL but corpus-count NUMEROUS — exactly the regime where Ray's
+    per-group aggregate/map_groups machinery pays per-group Python
+    cost (measured elsewhere in this repo: 15M tiny groups took
+    57–85 s through ``groupby().aggregate()`` vs 8 s through one
+    key-hash exchange).  Route through the key-hash grouping
+    primitive (``functions.dedup._hash_group_blocks``) so every
+    parent lands WHOLE in one block, then run the pandas cap once per
+    BLOCK — ``_budget_cap_pandas`` groups by parent internally, so
+    per-block output equals the per-group output exactly."""
+    from ..functions.dedup import _hash_group_blocks
 
-    def cap_group(df):
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    def cap_block(df):
+        if not len(df):
+            return df
         return _budget_cap_pandas(df, cap, use_score)
 
-    return ds.groupby("parent").map_groups(cap_group, batch_format="pandas")
+    return _hash_group_blocks(ds, ["parent"], max(16, cpus)).map_batches(
+        cap_block, batch_format="pandas", batch_size=None
+    )
 
 
 def _has_parquet(path: str) -> bool:

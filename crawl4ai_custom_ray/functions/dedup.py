@@ -177,20 +177,76 @@ def _hash_group_blocks(ds, keys: list[str], num_partitions: int):
     cost, so inputs at or under ``_HASH_GROUP_SMALL_ROWS`` coalesce to
     ONE block instead (every group trivially whole; the per-block
     consumer handles the full input in one numpy/arrow pass) — the
-    bench-scale regime where the exchange overhead would dominate."""
-    from ray.data.context import ShuffleStrategy
+    bench-scale regime where the exchange overhead would dominate.
 
+    Ray-internal dependency (PINNED BEHAVIOR, Ray 2.49.2): the
+    HASH_SHUFFLE aggregator finalizes each reduce partition as exactly
+    ONE block (ray.data hash_shuffle carries a "TODO break down blocks
+    to target size").  Every consumer of this primitive treats
+    per-block group results as FINAL, so if a future Ray splits reduce
+    outputs, a key group could straddle blocks and results would
+    silently become partial.  Two guards below: (a) feature-detect the
+    strategy knob and fall back to ``groupby(keys).map_groups``
+    (slower but whole-groups-per-block by contract) when the internal
+    API moved; (b) assert the one-block-per-partition invariant on the
+    materialized output and fall back the same way if it ever breaks.
+    ``tests/test_advice_regressions.py`` pins both routes."""
     m = ds.materialize()
     n = m.count()
     if n <= _HASH_GROUP_SMALL_ROWS:
         return m.repartition(1).materialize() if m.num_blocks() > 1 else m
-    ctx = m.context
+    strategy = _resolve_hash_shuffle_strategy()
+    ctx = getattr(m, "context", None)
+    if strategy is None or ctx is None or not hasattr(ctx, "shuffle_strategy"):
+        return _hash_group_fallback(m, keys, "shuffle-strategy knob not found")
     prev = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.shuffle_strategy = strategy
     try:
-        return m.repartition(num_partitions, keys=keys).materialize()
+        out = m.repartition(num_partitions, keys=keys).materialize()
     finally:
         ctx.shuffle_strategy = prev
+    if out.num_blocks() > num_partitions:
+        # the one-block-per-reduce-partition invariant broke: a key
+        # group may straddle blocks → per-block results would be
+        # silently partial.  Re-route (correct, slower).
+        return _hash_group_fallback(
+            m,
+            keys,
+            f"{out.num_blocks()} blocks from {num_partitions} hash partitions",
+        )
+    return out
+
+
+def _resolve_hash_shuffle_strategy():
+    """Feature-detect Ray's hash-shuffle strategy enum; ``None`` when
+    the internal API moved (drives the loud fallback)."""
+    try:
+        from ray.data.context import ShuffleStrategy
+    except ImportError:
+        return None
+    return getattr(ShuffleStrategy, "HASH_SHUFFLE", None)
+
+
+def _hash_group_fallback(m, keys: list[str], reason: str):
+    """Whole-groups-per-block via the PUBLIC ``groupby().map_groups``
+    contract — correct at any Ray version, pays the per-group Python
+    cost the hash route avoids.  Loud: web-scale runs should notice
+    the 7×+ slowdown and re-pin the fast path."""
+    import warnings
+
+    warnings.warn(
+        "_hash_group_blocks: key-hash repartition unavailable "
+        f"({reason}); falling back to groupby().map_groups — correct "
+        "but far slower on numerous tiny groups. Re-pin the Ray "
+        "hash-shuffle internals for this Ray version.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    return (
+        m.groupby(keys)
+        .map_groups(lambda b: b, batch_format="pyarrow")
+        .materialize()
+    )
 
 
 def _min_by_keys(ds, keys: list[str], value_col: str, alias: str):

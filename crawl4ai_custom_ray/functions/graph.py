@@ -349,6 +349,14 @@ def pagerank(
                     {"dst_": pa.array([], pa.string()), "con": pa.array([], pa.int64())}
                 )
             d1s, d2s, rs = ray.get(ref)
+            if len(d1s) == 0:
+                # empty broadcast rank table (no nodes) with a
+                # non-empty edge batch: nothing can match — the typed
+                # empty result the join route would produce (np.clip
+                # to -1 would otherwise fault the d1s[pos] index).
+                return pa.table(
+                    {"dst_": pa.array([], pa.string()), "con": pa.array([], pa.int64())}
+                )
             h1 = np.asarray(_url_digests64(batch[src_column]), dtype="<u8")
             h2 = np.asarray(
                 _url_digests64(batch[src_column], _ATTACH_HASH_KEY2), dtype="<u8"

@@ -13,11 +13,13 @@ the output layout:
       manifest.json   counts per stage
 
 Scale posture: corpus-sized state only ever lives in Datasets — the
-winner-per-content-hash set rejoins the corpus through a hash join
-(never a driver set), and the quality gate is a stateless vectorized
-filter.  The crawl-visited URL list for the fetch pushdown is the one
-driver-side list; it is bounded by the crawl budget (max_pages /
-rounds × politeness caps), the same bound the crawl itself maintains.
+re-fetch of the visited set goes through the crawl's own digest
+semi-join gate (``frontier.crawl.fetch_pages_for_urls``: 8 B/url
+digest broadcast under ``fetch_filter_max``, exact url hash join
+either way — at a post-crawl visited set that IS corpus-scale, no
+driver-side url list ever exists), the winner-per-content-hash set
+rejoins the corpus through a hash join (never a driver set), and the
+quality gate is a stateless vectorized filter.
 """
 
 from __future__ import annotations
@@ -26,10 +28,8 @@ import json
 import os
 
 import pyarrow as pa
-import pyarrow.compute as pc
-import ray.data as rd
 
-from ..frontier.crawl import BFSCrawl, CrawlConfig
+from ..frontier.crawl import BFSCrawl, CrawlConfig, fetch_pages_for_urls
 from ..functions.chunkers import FixedLengthWordChunking, chunk_dataset
 from ..stages.extract import extract_pages
 
@@ -48,20 +48,21 @@ def crawl_and_curate(
     os.makedirs(out_root, exist_ok=True)
     cfg = crawl_cfg or CrawlConfig(max_depth=2, per_host_cap=200, check_robots=True)
 
-    # 1. BSP crawl — visited set with per-round checkpoints
+    # 1. BSP crawl — visited set with per-round checkpoints (the
+    # returned Dataset reads the checkpoint parquet, so it outlives
+    # the seen-shard actors)
     driver = BFSCrawl(pages_path, cfg, os.path.join(out_root, "visited"))
     try:
         visited = driver.run(seeds)
-        urls = [r["url"] for r in visited.select_columns(["url"]).iter_rows()]
     finally:
         driver.shutdown()
-    n_visited = len(urls)
+    n_visited = visited.count()
 
-    # 2. fetch+extract the visited pages (url-pushdown read, same
-    # mechanism the crawl's fetch uses)
-    pages = rd.read_parquet(
-        pages_path, columns=["url", "html"], filter=pc.field("url").isin(urls)
-    )
+    # 2. fetch+extract the visited pages through the crawl's digest
+    # semi-join gate — never a driver-side url list (frontier/crawl.py
+    # fetch_filter_max mechanism; collisions only admit extra rows
+    # into the exact url join)
+    pages = fetch_pages_for_urls(pages_path, visited, columns=["url", "html"])
 
     def only_success(batch: pa.Table) -> pa.Table:
         return batch.filter(batch["success"]).drop_columns(["success"])

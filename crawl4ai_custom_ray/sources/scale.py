@@ -107,7 +107,11 @@ def scaled_documents_dir(base_sf_dir: str, replicas: int) -> str:
                 row_group_size=1024,
             )
         os.rename(tmp_root, out)
-    except OSError:
+    except Exception:
+        # any failure mid-generation (pyarrow/numpy included, not just
+        # OSError) must remove the multi-GB tmp dir; if a concurrent
+        # generator won the atomic rename race, the committed output
+        # is complete — return it.
         shutil.rmtree(tmp_root, ignore_errors=True)
         if not os.path.isdir(out):
             raise
@@ -126,7 +130,12 @@ def scaled_embeddings_dir(base_sf_dir: str, replicas: int) -> str:
     (near-duplicate structure replicates bit-for-bit in float64),
     while ACROSS replicas vectors decorrelate — the same
     duplicate-density philosophy as the token-suffix document
-    amplification above."""
+    amplification above.
+
+    Note: the sign mask applies at ``r = 0`` too, so replica 0 is NOT
+    the base table byte-for-byte (``vec_id < n_base`` rows won't match
+    ``embeddings.parquet``) — harmless for cosine structure, which a
+    signed permutation preserves exactly within every replica."""
     import numpy as np
 
     base_name = os.path.basename(os.path.normpath(base_sf_dir))
@@ -183,7 +192,9 @@ def scaled_embeddings_dir(base_sf_dir: str, replicas: int) -> str:
                 row_group_size=4096,
             )
         os.rename(tmp, out)
-    except OSError:
+    except Exception:
+        # see scaled_documents_dir: cleanup on ANY failure, tolerate a
+        # lost atomic-rename race.
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.isdir(out):
             raise
@@ -242,8 +253,63 @@ def scaled_pages_dir(scale_dir: str) -> str:
             .write_parquet(tmp_dir)
         )
         os.rename(tmp_dir, out_dir)
-    except OSError:
+    except Exception:
+        # see scaled_documents_dir: cleanup on ANY failure, tolerate a
+        # lost atomic-rename race.
         shutil.rmtree(tmp_dir, ignore_errors=True)
         if not os.path.isdir(out_dir):
             raise
     return out_dir
+
+
+def scaled_events_dir(base_sf_dir: str, replicas: int) -> str:
+    """Amplified events table for windowed-analytics volume runs:
+    ``events.parquet`` as a part-file directory under the scale cache,
+    ``event_id = r * n_base + e`` and ``user_id = r * (max_user + 1) +
+    u``.  Each replica is a DISJOINT user population with the base
+    table's exact per-user time series, so every per-user operator
+    (asof join, rolling window, sessionize) sees ``replicas``× more
+    groups of realistic size — group-count scaling, the regime the
+    epoch-sharded bucketing exists for — while per-replica results
+    replicate the base answer exactly.  Deterministic; no RNG."""
+    base_name = os.path.basename(os.path.normpath(base_sf_dir))
+    out = os.path.join(
+        SCALE_CACHE_ROOT,
+        f"events_{base_name}_x{replicas}_g{_SCALE_VERSION}.parquet",
+    )
+    if os.path.isdir(out) and any(
+        n.endswith(".parquet") for n in os.listdir(out)
+    ):
+        return out
+    base = pq.read_table(os.path.join(base_sf_dir, "events.parquet"))
+    n_base = base.num_rows
+    import pyarrow.compute as _pc
+
+    user_span = int(_pc.max(base["user_id"]).as_py()) + 1
+
+    os.makedirs(SCALE_CACHE_ROOT, exist_ok=True)
+    tmp = tempfile.mkdtemp(dir=SCALE_CACHE_ROOT)
+    try:
+        for r in range(replicas):
+            part = base.set_column(
+                base.schema.get_field_index("event_id"),
+                "event_id",
+                _pc.add(base["event_id"], r * n_base),
+            ).set_column(
+                base.schema.get_field_index("user_id"),
+                "user_id",
+                _pc.add(base["user_id"], r * user_span),
+            )
+            pq.write_table(
+                part,
+                os.path.join(tmp, f"events_{r:05d}.parquet"),
+                row_group_size=8192,
+            )
+        os.rename(tmp, out)
+    except Exception:
+        # see scaled_documents_dir: cleanup on ANY failure, tolerate a
+        # lost atomic-rename race.
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(out):
+            raise
+    return out

@@ -415,6 +415,223 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
 
         stage("line_dedup_1m", run_line_dedup, n_docs)
 
+    # ---- 13. exact PPJoin at 1M docs: the token-suffix replicas keep
+    # the base corpus's ADVERSARIAL prefix-collision structure (~50
+    # perturbed template words per replica), so raw candidate counts
+    # scale ~linearly past _CAND_ID_FILTER_MAX and the fully
+    # distributed verify route (dedup.py:875+) carries the load ----
+    if want("jaccard_1m"):
+        from crawl4ai_custom_ray.functions.dedup import jaccard_prefix_pairs
+
+        def run_jaccard():
+            docs = rd.read_parquet(docs_dir, columns=["doc_id", "text"])
+            return jaccard_prefix_pairs(
+                docs, threshold_num=4, threshold_den=5, shingle_n=3
+            ).count()
+
+        stage("jaccard_1m", run_jaccard, n_docs)
+
+    # ---- 14. exact repeated-substring removal (Lee et al. fixed
+    # window) at 1M docs: window-hash groups are corpus-count — the
+    # key-hash grouping primitive's regime ----
+    if want("substring_1m"):
+        from crawl4ai_custom_ray.functions.dedup import substring_dedup
+
+        def run_substring():
+            docs = rd.read_parquet(docs_dir, columns=["doc_id", "text"])
+            return substring_dedup(docs, window=10).count()
+
+        stage("substring_1m", run_substring, n_docs)
+
+    # ---- 15/16. HITS and triangle counting over the 1M-page link
+    # graph (20k hosts at this volume): link extraction → distinct
+    # host edges → alternating integer sweeps / degree-oriented wedge
+    # join ----
+    if want("hits_1m") or want("triangles_1m"):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from crawl4ai_custom_ray.frontier.crawl import _extract_links_batch
+        from crawl4ai_custom_ray.functions.graph import hits, host_triangles
+        from crawl4ai_custom_ray.urls import get_base_domain
+
+        def _links_ds():
+            pages_ds = rd.read_parquet(pages_dir, columns=["url", "html"])
+            return pages_ds.map_batches(
+                _extract_links_batch, batch_format="pyarrow"
+            )
+
+        def _host_edges_nodes_1m():
+            """Distinct host→host edges + node set from the 1M-page
+            link table (the q_host_hits recipe with a per-block
+            distinct combiner before the groupby)."""
+            from ray.data.aggregate import Count
+
+            def to_host_edges(batch: _pa.Table) -> _pa.Table:
+                t = batch.filter(batch["href"].is_valid())
+                # per-block distinct combiner: host pairs, not links
+                seen = {
+                    (get_base_domain(su), get_base_domain(h))
+                    for su, h in zip(
+                        t["src_url"].to_pylist(), t["href"].to_pylist()
+                    )
+                }
+                return _pa.table(
+                    {
+                        "src": _pa.array([s for s, _ in seen], _pa.string()),
+                        "dst": _pa.array([d for _, d in seen], _pa.string()),
+                    }
+                )
+
+            e0 = (
+                _links_ds()
+                .map_batches(to_host_edges, batch_format="pyarrow")
+                .groupby(["src", "dst"])
+                .aggregate(Count(alias_name="dup"))
+                .select_columns(["src", "dst"])
+                .materialize()
+            )
+
+            def both_hosts(batch: _pa.Table) -> _pa.Table:
+                hosts = batch["src"].to_pylist() + batch["dst"].to_pylist()
+                return _pa.table({"host": _pa.array(hosts, _pa.string())})
+
+            nodes = (
+                e0.map_batches(both_hosts, batch_format="pyarrow")
+                .groupby("host")
+                .aggregate(Count(alias_name="dup"))
+                .select_columns(["host"])
+            )
+            return e0.filter(expr="src != dst"), nodes
+
+        def run_hits():
+            import pandas as _pd
+
+            edges, nodes = _host_edges_nodes_1m()
+            r = hits(edges, nodes, node_column="host", iters=3, num_partitions=16)
+            return len(r) if isinstance(r, _pd.DataFrame) else r.count()
+
+        stage("hits_1m", run_hits, n_pages)
+
+        def run_triangles():
+            return host_triangles(_links_ds(), num_partitions=16).count()
+
+        stage("triangles_1m", run_triangles, n_pages)
+
+    # ---- 17/18. windowed analytics at 1M events (10× disjoint user
+    # populations of the sf0.1 events table — group-COUNT scaling,
+    # the regime the epoch-sharded buckets exist for) ----
+    if want("asof_1m") or want("rolling_1m"):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        from crawl4ai_custom_ray.functions.asof import asof_join, rolling_window
+        from crawl4ai_custom_ray.sources.scale import scaled_events_dir
+
+        ev_dir = scaled_events_dir(BASE_SF, 10)
+        n_events = rd.read_parquet(ev_dir, columns=["event_id"]).count()
+
+        def run_asof():
+            ev = rd.read_parquet(
+                ev_dir,
+                columns=["event_id", "ts", "user_id", "event_type", "value"],
+            )
+
+            def _only(kind):
+                def fn(batch: _pa.Table) -> _pa.Table:
+                    return batch.filter(
+                        _pc.equal(batch["event_type"], kind)
+                    ).drop_columns(["event_type"])
+
+                return fn
+
+            clicks = ev.map_batches(
+                _only("click"), batch_format="pyarrow"
+            ).drop_columns(["value"])
+            purchases = ev.map_batches(_only("purchase"), batch_format="pyarrow")
+            return asof_join(
+                clicks,
+                purchases,
+                by="user_id",
+                on="ts",
+                id_column="event_id",
+                right_payload={"event_id": "match_event_id", "value": "match_value"},
+            ).count()
+
+        stage("asof_1m", run_asof, n_events)
+
+        def run_rolling():
+            ev = rd.read_parquet(
+                ev_dir, columns=["event_id", "ts", "user_id", "value"]
+            )
+            return rolling_window(
+                ev,
+                by="user_id",
+                on="ts",
+                id_column="event_id",
+                value_column="value",
+                window_us=1_800_000_000,
+            ).count()
+
+        stage("rolling_1m", run_rolling, n_events)
+
+    # ---- 19. the composed webtext journey (crawl → digest semi-join
+    # re-fetch → extract → exact dedup → quality gate → chunk →
+    # parquet) against the 1M-page corpus — proves the r5 rework: no
+    # driver-side visited-url list anywhere in the flow ----
+    if want("webtext_1m"):
+        from crawl4ai_custom_ray.frontier.crawl import CrawlConfig as _CC
+        from crawl4ai_custom_ray.pipelines.webtext import crawl_and_curate
+
+        def run_webtext():
+            out_root = "/tmp/scale_out/webtext"
+            shutil.rmtree(out_root, ignore_errors=True)
+            m = crawl_and_curate(
+                pages_dir,
+                seeds,
+                out_root,
+                crawl_cfg=_CC(
+                    max_depth=2,
+                    per_host_cap=200,
+                    check_robots=True,
+                    n_seen_shards=8,
+                ),
+            )
+            report["stages"]["webtext_1m_manifest"] = m
+            return m["n_chunks"]
+
+        stage("webtext_1m", run_webtext, n_pages)
+
+    # ---- 20. budgeted distributed crawl: max_pages forces the
+    # per-parent budget cap on the Dataset path — now routed through
+    # the key-hash grouping primitive (frontier/crawl.py
+    # _budget_cap_ds, round-5 rework) ----
+    if want("frontier_budget"):
+        import tempfile as _tf
+
+        from crawl4ai_custom_ray.frontier.crawl import BFSCrawl as _BFS
+        from crawl4ai_custom_ray.frontier.crawl import CrawlConfig as _CC2
+
+        def run_frontier_budget():
+            cfg = _CC2(
+                max_depth=2,
+                max_pages=50_000,
+                check_robots=True,
+                per_host_cap=200,
+                n_seen_shards=8,
+                fetch_strategy="join",
+                driver_round_threshold=0,
+                driver_links_threshold=0,
+                broadcast_fetch_threshold=0,
+            )
+            driver = _BFS(pages_dir, cfg, _tf.mkdtemp(prefix="scale_bfs_budget_"))
+            try:
+                return driver.run(seeds).count()
+            finally:
+                driver.shutdown()
+
+        stage("frontier_budget", run_frontier_budget, n_pages)
+
     report["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     ray.shutdown()
     return report
@@ -513,9 +730,11 @@ def main() -> int:
         "--stages",
         default=None,
         help="comma list to run a subset (extract_1m,frontier_dist,"
-        "knn_1m,semdedup_1m,"
-        "dedup_minhash_1m,dedup_cluster_1m,curate_1m); results merge "
-        "into --out so long runs can be split across invocations",
+        "frontier_prod,frontier_budget,knn_1m,semdedup_1m,"
+        "dedup_minhash_1m,dedup_cluster_1m,curate_1m,pack_1m,tfidf_1m,"
+        "pagerank_1m,cc_link_1m,line_dedup_1m,jaccard_1m,substring_1m,"
+        "hits_1m,triangles_1m,asof_1m,rolling_1m,webtext_1m); results "
+        "merge into --out so long runs can be split across invocations",
     )
     ap.add_argument("--out", default="/root/repo/SCALE_VALIDATION.json")
     args = ap.parse_args()

@@ -1,0 +1,186 @@
+"""Round-5 regressions: the webtext digest semi-join fetch helper,
+the _hash_group_blocks Ray-drift guard, the budget-cap grouping
+rework, and the fetch-attach byte gate."""
+
+import warnings
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _pages_table(n=50):
+    return pa.table(
+        {
+            "url": [f"https://h{i % 7}.test/p/{i}" for i in range(n)],
+            "html": [f"<html><body>page {i}</body></html>".encode() for i in range(n)],
+        }
+    )
+
+
+def test_fetch_pages_for_urls_semi_join(ray_session, tmp_path):
+    """Digest semi-filter + exact join returns exactly the selected
+    pages (no driver url list), identical to the naive filter."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.frontier.crawl import fetch_pages_for_urls
+
+    t = _pages_table()
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    want = sorted(t["url"].to_pylist())[::3]
+    url_ds = rd.from_arrow(pa.table({"url": want, "junk": [1] * len(want)}))
+
+    got = fetch_pages_for_urls(p, url_ds).to_pandas().sort_values("url")
+    assert list(got["url"]) == sorted(want)
+    assert set(got.columns) == {"url", "html"}
+    by_url = dict(zip(t["url"].to_pylist(), t["html"].to_pylist()))
+    assert all(by_url[u] == h for u, h in zip(got["url"], got["html"]))
+
+
+def test_fetch_pages_for_urls_join_route_and_empty(ray_session, tmp_path):
+    """fetch_filter_max=0 disables the digest broadcast (pure hash
+    join route) — value-identical; an empty selection returns an
+    empty typed dataset."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.frontier.crawl import fetch_pages_for_urls
+
+    t = _pages_table()
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    want = sorted(t["url"].to_pylist())[:5]
+    url_ds = rd.from_arrow(pa.table({"url": want}))
+
+    got = fetch_pages_for_urls(p, url_ds, fetch_filter_max=0).to_pandas()
+    assert sorted(got["url"]) == want
+
+    empty = fetch_pages_for_urls(
+        p, rd.from_arrow(pa.table({"url": pa.array([], pa.string())}))
+    )
+    assert empty.count() == 0
+
+
+def _group_min_input(n_keys=64, per_key=5):
+    keys, vals = [], []
+    for k in range(n_keys):
+        for j in range(per_key):
+            keys.append(f"k{k:04d}")
+            vals.append((k * 37 + j * 11) % 100)
+    return pa.table({"key": keys, "val": vals})
+
+
+def test_hash_group_blocks_whole_groups_invariant(ray_session, monkeypatch):
+    """Force the hash-exchange route on a small input: every key group
+    must land WHOLE in exactly one block (the pinned Ray 2.49.2
+    one-block-per-reduce-partition behavior _min_by_keys et al rely
+    on), and per-block minima must therefore be final."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions import dedup
+
+    monkeypatch.setattr(dedup, "_HASH_GROUP_SMALL_ROWS", 0)
+    ds = rd.from_arrow(_group_min_input()).repartition(8)
+    out = dedup._hash_group_blocks(ds, ["key"], 4)
+    seen_in_block = {}
+    for i, ref in enumerate(out.to_arrow_refs()):
+        import ray as _ray
+
+        blk = _ray.get(ref)
+        for k in set(blk["key"].to_pylist()):
+            assert seen_in_block.setdefault(k, i) == i, f"{k} straddles blocks"
+
+    mins = dedup._min_by_keys(ds, ["key"], "val", "m").to_pandas()
+    expected = (
+        _group_min_input().to_pandas().groupby("key")["val"].min().sort_index()
+    )
+    got = mins.set_index("key")["m"].sort_index()
+    assert (got == expected).all()
+
+
+def test_hash_group_blocks_fallback_when_internals_move(ray_session, monkeypatch):
+    """Simulate the Ray-internal shuffle-strategy knob disappearing:
+    the primitive must warn loudly and re-route through the public
+    groupby().map_groups contract with identical results."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions import dedup
+
+    monkeypatch.setattr(dedup, "_HASH_GROUP_SMALL_ROWS", 0)
+    monkeypatch.setattr(dedup, "_resolve_hash_shuffle_strategy", lambda: None)
+    ds = rd.from_arrow(_group_min_input()).repartition(8)
+    with pytest.warns(RuntimeWarning, match="key-hash repartition unavailable"):
+        mins = dedup._min_by_keys(ds, ["key"], "val", "m").to_pandas()
+    expected = (
+        _group_min_input().to_pandas().groupby("key")["val"].min().sort_index()
+    )
+    assert (mins.set_index("key")["m"].sort_index() == expected).all()
+
+
+def test_budget_cap_ds_matches_table_route(ray_session, monkeypatch):
+    """_budget_cap_ds (key-hash grouped blocks + per-block pandas cap)
+    must equal the driver-table route row-for-row, scored and
+    unscored, with the exchange forced on."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.frontier.crawl import _budget_cap_ds, _budget_cap_tbl
+    from crawl4ai_custom_ray.functions import dedup
+
+    monkeypatch.setattr(dedup, "_HASH_GROUP_SMALL_ROWS", 0)
+    rows = []
+    for p in range(17):
+        for j in range(6):
+            rows.append(
+                {
+                    "url": f"https://x.test/{p}/{j}",
+                    "parent": f"https://x.test/{p}",
+                    "host": "x.test",
+                    "depth": 1,
+                    "seq": f"{p:08x}{j:08x}",
+                    "score": float((p * 13 + j * 7) % 10) / 10.0,
+                }
+            )
+    tbl = pa.Table.from_pylist(rows)
+    for use_score in (False, True):
+        want = (
+            _budget_cap_tbl(tbl, cap=3, use_score=use_score)
+            .to_pandas()
+            .sort_values("seq")
+            .reset_index(drop=True)
+        )
+        got = (
+            _budget_cap_ds(rd.from_arrow(tbl).repartition(5), cap=3, use_score=use_score)
+            .to_pandas()
+            .sort_values("seq")
+            .reset_index(drop=True)
+        )
+        assert list(got["url"]) == list(want["url"])
+        assert list(got["seq"]) == list(want["seq"])
+
+
+def test_fetch_attach_byte_gate_routes_to_join(ray_session, tmp_path):
+    """fetch_attach_bytes_max=0 disables the attach fast path (every
+    round exceeds the byte budget) — the crawl must take the digest
+    semi-filter + hash join route and visit the identical page set."""
+    from crawl4ai_custom_ray.frontier.crawl import BFSCrawl, CrawlConfig
+    from crawl4ai_custom_ray.sources.pages import pages_parquet_path
+
+    pages_path = pages_parquet_path("/root/testdata/sf0.001")
+    seeds = sorted(pq.read_table(pages_path, columns=["url"])["url"].to_pylist())[:4]
+
+    def run(**kw):
+        cfg = CrawlConfig(
+            max_depth=1,
+            per_host_cap=50,
+            check_robots=False,
+            n_seen_shards=2,
+            fetch_strategy="join",
+            **kw,
+        )
+        d = BFSCrawl(pages_path, cfg, str(tmp_path / f"ck{len(kw)}"))
+        try:
+            return sorted(r["url"] for r in d.run(seeds).select_columns(["url"]).iter_rows())
+        finally:
+            d.shutdown()
+
+    assert run(fetch_attach_bytes_max=0) == run()
