@@ -271,6 +271,27 @@ def _min_by_keys(ds, keys: list[str], value_col: str, alias: str):
     ).map_batches(block_min, batch_format="pyarrow", batch_size=None)
 
 
+def _sum_by_keys(ds, keys: list[str], value_col: str, alias: str):
+    """Per-``keys`` sum of ``value_col`` via key-hash repartition +
+    per-block C++ group-sum — same numerous-tiny-group rationale as
+    :func:`_min_by_keys` (vocabulary/df keys are corpus-count at web
+    scale).  Final sums, because each key is co-located by the
+    repartition."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+    def block_sum(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(keys).aggregate([(value_col, "sum")])
+        return g.rename_columns(
+            [alias if c == f"{value_col}_sum" else c for c in g.column_names]
+        )
+
+    return _hash_group_blocks(
+        ds.select_columns(keys + [value_col]), keys, max(16, cpus)
+    ).map_batches(block_sum, batch_format="pyarrow", batch_size=None)
+
+
 def _count_by_keys(ds, keys: list[str], alias: str):
     """Per-``keys`` row count via key-hash repartition + per-block C++
     group-count — same numerous-tiny-group rationale as
@@ -2229,6 +2250,7 @@ def jaccard_prefix_pairs(
     max_bucket: int | None = None,
     broadcast_vocab_max: int = 1_000_000,
     broadcast_docs_max: int = 100_000,
+    verify_attach_bytes_max: int = 4_000_000_000,
 ):
     """EXACT all pairs (a < b) with token/shingle-set Jaccard ≥
     ``threshold_num/threshold_den`` via prefix filtering — the
@@ -2280,8 +2302,6 @@ def jaccard_prefix_pairs(
     configuration, and the default) the two routes remain identical.
     """
     from collections import Counter
-
-    from ray.data.aggregate import AggregateFn, Count, Sum
 
     t_num, t_den = threshold_num, threshold_den
     threshold = t_num / t_den
@@ -2353,11 +2373,18 @@ def jaccard_prefix_pairs(
         if len(agg) <= broadcast_vocab_max:
             df_map = dict(agg)
     if df_map is None:
-        df = partials.groupby("token").aggregate(Sum("df_part", alias_name="df"))
+        # vocabulary-count tiny groups: merge the per-block partials
+        # through the key-hash grouping primitive, not Ray's per-group
+        # aggregate machinery (see _hash_group_blocks)
+        df = _sum_by_keys(partials, ["token"], "df_part", "df")
         df, n_vocab = _coalesce_for_join(df)
         if n_vocab <= broadcast_vocab_max:
             dfp = df.to_pandas()
             df_map = dict(zip(dfp["token"], dfp["df"]))
+    # the partial table is corpus-scale on route B — drop the
+    # materialized copy so its object-store blocks free before the
+    # token explosion lands
+    partials = None
 
     if df_map is not None:
         # Route A — broadcast df map (ray.put once): per-doc prefix
@@ -2389,12 +2416,14 @@ def jaccard_prefix_pairs(
         per_doc = ds.map_batches(pack_docs, batch_format="pyarrow").materialize()
     else:
         # Route B — fully distributed: token explosion ⋈ df hash join,
-        # then one groupby(id) whose state is the doc's own (df, token)
-        # entries as SORTABLE STRINGS "{df:012d}\x1etoken" (fixed-width
-        # df makes the lexicographic order = (df asc, token asc); a
-        # list of strings stays Arrow-native between accumulate and
-        # merge, where tuples fall back to pickled blocks — measured
-        # 1.7× slower end-to-end); finalize defers to the shared _pack.
+        # then per-doc packing through the key-hash grouping primitive
+        # — doc groups are tiny (a doc's shingles) and corpus-count
+        # NUMEROUS, the regime where a Python AggregateFn pays
+        # per-group machinery cost AND pickles list-of-strings state
+        # through every merge (measured at 1M docs: the aggregate
+        # route spilled the object store to disk-full; the hash
+        # exchange is one arrow-native shuffle and per-block packing
+        # holds one block's strings at a time).
         tok = ds.map_batches(
             _token_rows_fn(id_column, text_column, shingle_n),
             batch_format="pyarrow",
@@ -2402,36 +2431,53 @@ def jaccard_prefix_pairs(
         joined = hash_join_safe(
             tok, df, on=("token",), num_partitions=num_partitions
         )
-
-        def _acc(acc, block):
-            toks = (
-                block["token"].to_pylist()
-                if hasattr(block, "column_names")
-                else list(block["token"])
-            )
-            dfs = (
-                block["df"].to_pylist()
-                if hasattr(block, "column_names")
-                else list(block["df"])
-            )
-            acc.extend(
-                f"{d:012d}\x1e" + _sanitize(t) for d, t in zip(dfs, toks)
-            )
-            return acc
-
-        def _fin(acc):
-            return _pack((int(e[:12]), e[13:]) for e in acc)
-
-        packed_agg = AggregateFn(
-            init=lambda k: [],
-            accumulate_block=_acc,
-            merge=lambda a, b: a + b,
-            finalize=_fin,
-            name="packed",
+        cpus = (
+            int(_ray.cluster_resources().get("CPU", 8))
+            if _ray.is_initialized()
+            else 8
         )
-        per_doc = (
-            joined.groupby("id").aggregate(packed_agg).materialize()
+        parts = _hash_group_blocks(
+            joined.select_columns(["id", "token", "df"]), ["id"], max(16, cpus)
         )
+        # token rows and the join are corpus × shingles — release the
+        # materialized copies before the packed table lands
+        tok = None
+        joined = None
+
+        def block_pack(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "id": pa.array([], pa.int64()),
+                        "packed": pa.array([], pa.string()),
+                    }
+                )
+            starts, ends, order = _group_runs(batch, ["id"])
+            take = pa.array(order)
+            ids_sorted = batch["id"].take(take).to_pylist()
+            toks_sorted = batch["token"].take(take).to_pylist()
+            dfs_sorted = batch["df"].take(take).to_pylist()
+            out_ids, out_packed = [], []
+            for s, e in zip(starts, ends):
+                out_ids.append(ids_sorted[s])
+                out_packed.append(
+                    _pack(
+                        (dfs_sorted[k], _sanitize(toks_sorted[k]))
+                        for k in range(s, e)
+                    )
+                )
+            return pa.table(
+                {
+                    "id": pa.array(out_ids, pa.int64()),
+                    "packed": pa.array(out_packed, pa.string()),
+                }
+            )
+
+        per_doc = parts.map_batches(
+            block_pack, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        parts = None
+        df = None  # vocabulary table folded into the packed cells
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         ids_out, toks = [], []
@@ -2444,11 +2490,34 @@ def jaccard_prefix_pairs(
             {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
         )
 
-    buckets = (
-        per_doc.map_batches(prefix_rows, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(_collect_ids_agg("id", max_members=max_bucket))
+    # prefix-token buckets are vocabulary-count tiny groups: collect
+    # member lists through the key-hash primitive (one arrow-native
+    # exchange), not a Python AggregateFn; the hot-bucket cap applies
+    # post-collect (same finalize semantics: over-cap ⇒ empty list)
+    buckets = _collect_lists_by_key(
+        per_doc.map_batches(prefix_rows, batch_format="pyarrow"),
+        "token",
+        "id",
+        "ids",
     )
+    if max_bucket is not None:
+
+        def cap_buckets(batch: pa.Table) -> pa.Table:
+            lens = pc.list_value_length(batch["ids"])
+            over = pc.greater(lens, max_bucket)
+            if not pc.any(over).as_py():
+                return batch
+            ids_out = [
+                [] if o else v
+                for o, v in zip(over.to_pylist(), batch["ids"].to_pylist())
+            ]
+            return batch.set_column(
+                batch.schema.get_field_index("ids"),
+                "ids",
+                pa.array(ids_out, batch.schema.field("ids").type),
+            )
+
+        buckets = buckets.map_batches(cap_buckets, batch_format="pyarrow")
 
     # Size-adaptive verification, mirroring minhash_lsh_pairs: the
     # per-doc packed table is corpus-bounded (one row per doc), so
@@ -2524,16 +2593,132 @@ def jaccard_prefix_pairs(
             )
         return out
 
-    pairs = (
-        buckets.map_batches(_explode_pairs_batch, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_buckets"))
-    )
-    pairs = pairs.materialize()
-    if pairs.count() == 0:
+    # candidate-pair dedup: pair keys are candidate-count tiny groups
+    # — same key-hash route as every other grouping in this module
+    pairs = _count_by_keys(
+        buckets.map_batches(_explode_pairs_batch, batch_format="pyarrow"),
+        ["a", "b"],
+        "n_buckets",
+    ).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         return _empty_dataset(
             {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
         )
+
+    # Verify-route choice by ESTIMATED shuffle bytes.  The attach
+    # route ships every candidate pair through TWO hash joins carrying
+    # a full packed token cell each way — ~2 × n_pairs × cell bytes of
+    # shuffle+spill (measured at 1M adversarial docs: 23.8M pairs ×
+    # 1.2 KB cells ≈ 56 GB, an object-store spill blow-up).  Above the
+    # byte budget, verify IN THE BUCKETS instead: re-explode the
+    # prefix index with each member's packed cell attached (prefix
+    # rows × cell bytes — bounded by corpus × kept-prefix, NOT by the
+    # quadratic pair count) through ONE key-hash exchange, and score
+    # pairs locally under the same canonical-bucket rule as the
+    # broadcast route, so all three routes stay value-identical.
+    samp = per_doc.limit(1024).to_pandas()
+    avg_packed = max(1.0, float(samp["packed"].str.len().mean()))
+    if n_pairs * 2 * avg_packed > verify_attach_bytes_max:
+        pairs = None
+        buckets = None
+
+        def payload_rows(batch: pa.Table) -> pa.Table:
+            toks_out, ids_out, packs_out = [], [], []
+            for i, packed in zip(
+                batch["id"].to_pylist(), batch["packed"].to_pylist()
+            ):
+                plen_s, _, body = packed.partition("\x1e")
+                for tokn in body.split("\x1f")[: int(plen_s)]:
+                    toks_out.append(tokn)
+                    ids_out.append(i)
+                    packs_out.append(packed)
+            return pa.table(
+                {
+                    "token": pa.array(toks_out, pa.string()),
+                    "id": pa.array(ids_out, pa.int64()),
+                    "packed": pa.array(packs_out, pa.string()),
+                }
+            )
+
+        cpus_v = (
+            int(_ray.cluster_resources().get("CPU", 8))
+            if _ray.is_initialized()
+            else 8
+        )
+        # many small partitions: bucket_verify inflates its block into
+        # Python lists + a parsed-cell cache (~10× the arrow bytes), so
+        # per-block payload must stay tens-of-MB or concurrent tasks
+        # OOM the host (measured: 32 × ~300 MB blocks killed workers)
+        payload_parts = _hash_group_blocks(
+            per_doc.map_batches(payload_rows, batch_format="pyarrow"),
+            ["token"],
+            max(64, cpus_v * 8),
+        )
+
+        def bucket_verify(batch: pa.Table) -> pa.Table:
+            a_out, b_out, j_out = [], [], []
+            if batch.num_rows:
+                starts, ends, order = _group_runs(batch, ["token"])
+                take = pa.array(order)
+                toks_s = batch["token"].take(take).to_pylist()
+                ids_s = batch["id"].take(take).to_pylist()
+                packs_s = batch["packed"].take(take).to_pylist()
+                info: dict = {}  # id → (kept_list, kept_set, full_set)
+
+                def _info(i, packed):
+                    got = info.get(i)
+                    if got is None:
+                        plen_s, _, body = packed.partition("\x1e")
+                        toks = body.split("\x1f")
+                        k = int(plen_s)
+                        got = (toks[:k], frozenset(toks[:k]), frozenset(toks))
+                        info[i] = got
+                    return got
+
+                for s, e in zip(starts, ends):
+                    if max_bucket is not None and e - s > max_bucket:
+                        continue  # hot-bucket cap: same drop as finalize([])
+                    if e - s < 2:
+                        continue
+                    token = toks_s[s]
+                    members = sorted(
+                        (ids_s[k], packs_s[k]) for k in range(s, e)
+                    )
+                    for x in range(len(members)):
+                        a, pk_a = members[x]
+                        la, ka, fa = _info(a, pk_a)
+                        for y in range(x + 1, len(members)):
+                            b, pk_b = members[y]
+                            lb, kb, fb = _info(b, pk_b)
+                            it, other = (
+                                (la, kb) if len(la) <= len(lb) else (lb, ka)
+                            )
+                            canon = next(tk for tk in it if tk in other)
+                            if canon != token:
+                                continue
+                            c = len(fa & fb)
+                            j = c / (len(fa) + len(fb) - c)
+                            if j >= threshold:
+                                a_out.append(a)
+                                b_out.append(b)
+                                j_out.append(j)
+            return pa.table(
+                {
+                    "a": pa.array(a_out, pa.int64()),
+                    "b": pa.array(b_out, pa.int64()),
+                    "jaccard": pa.array(j_out, pa.float64()),
+                }
+            )
+
+        out = payload_parts.map_batches(
+            bucket_verify, batch_format="pyarrow", batch_size=None
+        ).materialize()
+        if out.count() == 0:
+            return _empty_dataset(
+                {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
+            )
+        return out
 
     pairs, _ = _coalesce_for_join(pairs)
     with_a = _attach_by_id(

@@ -89,6 +89,19 @@ def test_prefix_pairs_join_route_identical(ray_session, t_num, t_den):
     assert {(a, b) for a, b, _ in joined} == _brute_pairs(
         DOCS, t_num / t_den, 3
     )
+    # third route: in-bucket verify (attach byte budget zeroed) —
+    # the web-scale path that replaces the two per-pair attach joins
+    bucketed = {
+        (r["a"], r["b"], round(r["jaccard"], 12))
+        for r in jaccard_prefix_pairs(
+            ds,
+            broadcast_vocab_max=0,
+            broadcast_docs_max=0,
+            verify_attach_bytes_max=0,
+            **kw,
+        ).take_all()
+    }
+    assert bucketed == fast
 
 
 def test_prefix_pairs_empty_result(ray_session):
