@@ -451,9 +451,16 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
         import pyarrow as _pa
         import pyarrow.compute as _pc
 
+        import re as _re
+
         from crawl4ai_custom_ray.frontier.crawl import _extract_links_batch
         from crawl4ai_custom_ray.functions.graph import hits, host_triangles
-        from crawl4ai_custom_ray.urls import get_base_domain
+
+        _host_re = _re.compile(r"https://([^/]+)")
+
+        def _host_of(u):
+            m = _host_re.match(u or "")
+            return m.group(1) if m else ""
 
         def _links_ds():
             pages_ds = rd.read_parquet(pages_dir, columns=["url", "html"])
@@ -471,7 +478,7 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
                 t = batch.filter(batch["href"].is_valid())
                 # per-block distinct combiner: host pairs, not links
                 seen = {
-                    (get_base_domain(su), get_base_domain(h))
+                    (_host_of(su), _host_of(h))
                     for su, h in zip(
                         t["src_url"].to_pylist(), t["href"].to_pylist()
                     )
