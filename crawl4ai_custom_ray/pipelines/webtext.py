@@ -100,18 +100,29 @@ def crawl_and_curate(
         on=("url",),
     )
 
-    # 4. quality gate — stateless vectorized stats
+    # 4. quality gate — stateless, fully vectorized arrow kernels
+    # (word count / punct count / length per row, no Python row loop)
     def quality_gate(batch: pa.Table) -> pa.Table:
-        import re as _re
+        import pyarrow.compute as pc
 
-        keep = []
-        for t in batch["text"].to_pylist():
-            words = (t or "").split()
-            nw = len(words)
-            punct = len(_re.findall(r"[^\w\s]", t or ""))
-            ratio = punct / len(t) if t else 1.0
-            keep.append(nw >= min_words and ratio <= max_punct_ratio)
-        return batch.filter(pa.array(keep, pa.bool_()))
+        text = pc.coalesce(batch["text"], "")
+        n_words = pc.count_substring_regex(text, r"\S+")
+        # RE2's \w is ASCII-only; spell out Python-re's unicode classes
+        n_punct = pc.count_substring_regex(text, r"[^\p{L}\p{N}_\s]")
+        n_chars = pc.utf8_length(text)
+        ok_len = pc.greater_equal(n_words, min_words)
+        # empty text ⇒ ratio 1.0 (the old per-row semantics), so it
+        # fails the punct gate whenever max_punct_ratio < 1
+        ratio = pc.if_else(
+            pc.equal(n_chars, 0),
+            1.0,
+            pc.divide(
+                pc.cast(n_punct, pa.float64()),
+                pc.cast(pc.max_element_wise(n_chars, 1), pa.float64()),
+            ),
+        )
+        keep = pc.and_(ok_len, pc.less_equal(ratio, max_punct_ratio))
+        return batch.filter(keep)
 
     curated = deduped.map_batches(quality_gate, batch_format="pyarrow").materialize()
     n_curated = curated.count()
