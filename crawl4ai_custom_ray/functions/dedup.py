@@ -195,6 +195,15 @@ def _hash_group_blocks(ds, keys: list[str], num_partitions: int):
     n = m.count()
     if n <= _HASH_GROUP_SMALL_ROWS:
         return m.repartition(1).materialize() if m.num_blocks() > 1 else m
+    # partition-count floor from DATA SIZE: callers pass a
+    # parallelism-shaped count (≈ CPUs), which at web scale would make
+    # each reduce block corpus/CPUs bytes; floor the block size at
+    # ~``_HASH_GROUP_TARGET_BLOCK`` arrow bytes instead, so per-task
+    # memory downstream stays bounded by the target no matter how big
+    # the input grows (consumers inflate a block ~10× into Python
+    # state — see the jaccard in-bucket verify sizing note).
+    size = m.size_bytes() or 0
+    num_partitions = max(num_partitions, -(-size // _HASH_GROUP_TARGET_BLOCK))
     strategy = _resolve_hash_shuffle_strategy()
     ctx = getattr(m, "context", None)
     if strategy is None or ctx is None or not hasattr(ctx, "shuffle_strategy"):
@@ -380,6 +389,13 @@ SMALL_PAIR_THRESHOLD = 200_000
 # vocabulary groupby shuffle (each row is a (token, count) pair, so
 # the pull is bounded ≈ blocks × per-block vocabulary).
 _DF_PARTIAL_DRIVER_MAX = 2_000_000
+
+# _hash_group_blocks block-size ceiling: the hash exchange emits one
+# block per partition, so the partition count is floored at
+# input_bytes / this — per-block (and so per-downstream-task) memory
+# stays bounded at web scale even when callers size partitions by CPU
+# count.
+_HASH_GROUP_TARGET_BLOCK = 64 * 1024 * 1024
 
 # _hash_group_blocks coalesce gate: inputs at or under this many rows
 # skip the key-hash exchange and run group detection in one block —
