@@ -2506,17 +2506,19 @@ def jaccard_prefix_pairs(
             {"id": pa.array(ids_out, pa.int64()), "token": pa.array(toks, pa.string())}
         )
 
-    # prefix-token buckets are vocabulary-count tiny groups: collect
-    # member lists through the key-hash primitive (one arrow-native
-    # exchange), not a Python AggregateFn; the hot-bucket cap applies
-    # post-collect (same finalize semantics: over-cap ⇒ empty list)
-    buckets = _collect_lists_by_key(
-        per_doc.map_batches(prefix_rows, batch_format="pyarrow"),
-        "token",
-        "id",
-        "ids",
-    )
-    if max_bucket is not None:
+    prefix_ds = per_doc.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def collect_buckets():
+        """Prefix-token buckets (token, [ids]) — vocabulary-count tiny
+        groups collected through the key-hash primitive (one
+        arrow-native exchange), not a Python AggregateFn.  The
+        hot-bucket cap applies post-collect (same finalize semantics:
+        over-cap ⇒ empty list).  Deferred behind a helper because the
+        in-bucket verify route below never needs the id lists — it
+        exchanges payload rows instead."""
+        b = _collect_lists_by_key(prefix_ds, "token", "id", "ids")
+        if max_bucket is None:
+            return b
 
         def cap_buckets(batch: pa.Table) -> pa.Table:
             lens = pc.list_value_length(batch["ids"])
@@ -2533,7 +2535,7 @@ def jaccard_prefix_pairs(
                 pa.array(ids_out, batch.schema.field("ids").type),
             )
 
-        buckets = buckets.map_batches(cap_buckets, batch_format="pyarrow")
+        return b.map_batches(cap_buckets, batch_format="pyarrow")
 
     # Size-adaptive verification, mirroring minhash_lsh_pairs: the
     # per-doc packed table is corpus-bounded (one row per doc), so
@@ -2552,6 +2554,7 @@ def jaccard_prefix_pairs(
     # joins below, which never hold anything corpus-sized in one
     # place.
     if per_doc.count() <= broadcast_docs_max:
+        buckets = collect_buckets()
         pdp = per_doc.to_pandas()
         full_sets, kept_lists, kept_sets = {}, {}, {}
         for i, p in zip(pdp["id"], pdp["packed"]):
@@ -2609,35 +2612,43 @@ def jaccard_prefix_pairs(
             )
         return out
 
-    # candidate-pair dedup: pair keys are candidate-count tiny groups
-    # — same key-hash route as every other grouping in this module
-    pairs = _count_by_keys(
-        buckets.map_batches(_explode_pairs_batch, batch_format="pyarrow"),
-        ["a", "b"],
-        "n_buckets",
-    ).materialize()
-    n_pairs = pairs.count()
-    if n_pairs == 0:
+    # Verify-route choice by ESTIMATED shuffle bytes, decided BEFORE
+    # any pair explosion.  The attach route ships every candidate pair
+    # through TWO hash joins carrying a full packed token cell each
+    # way — ~2 × pairs × cell bytes of shuffle+spill (measured at 1M
+    # adversarial docs: 23.8M pairs × 1.2 KB cells ≈ 56 GB, an
+    # object-store spill blow-up).  Raw candidate volume Σ d·(d−1)/2
+    # comes from per-token PREFIX COUNTS — a skinny one-column
+    # exchange — so the in-bucket route never pays the bucket-list
+    # collect or the pair-dedup exchange it would not use.  The raw
+    # count over-counts multi-bucket pairs, so the switch fires a
+    # little earlier than a distinct-pair criterion would —
+    # conservative in the safe direction.
+    sizes = _count_by_keys(prefix_ds.select_columns(["token"]), ["token"], "d")
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if max_bucket is not None:
+            d = d[d <= max_bucket]  # capped buckets emit no pairs
+        return pa.table(
+            {"n": pa.array([int((d * (d - 1) // 2).sum())], pa.int64())}
+        )
+
+    raw_pairs = sum(
+        b["n"]
+        for b in sizes.map_batches(
+            pair_partials, batch_format="pyarrow"
+        ).take_all()
+    )
+    if raw_pairs == 0:
+        # no bucket holds two members ⇒ no candidate ⇒ (prefix
+        # principle) no pair can reach the threshold
         return _empty_dataset(
             {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
         )
-
-    # Verify-route choice by ESTIMATED shuffle bytes.  The attach
-    # route ships every candidate pair through TWO hash joins carrying
-    # a full packed token cell each way — ~2 × n_pairs × cell bytes of
-    # shuffle+spill (measured at 1M adversarial docs: 23.8M pairs ×
-    # 1.2 KB cells ≈ 56 GB, an object-store spill blow-up).  Above the
-    # byte budget, verify IN THE BUCKETS instead: re-explode the
-    # prefix index with each member's packed cell attached (prefix
-    # rows × cell bytes — bounded by corpus × kept-prefix, NOT by the
-    # quadratic pair count) through ONE key-hash exchange, and score
-    # pairs locally under the same canonical-bucket rule as the
-    # broadcast route, so all three routes stay value-identical.
     samp = per_doc.limit(1024).to_pandas()
     avg_packed = max(1.0, float(samp["packed"].str.len().mean()))
-    if n_pairs * 2 * avg_packed > verify_attach_bytes_max:
-        pairs = None
-        buckets = None
+    if raw_pairs * 2 * avg_packed > verify_attach_bytes_max:
 
         def payload_rows(batch: pa.Table) -> pa.Table:
             toks_out, ids_out, packs_out = [], [], []
@@ -2736,6 +2747,20 @@ def jaccard_prefix_pairs(
             )
         return out
 
+    # attach route: bucket-list collect → pair explosion → pair dedup
+    # (candidate-count tiny groups through the key-hash primitive)
+    buckets = collect_buckets()
+    pairs = _count_by_keys(
+        buckets.map_batches(_explode_pairs_batch, batch_format="pyarrow"),
+        ["a", "b"],
+        "n_buckets",
+    ).materialize()
+    if pairs.count() == 0:
+        # possible under the raw estimate: every candidate bucket
+        # collapsed to duplicates of nothing (e.g. all members equal)
+        return _empty_dataset(
+            {"a": pa.int64(), "b": pa.int64(), "jaccard": pa.float64()}
+        )
     pairs, _ = _coalesce_for_join(pairs)
     with_a = _attach_by_id(
         pairs.select_columns(["a", "b"]),
