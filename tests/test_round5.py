@@ -184,3 +184,36 @@ def test_fetch_attach_byte_gate_routes_to_join(ray_session, tmp_path):
             d.shutdown()
 
     assert run(fetch_attach_bytes_max=0) == run()
+
+
+def test_hash_group_blocks_partition_floor_by_bytes(ray_session, monkeypatch):
+    """With the byte target shrunk, the exchange must raise its
+    partition count above the caller's CPU-shaped number (bounding
+    per-block memory at any corpus size) while keeping every group
+    whole and results exact."""
+    import ray as _ray
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions import dedup
+
+    monkeypatch.setattr(dedup, "_HASH_GROUP_SMALL_ROWS", 0)
+    monkeypatch.setattr(dedup, "_HASH_GROUP_TARGET_BLOCK", 2048)
+    ds = rd.from_arrow(_group_min_input(n_keys=256, per_key=8)).repartition(8)
+    out = dedup._hash_group_blocks(ds, ["key"], 4)
+    # the floor must have lifted the partition count well above 4
+    assert out.num_blocks() > 4
+    seen_in_block = {}
+    for i, ref in enumerate(out.to_arrow_refs()):
+        blk = _ray.get(ref)
+        for k in set(blk["key"].to_pylist()):
+            assert seen_in_block.setdefault(k, i) == i, f"{k} straddles blocks"
+
+    mins = dedup._min_by_keys(ds, ["key"], "val", "m").to_pandas()
+    expected = (
+        _group_min_input(n_keys=256, per_key=8)
+        .to_pandas()
+        .groupby("key")["val"]
+        .min()
+        .sort_index()
+    )
+    assert (mins.set_index("key")["m"].sort_index() == expected).all()
