@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_head_preview": q.q_link_head_preview,
         "page_tables": q.q_page_tables,
         "regex_emails": q.q_regex_emails,
+        "fetch_pages": q.q_fetch_pages,
         "frontier_bfs": q.q_frontier_bfs,
         "top_k_per_host": q.q_top_k_per_host,
         "robots_filter": q.q_robots_filter,

@@ -565,6 +565,15 @@ def oracle_sql_for(sf_dir: str) -> dict[str, str]:
                    unnest(regexp_extract_all(decode(html), '[\\w.+-]+@[\\w-]+\\.[\\w.-]+')) AS value
             FROM read_parquet('{path}')
         """,
+        "fetch_pages": f"""
+            SELECT url, octet_length(html) AS n_bytes
+            FROM read_parquet('{path}')
+            WHERE url IN (
+                SELECT url FROM read_parquet('{path}')
+                WHERE url NOT LIKE '%/private/%'
+                ORDER BY url LIMIT 100
+            )
+        """,
         "frontier_bfs": f"""
             WITH RECURSIVE
             hrefs AS (

@@ -404,6 +404,40 @@ def _sorted_seed_urls(sf_dir: str, n: int = 3) -> list[str]:
     return _min_n_public_urls(pages_parquet_path(sf_dir), n)
 
 
+def q_fetch_pages(sf_dir: str):
+    """The round-5 digest semi-join fetch helper as a first-party
+    query: re-fetch the 100 lexicographically-first public pages
+    through ``frontier.crawl.fetch_pages_for_urls`` (worker-side
+    8 B/url digest broadcast semi-filter + exact url hash join — no
+    driver-side url list in the fetch itself; the 100-row probe
+    selection here is budget-bounded) and report each page's html
+    byte length.  Oracle: a plain IN-subquery over the pages
+    parquet."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from .frontier.crawl import fetch_pages_for_urls
+    from .sources.pages import pages_parquet_path
+
+    pages_path = pages_parquet_path(sf_dir)
+    urls = _min_n_public_urls(pages_path, 100)
+    url_ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": batch["url"],
+                "n_bytes": _pc.cast(
+                    _pc.binary_length(batch["html"]), pa.int64()
+                ),
+            }
+        )
+
+    return fetch_pages_for_urls(pages_path, url_ds).map_batches(
+        sizes, batch_format="pyarrow"
+    )
+
+
 def q_frontier_bfs(sf_dir: str):
     """Full BSP BFS crawl (seeds = first 3 urls, depth ≤ 2, robots
     gate on) → final visited set (url, depth).  Oracle: recursive CTE
