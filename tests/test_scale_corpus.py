@@ -148,3 +148,41 @@ def test_embeddings_amplified_signed_permutation(monkeypatch_module, tmp_path_fa
 
     # idempotent cache
     assert scaled_embeddings_dir(SF, replicas=3) == out
+
+
+def test_events_amplified_disjoint_users(monkeypatch_module, tmp_path_factory):
+    """scaled_events_dir: replica r shifts event ids by r·n_base and
+    user ids by r·(max_user+1) — disjoint user populations, each with
+    the base table's exact per-user time series."""
+    import pyarrow.compute as pc
+
+    import crawl4ai_custom_ray.sources.scale as scale_mod
+    from crawl4ai_custom_ray.sources.scale import scaled_events_dir
+
+    root = str(tmp_path_factory.mktemp("scale_cache_ev"))
+    monkeypatch_module.setattr(scale_mod, "SCALE_CACHE_ROOT", root)
+
+    out = scaled_events_dir(SF, replicas=3)
+    t = pq.read_table(out)
+    base = pq.read_table(os.path.join(SF, "events.parquet"))
+    n_base = base.num_rows
+    assert t.num_rows == 3 * n_base
+
+    user_span = int(pc.max(base["user_id"]).as_py()) + 1
+    base_pd = base.to_pandas().sort_values("event_id").reset_index(drop=True)
+    full = t.to_pandas().sort_values("event_id").reset_index(drop=True)
+    for r in range(3):
+        rep = full.iloc[r * n_base : (r + 1) * n_base].reset_index(drop=True)
+        assert (rep["event_id"] == base_pd["event_id"] + r * n_base).all()
+        assert (rep["user_id"] == base_pd["user_id"] + r * user_span).all()
+        # time series byte-identical per replica
+        assert (rep["ts"] == base_pd["ts"]).all()
+        assert (rep["event_type"] == base_pd["event_type"]).all()
+        assert (rep["value"] == base_pd["value"]).all()
+    # user populations disjoint across replicas
+    for r in range(1, 3):
+        lo = full.iloc[(r - 1) * n_base : r * n_base]["user_id"]
+        hi = full.iloc[r * n_base : (r + 1) * n_base]["user_id"]
+        assert set(lo).isdisjoint(set(hi))
+    # idempotent cache
+    assert scaled_events_dir(SF, replicas=3) == out
