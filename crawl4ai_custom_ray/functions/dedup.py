@@ -1342,48 +1342,83 @@ def connected_components(
             .materialize()  # read twice: the fixpoint sum AND the next join
         )
 
-    def _sum_parts(batch: pa.Table) -> pa.Table:
-        v = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "hi": pa.array([int((v >> 32).sum())], pa.int64()),
-                "lo": pa.array([int((v & 0xFFFFFFFF).sum())], pa.int64()),
-            }
-        )
-
-    def _label_checksum(labels_ds) -> int:
-        """Exact label-sum fixpoint detector, overflow-safe for
-        int64-SCALE node ids (url digests near ±2^63 overflow a naive
-        ``Sum("label")`` — the accumulated Python int then fails the
-        Arrow int64 conversion inside the aggregator).  Per-block
-        exact sums of the arithmetic high/low 32-bit halves stay well
-        inside int64; the driver combines them with Python ints."""
-        parts = labels_ds.map_batches(
-            _sum_parts, batch_format="pyarrow"
-        ).to_pandas()
-        if "hi" not in parts.columns:
-            return 0
-        return int(parts["hi"].sum()) * (1 << 32) + int(parts["lo"].sum())
-
     labels = _min_by_node(
         edges.map_batches(init_labels, batch_format="pyarrow")
     )
-    prev_sum = _label_checksum(labels)
 
+    # Delta propagation: a label that did not decrease last round has
+    # already delivered its value across every incident edge, so only
+    # CHANGED rows join against the edge table (min-label propagation
+    # is monotone — the standard semi-naive/delta evaluation).  Later
+    # rounds join a shrinking frontier instead of all nodes, and the
+    # per-node change flag doubles as an EXACT convergence test
+    # (replacing the label-checksum scans).  One exchange per round:
+    # old labels and arriving candidates are tagged, key-hash grouped
+    # by node, and a per-block numpy segment-min emits the new label
+    # plus its changed flag in the same pass.
+    def _tag(o_val: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "o", pa.array(np.full(batch.num_rows, o_val, np.int8))
+            )
+
+        return fn
+
+    _I64MAX = np.iinfo(np.int64).max
+
+    def block_merge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "chg": pa.array([], pa.bool_()),
+                }
+            )
+        starts, _ends, order = _group_runs(batch, ["node"])
+        node = batch["node"].to_numpy(zero_copy_only=False)[order]
+        lab = batch["label"].to_numpy(zero_copy_only=False)[order]
+        is_old = batch["o"].to_numpy(zero_copy_only=False)[order] == 1
+        newmin = np.minimum.reduceat(lab, starts)
+        oldv = np.minimum.reduceat(np.where(is_old, lab, _I64MAX), starts)
+        return pa.table(
+            {
+                "node": pa.array(node[starts], pa.int64()),
+                "label": pa.array(newmin, pa.int64()),
+                "chg": pa.array(newmin < oldv),
+            }
+        )
+
+    changed = labels  # round 0: every label is fresh
     n_parts = _join_partitions(num_partitions)
     for _ in range(max_iters):
         prop = edges.join(
-            labels,
+            changed,
             join_type="inner",
             num_partitions=n_parts,
             on=("src",),
             right_on=("node",),
         ).select_columns(["dst", "label"]).rename_columns({"dst": "node"})
-        labels = _min_by_node(labels.union(prop))
-        new_sum = _label_checksum(labels)
-        if new_sum == prev_sum:
+        merged = (
+            _hash_group_blocks(
+                labels.map_batches(_tag(1), batch_format="pyarrow").union(
+                    prop.map_batches(_tag(0), batch_format="pyarrow")
+                ),
+                ["node"],
+                kparts,
+            )
+            .map_batches(block_merge, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        labels = merged.drop_columns(["chg"])
+        changed, n_changed = _coalesce_for_join(
+            merged.map_batches(
+                lambda b: b.filter(b["chg"]).drop_columns(["chg"]),
+                batch_format="pyarrow",
+            )
+        )
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
