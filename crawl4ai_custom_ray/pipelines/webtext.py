@@ -43,8 +43,13 @@ def crawl_and_curate(
     min_words: int = 5,
     max_punct_ratio: float = 0.3,
     chunk_words: int = 200,
+    resume: bool = False,
 ) -> dict:
-    """Run the full curation flow; returns the stage-count manifest."""
+    """Run the full curation flow; returns the stage-count manifest.
+
+    ``resume=True`` restarts a killed run from the crawl's last
+    committed round checkpoint (the post-crawl stages re-run — they
+    are pure functions of the visited set)."""
     os.makedirs(out_root, exist_ok=True)
     cfg = crawl_cfg or CrawlConfig(max_depth=2, per_host_cap=200, check_robots=True)
 
@@ -53,7 +58,7 @@ def crawl_and_curate(
     # the seen-shard actors)
     driver = BFSCrawl(pages_path, cfg, os.path.join(out_root, "visited"))
     try:
-        visited = driver.run(seeds)
+        visited = driver.run(seeds, resume=resume)
     finally:
         driver.shutdown()
     n_visited = visited.count()

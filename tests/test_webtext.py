@@ -39,3 +39,30 @@ def test_crawl_and_curate(ray_session, tmp_path):
     # crawl checkpoint is resumable state on disk
     assert (tmp_path / "curated" / "visited").is_dir()
     assert (tmp_path / "curated" / "manifest.json").exists()
+
+
+def test_crawl_and_curate_resume(ray_session, tmp_path):
+    """resume=True replays from the crawl's committed checkpoint: a
+    second run over the same out_root reproduces the first manifest
+    without recrawling from scratch (visited set identical)."""
+    import pyarrow.parquet as pq
+
+    from crawl4ai_custom_ray.frontier.crawl import CrawlConfig
+    from crawl4ai_custom_ray.pipelines.webtext import crawl_and_curate
+    from crawl4ai_custom_ray.sources.pages import pages_parquet_path
+
+    base = pages_parquet_path("/root/testdata/sf0.001")
+    seeds = sorted(
+        u
+        for u in pq.read_table(base, columns=["url"])["url"].to_pylist()
+        if "/private/" not in u
+    )[:4]
+    out = str(tmp_path / "curated")
+    cfg = CrawlConfig(max_depth=1, per_host_cap=50, check_robots=True, n_seen_shards=2)
+    m1 = crawl_and_curate(base, seeds, out, crawl_cfg=cfg, chunk_words=40)
+    m2 = crawl_and_curate(
+        base, seeds, out, crawl_cfg=cfg, chunk_words=40, resume=True
+    )
+    assert m2["n_visited"] == m1["n_visited"]
+    assert m2["n_curated_docs"] == m1["n_curated_docs"]
+    assert m2["n_chunks"] == m1["n_chunks"]
