@@ -193,7 +193,13 @@ def _hash_group_blocks(ds, keys: list[str], num_partitions: int):
     ``tests/test_advice_regressions.py`` pins both routes."""
     m = ds.materialize()
     n = m.count()
-    if n <= _HASH_GROUP_SMALL_ROWS:
+    if (
+        n <= _HASH_GROUP_SMALL_ROWS
+        and (m.size_bytes() or 0) <= _HASH_GROUP_SMALL_BYTES
+    ):
+        # row count alone is not enough: fat cells (packed token
+        # payloads) can make a row-small input gigabytes — those take
+        # the hash route below, whose partition floor bounds blocks
         return m.repartition(1).materialize() if m.num_blocks() > 1 else m
     # partition-count floor from DATA SIZE: callers pass a
     # parallelism-shaped count (≈ CPUs), which at web scale would make
@@ -396,6 +402,12 @@ _DF_PARTIAL_DRIVER_MAX = 2_000_000
 # stays bounded at web scale even when callers size partitions by CPU
 # count.
 _HASH_GROUP_TARGET_BLOCK = 64 * 1024 * 1024
+
+# _hash_group_blocks coalesce gate, byte dimension: a row-small input
+# whose cells are fat (packed payloads) must not collapse into one
+# multi-GB block — above this it takes the hash route regardless of
+# row count.
+_HASH_GROUP_SMALL_BYTES = 4 * _HASH_GROUP_TARGET_BLOCK
 
 # _hash_group_blocks coalesce gate: inputs at or under this many rows
 # skip the key-hash exchange and run group detection in one block —

@@ -217,3 +217,30 @@ def test_hash_group_blocks_partition_floor_by_bytes(ray_session, monkeypatch):
         .sort_index()
     )
     assert (mins.set_index("key")["m"].sort_index() == expected).all()
+
+
+def test_hash_group_blocks_fat_cells_take_hash_route(ray_session, monkeypatch):
+    """A row-small input with fat cells must NOT coalesce into one
+    giant block: above the byte gate it takes the hash exchange, whose
+    partition floor bounds per-block memory."""
+    import ray as _ray
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.functions import dedup
+
+    monkeypatch.setattr(dedup, "_HASH_GROUP_SMALL_BYTES", 10_000)
+    monkeypatch.setattr(dedup, "_HASH_GROUP_TARGET_BLOCK", 10_000)
+    t = pa.table(
+        {
+            "key": [f"k{i % 32:03d}" for i in range(200)],
+            "cell": ["x" * 1000 for _ in range(200)],  # ~200 KB total
+        }
+    )
+    out = dedup._hash_group_blocks(rd.from_arrow(t).repartition(4), ["key"], 2)
+    assert out.num_blocks() > 1  # did not coalesce
+    seen_in_block = {}
+    for i, ref in enumerate(out.to_arrow_refs()):
+        blk = _ray.get(ref)
+        for k in set(blk["key"].to_pylist()):
+            assert seen_in_block.setdefault(k, i) == i, f"{k} straddles blocks"
+    assert sum(len(_ray.get(r)) for r in out.to_arrow_refs()) == 200
