@@ -1666,9 +1666,9 @@ def _budget_cap_ds(ds, cap: int, use_score: bool):
     parent lands WHOLE in one block, then run the pandas cap once per
     BLOCK — ``_budget_cap_pandas`` groups by parent internally, so
     per-block output equals the per-group output exactly."""
-    from ..functions.dedup import _hash_group_blocks
+    from ..functions.dedup import _default_cpus, _hash_group_blocks
 
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = _default_cpus()
 
     def cap_block(df):
         if not len(df):

@@ -190,7 +190,7 @@ def _hash_group_blocks(ds, keys: list[str], num_partitions: int):
     (slower but whole-groups-per-block by contract) when the internal
     API moved; (b) assert the one-block-per-partition invariant on the
     materialized output and fall back the same way if it ever breaks.
-    ``tests/test_advice_regressions.py`` pins both routes."""
+    ``tests/test_round5.py`` pins both routes."""
     m = ds.materialize()
     n = m.count()
     if (
@@ -220,10 +220,14 @@ def _hash_group_blocks(ds, keys: list[str], num_partitions: int):
         out = m.repartition(num_partitions, keys=keys).materialize()
     finally:
         ctx.shuffle_strategy = prev
-    if out.num_blocks() > num_partitions:
-        # the one-block-per-reduce-partition invariant broke: a key
-        # group may straddle blocks → per-block results would be
-        # silently partial.  Re-route (correct, slower).
+    if out.num_blocks() != num_partitions:
+        # Ray 2.49.2 emits EXACTLY one block per reduce partition
+        # (empties included).  More blocks ⇒ splitting (a key group
+        # may straddle blocks → silently partial per-block results);
+        # fewer ⇒ empties dropped, which could mask splitting on a
+        # skewed input (e.g. 3 fat partitions split into 12 blocks
+        # still under a 64-partition count).  Either deviation means
+        # the pinned behavior moved — re-route (correct, slower).
         return _hash_group_fallback(
             m,
             keys,
@@ -264,6 +268,14 @@ def _hash_group_fallback(m, keys: list[str], reason: str):
     )
 
 
+def _default_cpus() -> int:
+    """Session CPU count for parallelism-shaped partition choices
+    (8 when Ray is not initialised — the test/import path)."""
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+
+
 def _min_by_keys(ds, keys: list[str], value_col: str, alias: str):
     """Per-``keys`` minimum of ``value_col`` via key-hash repartition
     + per-block C++ group-min — the numerous-tiny-group regime
@@ -271,9 +283,7 @@ def _min_by_keys(ds, keys: list[str], value_col: str, alias: str):
     where Ray's aggregate machinery pays per-group Python cost (see
     :func:`_hash_group_blocks`).  Final minima, because each key is
     co-located by the repartition."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = _default_cpus()
 
     def block_min(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys).aggregate([(value_col, "min")])
@@ -292,9 +302,7 @@ def _sum_by_keys(ds, keys: list[str], value_col: str, alias: str):
     :func:`_min_by_keys` (vocabulary/df keys are corpus-count at web
     scale).  Final sums, because each key is co-located by the
     repartition."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = _default_cpus()
 
     def block_sum(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys).aggregate([(value_col, "sum")])
@@ -312,9 +320,7 @@ def _count_by_keys(ds, keys: list[str], alias: str):
     group-count — same numerous-tiny-group rationale as
     :func:`_min_by_keys`.  Final counts, because each key is
     co-located by the repartition."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = _default_cpus()
 
     def block_count(batch: pa.Table) -> pa.Table:
         g = batch.group_by(keys).aggregate([([], "count_all")])
@@ -332,9 +338,7 @@ def _collect_lists_by_key(ds, key: str, value_col: str, alias: str):
     runs → arrow ListArray rows — the vectorized replacement for a
     collect-list AggregateFn when groups are numerous (vocabulary /
     bucket keys).  Whole groups per block by construction."""
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = _default_cpus()
 
     def block_lists(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -416,6 +420,13 @@ _HASH_GROUP_SMALL_BYTES = 4 * _HASH_GROUP_TARGET_BLOCK
 # hash route's parallelism wins and driver/worker memory per block
 # stays bounded.
 _HASH_GROUP_SMALL_ROWS = 2_000_000
+
+# jaccard canonical-cap harmonization gate: with max_bucket set, the
+# attach verify route pulls the capped (hot) token set to the driver
+# and broadcasts it so its recall matches the canonical-bucket routes;
+# a corpus with more capped tokens than this keeps the attach route's
+# any-surviving-bucket recall instead (documented divergence).
+_CAPPED_TOKENS_MAX = 1_000_000
 
 # minhash verify candidate-id pull gate: raw pair counts at or under
 # this broadcast their distinct candidate ids (≤ 2 int64 per pair —
@@ -916,9 +927,7 @@ def minhash_lsh_pairs(
 
     # bucket grouping via key-hash repartition + per-block runs (see
     # _hash_group_blocks: 7× over groupby().aggregate() at 15M buckets)
-    import ray
-
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    cpus = _default_cpus()
     parts = _hash_group_blocks(
         sigs.map_batches(explode_bands, batch_format="pyarrow"),
         ["band", "bucket"],
@@ -2359,10 +2368,16 @@ def jaccard_prefix_pairs(
     regression-tested against each other.  ``max_bucket`` optionally
     caps pathological prefix buckets (identical-corpus skew) at the
     cost of recall — leave ``None`` for the exact guarantee.  Note the
-    broadcast route scores a pair only in its canonical bucket, so a
-    capped canonical bucket drops its pairs even when a rarer shared
-    token's bucket survived; with the cap unset (the exact
-    configuration, and the default) the two routes remain identical.
+    canonical-bucket rule is applied CONSISTENTLY under a cap: the
+    broadcast and in-bucket routes score a pair only in its canonical
+    bucket (a capped canonical bucket drops its pairs even when a
+    rarer shared token's bucket survived), and the attach route
+    replays the same rule by broadcasting the capped-token set and
+    dropping canonical-capped pairs at scoring time (gated by
+    ``_CAPPED_TOKENS_MAX``; beyond it the attach route keeps its
+    any-surviving-bucket recall — the one documented divergence).
+    With the cap unset (the exact configuration, and the default) all
+    three routes are identical unconditionally.
     """
     from collections import Counter
 
@@ -2494,11 +2509,7 @@ def jaccard_prefix_pairs(
         joined = hash_join_safe(
             tok, df, on=("token",), num_partitions=num_partitions
         )
-        cpus = (
-            int(_ray.cluster_resources().get("CPU", 8))
-            if _ray.is_initialized()
-            else 8
-        )
+        cpus = _default_cpus()
         parts = _hash_group_blocks(
             joined.select_columns(["id", "token", "df"]), ["id"], max(16, cpus)
         )
@@ -2715,11 +2726,7 @@ def jaccard_prefix_pairs(
                 }
             )
 
-        cpus_v = (
-            int(_ray.cluster_resources().get("CPU", 8))
-            if _ray.is_initialized()
-            else 8
-        )
+        cpus_v = _default_cpus()
         # many small partitions: bucket_verify inflates its block into
         # Python lists + a parsed-cell cache (~10× the arrow bytes), so
         # per-block payload must stay tens-of-MB or concurrent tasks
@@ -2752,13 +2759,23 @@ def jaccard_prefix_pairs(
 
                 for s, e in zip(starts, ends):
                     if max_bucket is not None and e - s > max_bucket:
-                        continue  # hot-bucket cap: same drop as finalize([])
+                        continue  # hot-bucket cap: raw row count, the
+                        # same basis the collect routes cap on
                     if e - s < 2:
                         continue
                     token = toks_s[s]
+                    # dedup members by id (dict, then sort) — a doc
+                    # whose kept prefix repeats a token after \x1e/\x1f
+                    # sanitization lands twice in this bucket; the
+                    # other routes dedup via set(ids)/group-by, and
+                    # without this a (a, a) self-pair would leak
                     members = sorted(
-                        (ids_s[k], packs_s[k]) for k in range(s, e)
+                        dict(
+                            (ids_s[k], packs_s[k]) for k in range(s, e)
+                        ).items()
                     )
+                    if len(members) < 2:
+                        continue
                     for x in range(len(members)):
                         a, pk_a = members[x]
                         la, ka, fa = _info(a, pk_a)
@@ -2820,7 +2837,37 @@ def jaccard_prefix_pairs(
         with_a, per_doc, "b", {"packed": "packed_b"}, num_partitions=num_partitions
     )
 
+    # With max_bucket set, the canonical routes drop any pair whose
+    # CANONICAL bucket was capped, even when a rarer shared token's
+    # bucket survived.  The attach route would otherwise keep such a
+    # pair (it was discovered in the surviving bucket) — so broadcast
+    # the capped-token set (hot tokens only, tiny by construction) and
+    # apply the same canonical-cap rule at scoring time, keeping all
+    # three verify routes value-identical under a cap.
+    capped_ref = None
+    if max_bucket is not None:
+        hot = (
+            sizes.map_batches(
+                lambda b: b.filter(pc.greater(b["d"], max_bucket)).select(
+                    ["token"]
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        if hot.count() <= _CAPPED_TOKENS_MAX:
+            capped_ref = _ray.put(
+                frozenset(r["token"] for r in hot.take_all())
+            )
+        # else: astronomically many capped tokens — keep the attach
+        # route's any-surviving-bucket recall (documented divergence)
+
     def score(batch: pa.Table) -> pa.Table:
+        capped = None
+        if capped_ref is not None:
+            import ray as _ray_w
+
+            capped = _ray_w.get(capped_ref)
         a_out, b_out, j_out = [], [], []
         for a, b, pa_, pb_ in zip(
             batch["a"].to_pylist(),
@@ -2828,8 +2875,21 @@ def jaccard_prefix_pairs(
             batch["packed_a"].to_pylist(),
             batch["packed_b"].to_pylist(),
         ):
-            sa = set(pa_.partition("\x1e")[2].split("\x1f"))
-            sb = set(pb_.partition("\x1e")[2].split("\x1f"))
+            ka_s, _, body_a = pa_.partition("\x1e")
+            kb_s, _, body_b = pb_.partition("\x1e")
+            toks_a = body_a.split("\x1f")
+            toks_b = body_b.split("\x1f")
+            if capped is not None:
+                la = toks_a[: int(ka_s)]
+                lb = toks_b[: int(kb_s)]
+                it, other = (
+                    (la, frozenset(lb)) if len(la) <= len(lb) else (lb, frozenset(la))
+                )
+                canon = next(tk for tk in it if tk in other)
+                if canon in capped:
+                    continue
+            sa = set(toks_a)
+            sb = set(toks_b)
             c = len(sa & sb)
             j = c / (len(sa) + len(sb) - c)
             if j >= threshold:

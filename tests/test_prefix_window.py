@@ -167,3 +167,67 @@ def test_mixture_sample_quotas(ray_session):
     assert sorted(by_src["a"]) == list(range(1, 11))
     assert sorted(by_src["b"]) == [1, 2]
     assert "c" not in by_src
+
+
+def test_prefix_pairs_capped_routes_identical(ray_session):
+    """With max_bucket set, all three verify routes must drop the SAME
+    pairs (canonical-cap rule everywhere): broadcast, attach-join, and
+    in-bucket outputs are identical on the adversarial corpus."""
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in DOCS], pa.int64()),
+                "text": pa.array([t for _, t in DOCS], pa.string()),
+            }
+        )
+    ).repartition(3)
+    kw = dict(threshold_num=1, threshold_den=2, shingle_n=3, max_bucket=3)
+
+    def run(**extra):
+        return {
+            (r["a"], r["b"], round(r["jaccard"], 12))
+            for r in jaccard_prefix_pairs(ds, **kw, **extra).take_all()
+        }
+
+    fast = run()
+    joined = run(broadcast_vocab_max=0, broadcast_docs_max=0)
+    bucketed = run(
+        broadcast_vocab_max=0, broadcast_docs_max=0, verify_attach_bytes_max=0
+    )
+    assert joined == fast
+    assert bucketed == fast
+
+
+def test_prefix_pairs_no_self_pairs_on_sanitize_collision(ray_session):
+    """Two raw tokens that sanitize-collide (\\x1e/\\x1f → U+FFFD) can
+    put the same doc twice into one prefix bucket; no route may emit a
+    (a, a) self-pair or duplicate (a, b) rows."""
+    docs = [
+        (1, "alpha\x1eq alpha\x1fq beta gamma delta"),
+        (2, "alpha\x1eq alpha\x1fq beta gamma epsilon"),
+        (3, "zeta eta theta iota kappa"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+    kw = dict(threshold_num=1, threshold_den=2, shingle_n=1)
+    for extra in (
+        {},
+        {"broadcast_vocab_max": 0, "broadcast_docs_max": 0},
+        {
+            "broadcast_vocab_max": 0,
+            "broadcast_docs_max": 0,
+            "verify_attach_bytes_max": 0,
+        },
+    ):
+        rows = jaccard_prefix_pairs(ds, **kw, **extra).take_all()
+        seen = set()
+        for r in rows:
+            assert r["a"] < r["b"], (extra, r)
+            assert (r["a"], r["b"]) not in seen, (extra, r)
+            seen.add((r["a"], r["b"]))
