@@ -447,7 +447,7 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
     # graph (20k hosts at this volume): link extraction → distinct
     # host edges → alternating integer sweeps / degree-oriented wedge
     # join ----
-    if want("hits_1m") or want("triangles_1m"):
+    if want("hits_1m") or want("triangles_1m") or want("hits_page_1m"):
         import pyarrow as _pa
         import pyarrow.compute as _pc
 
@@ -524,6 +524,27 @@ def validate(replicas: int, cpus: int, n_seeds: int, only: set[str] | None = Non
             return host_triangles(_links_ds(), num_partitions=16).count()
 
         stage("triangles_1m", run_triangles, n_pages)
+
+        # page-level HITS: 1M nodes / 9M edges — the distributed
+        # alternating-sweep route (host-level stays under the local
+        # gate at 20k hosts; this is the pagerank_1m-shaped load)
+        def run_hits_page():
+            def to_edges(batch: _pa.Table) -> _pa.Table:
+                t = batch.filter(
+                    _pc.and_(
+                        batch["href"].is_valid(), _pc.invert(batch["external"])
+                    )
+                )
+                t = t.filter(_pc.not_equal(t["src_url"], t["href"]))
+                return _pa.table({"src": t["src_url"], "dst": t["href"]})
+
+            edges = _links_ds().map_batches(to_edges, batch_format="pyarrow")
+            nodes = rd.read_parquet(pages_dir, columns=["url"])
+            return hits(
+                edges, nodes, node_column="url", iters=3, num_partitions=16
+            ).count()
+
+        stage("hits_page_1m", run_hits_page, n_pages)
 
     # ---- 17/18. windowed analytics at 1M events (10× disjoint user
     # populations of the sf0.1 events table — group-COUNT scaling,
