@@ -991,23 +991,7 @@ class BFSCrawl:
                     if sel_table is not None:
                         digs = np.unique(_url_digests64(sel_table["url"]))
                     else:
-                        blobs = (
-                            sel_ds.select_columns(["url"])
-                            .map_batches(_digest_rows, batch_format="pyarrow")
-                            .take_all()
-                        )
-                        digs = (
-                            np.unique(
-                                np.concatenate(
-                                    [
-                                        np.frombuffer(b["digs"], dtype="<u8")
-                                        for b in blobs
-                                    ]
-                                )
-                            )
-                            if blobs
-                            else np.empty(0, dtype="<u8")
-                        )
+                        digs = _collect_url_digests(sel_ds)
                     digs_ref = ray.put(digs)
                     pages_side = pages.map_batches(
                         _page_semi_filter_fn(digs_ref), batch_format="pyarrow"

@@ -110,11 +110,12 @@ def crawl_and_curate(
     def quality_gate(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # RE2's \s and \w are ASCII-only; spell out Python-re's
-        # unicode classes (\s ≈ ASCII ws + \x1c-\x1f + \x85 + \p{Z},
-        # \w ≈ [\p{L}\p{N}_]) so U+00A0 etc. — which the synthetic
-        # corpus deliberately inserts — stay WHITESPACE, not punct
-        ws = r"\s\x1c-\x1f\x85\p{Z}"
+        # RE2's \s and \w are ASCII-only (and RE2 \s lacks \x0b);
+        # spell out Python-re's unicode classes (\s ≈ ASCII ws + \x0b
+        # + \x1c-\x1f + \x85 + \p{Z}, \w ≈ [\p{L}\p{N}_]) so
+        # U+00A0 etc. — which the synthetic corpus deliberately
+        # inserts — stay WHITESPACE, not punct
+        ws = r"\s\x0b\x1c-\x1f\x85\p{Z}"
         text = pc.coalesce(batch["text"], "")
         n_words = pc.count_substring_regex(text, f"[^{ws}]+")
         n_punct = pc.count_substring_regex(text, f"[^\\p{{L}}\\p{{N}}_{ws}]")

@@ -286,6 +286,10 @@ def scaled_events_dir(base_sf_dir: str, replicas: int) -> str:
     import pyarrow.compute as _pc
 
     user_span = int(_pc.max(base["user_id"]).as_py()) + 1
+    # stride by max(id)+1, not row count: a sparse base id space would
+    # otherwise overlap replicas and break event_id uniqueness (the
+    # asof/rolling id_column contract)
+    id_span = max(n_base, int(_pc.max(base["event_id"]).as_py()) + 1)
 
     os.makedirs(SCALE_CACHE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=SCALE_CACHE_ROOT)
@@ -294,7 +298,7 @@ def scaled_events_dir(base_sf_dir: str, replicas: int) -> str:
             part = base.set_column(
                 base.schema.get_field_index("event_id"),
                 "event_id",
-                _pc.add(base["event_id"], r * n_base),
+                _pc.add(base["event_id"], r * id_span),
             ).set_column(
                 base.schema.get_field_index("user_id"),
                 "user_id",
