@@ -359,26 +359,51 @@ def fetch_pages_for_urls(
     computed worker-side) and the pages scan is filtered BEFORE the
     join shuffle, so non-candidate html never moves; either way the
     exact url hash join runs last, so digest collisions cost only
-    extra candidate rows, never wrong output.  Returns a Dataset with
-    ``columns`` (default ``[url, html]``)."""
-    from ..functions.dedup import _coalesce_for_join, _join_partitions
+    extra candidate rows, never wrong output.  The url side is
+    DEDUPLICATED first (skinny one-column exchange through the
+    key-hash primitive; single-block lexsort below its small gate), so
+    duplicate request rows cannot duplicate output pages.  Returns a
+    Dataset with ``columns`` (default ``[url, html]``); the schema is
+    typed even when the result is empty."""
+    from ..functions.dedup import (
+        _coalesce_for_join,
+        _count_by_keys,
+        _join_partitions,
+    )
 
     cols = list(columns) if columns is not None else ["url", "html"]
-    url_side, n_urls = _coalesce_for_join(url_ds.select_columns(["url"]))
+    url_side, n_urls = _coalesce_for_join(
+        _count_by_keys(
+            url_ds.select_columns(["url"]), ["url"], "_dup"
+        ).select_columns(["url"])
+    )
     pages = rd.read_parquet(pages_path, columns=cols)
+    # typed empty matching the join's output layout (key first, then
+    # the remaining columns): an empty selection — or a join in which
+    # EVERY url misses — would otherwise yield a schema-less dataset
+    s = pages.schema()
+    tmap = dict(zip(s.names, s.types))
+    typed_empty = rd.from_arrow(
+        pa.schema(
+            [("url", tmap["url"])] + [(c, tmap[c]) for c in cols if c != "url"]
+        ).empty_table()
+    )
     if n_urls == 0:
-        return pages.limit(0)
+        return typed_empty
     if 0 < n_urls <= fetch_filter_max:
         digs_ref = ray.put(_collect_url_digests(url_side))
         pages = pages.map_batches(
             _page_semi_filter_fn(digs_ref), batch_format="pyarrow"
         )
-    return url_side.join(
+    joined = url_side.join(
         pages,
         join_type="inner",
         num_partitions=_join_partitions(join_partitions),
         on=("url",),
     )
+    # union with the typed empty pins the schema even when the join
+    # matches nothing (costs no rows, no exchange)
+    return typed_empty.union(joined)
 
 
 def _extract_links_batch(batch: pa.Table) -> pa.Table:

@@ -244,3 +244,42 @@ def test_hash_group_blocks_fat_cells_take_hash_route(ray_session, monkeypatch):
         for k in set(blk["key"].to_pylist()):
             assert seen_in_block.setdefault(k, i) == i, f"{k} straddles blocks"
     assert sum(len(_ray.get(r)) for r in out.to_arrow_refs()) == 200
+
+
+def test_fetch_pages_for_urls_property(ray_session, tmp_path):
+    """Property check across url-subset shapes (empty/all/disjoint/
+    overlapping, with duplicates on the request side): the semi-join
+    fetch equals the naive set filter for every case and never
+    duplicates a page row."""
+    import ray.data as rd
+
+    t = _pages_table(80)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    all_urls = t["url"].to_pylist()
+    cases = [
+        [],
+        all_urls,
+        all_urls[:1],
+        all_urls[::7],
+        ["https://nowhere.test/x"],
+        all_urls[:5] + ["https://nowhere.test/x"] * 3,
+        all_urls[:4] + all_urls[:4],  # duplicated request rows
+    ]
+    by_url = dict(zip(all_urls, t["html"].to_pylist()))
+    from crawl4ai_custom_ray.frontier.crawl import fetch_pages_for_urls
+
+    for want in cases:
+        url_ds = rd.from_arrow(pa.table({"url": pa.array(want, pa.string())}))
+        got_ds = fetch_pages_for_urls(p, url_ds)
+        # the DATASET schema is typed even for empty results (Ray's
+        # to_pandas drops columns on any 0-row dataset)
+        assert got_ds.schema().names == ["url", "html"], want
+        expect = sorted(set(want) & set(all_urls))
+        if not expect:
+            assert got_ds.count() == 0, want
+            continue
+        got = got_ds.to_pandas()
+        assert sorted(got["url"]) == expect, want
+        assert got["url"].is_unique
+        assert all(by_url[u] == h for u, h in zip(got["url"], got["html"]))
