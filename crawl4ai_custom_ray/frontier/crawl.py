@@ -349,6 +349,7 @@ def fetch_pages_for_urls(
     columns: list[str] | None = None,
     fetch_filter_max: int = 20_000_000,
     join_partitions: int = 8,
+    assume_unique: bool = False,
 ):
     """Semi-join fetch: the pages rows whose url appears in ``url_ds``
     — the crawl's digest-gated fetch mechanism exposed for composed
@@ -362,7 +363,9 @@ def fetch_pages_for_urls(
     extra candidate rows, never wrong output.  The url side is
     DEDUPLICATED first (skinny one-column exchange through the
     key-hash primitive; single-block lexsort below its small gate), so
-    duplicate request rows cannot duplicate output pages.  Returns a
+    duplicate request rows cannot duplicate output pages —
+    ``assume_unique=True`` skips that exchange for callers whose
+    selection is unique by construction (the crawl's visited set).  Returns a
     Dataset with ``columns`` (default ``[url, html]``); the schema is
     typed even when the result is empty."""
     from ..functions.dedup import (
@@ -372,11 +375,12 @@ def fetch_pages_for_urls(
     )
 
     cols = list(columns) if columns is not None else ["url", "html"]
-    url_side, n_urls = _coalesce_for_join(
-        _count_by_keys(
-            url_ds.select_columns(["url"]), ["url"], "_dup"
-        ).select_columns(["url"])
-    )
+    url_side = url_ds.select_columns(["url"])
+    if not assume_unique:
+        url_side = _count_by_keys(url_side, ["url"], "_dup").select_columns(
+            ["url"]
+        )
+    url_side, n_urls = _coalesce_for_join(url_side)
     pages = rd.read_parquet(pages_path, columns=cols)
     # typed empty matching the join's output layout (key first, then
     # the remaining columns): an empty selection — or a join in which

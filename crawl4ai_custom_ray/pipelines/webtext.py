@@ -67,7 +67,9 @@ def crawl_and_curate(
     # semi-join gate — never a driver-side url list (frontier/crawl.py
     # fetch_filter_max mechanism; collisions only admit extra rows
     # into the exact url join)
-    pages = fetch_pages_for_urls(pages_path, visited, columns=["url", "html"])
+    pages = fetch_pages_for_urls(
+        pages_path, visited, columns=["url", "html"], assume_unique=True
+    )
 
     def only_success(batch: pa.Table) -> pa.Table:
         return batch.filter(batch["success"]).drop_columns(["success"])
