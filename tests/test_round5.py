@@ -283,3 +283,26 @@ def test_fetch_pages_for_urls_property(ray_session, tmp_path):
         assert sorted(got["url"]) == expect, want
         assert got["url"].is_unique
         assert all(by_url[u] == h for u, h in zip(got["url"], got["html"]))
+
+
+def test_fetch_pages_for_urls_assume_unique_equivalent(ray_session, tmp_path):
+    """assume_unique=True (the crawl-visited fast path) must equal the
+    deduplicating default on an already-unique selection."""
+    import ray.data as rd
+
+    from crawl4ai_custom_ray.frontier.crawl import fetch_pages_for_urls
+
+    t = _pages_table(40)
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+    want = sorted(t["url"].to_pylist())[::4]
+    url_ds = rd.from_arrow(pa.table({"url": pa.array(want, pa.string())}))
+
+    a = fetch_pages_for_urls(p, url_ds).to_pandas().sort_values("url")
+    b = (
+        fetch_pages_for_urls(p, url_ds, assume_unique=True)
+        .to_pandas()
+        .sort_values("url")
+    )
+    assert list(a["url"]) == list(b["url"]) == sorted(want)
+    assert list(a["html"]) == list(b["html"])
